@@ -1,0 +1,238 @@
+"""URL canonicalization and domain functions — the crawl fingerprint layer.
+
+Reference semantics reproduced (cited file:line are in /root/reference):
+
+- ``normalize_url_basic``   : crawl4ai/utils.py:2102-2119 (legacy urljoin
+  normalizer; golden tests at tests/test_normalize_url.py:1-80).
+- ``canonicalize_url``      : crawl4ai/utils.py:2122-2205 (extended
+  normalizer: lowercase netloc, re-quote path, strip trailing slash,
+  drop tracking params, sort query, drop fragment).
+- ``get_base_domain``       : crawl4ai/utils.py:2320-2368.
+- ``is_external_url``       : crawl4ai/utils.py:2371-2402.
+
+Spark shape: canonicalization is the one genuinely non-relational scalar
+(urljoin + quote/unquote + query re-encode), so it is an Arrow-batched
+pandas UDF.  Everything downstream of it — the 64-bit fingerprint, host
+extraction, base-domain logic, externality — is a native Column
+expression that stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, quote, unquote, urlencode, urljoin, urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+TRACKING_PARAMS = frozenset(
+    {
+        "utm_source",
+        "utm_medium",
+        "utm_campaign",
+        "utm_term",
+        "utm_content",
+        "gclid",
+        "fbclid",
+        "ref",
+        "ref_src",
+    }
+)
+
+# reference utils.py:2349-2363 — second-level-domain markers for base-domain
+SLD_MARKERS = frozenset(
+    {"co", "com", "org", "gov", "edu", "net", "mil", "int", "ac", "ad", "ae", "af", "ag"}
+)
+
+SPECIAL_SCHEMES = ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
+
+
+# --------------------------------------------------------------------------
+# plain-Python scalars (used inside pandas UDFs and in hermetic golden tests)
+# --------------------------------------------------------------------------
+
+
+def normalize_url_basic(href: str, base_url: str) -> str:
+    """Legacy normalizer — reference utils.py:2102-2119 byte-for-byte."""
+    parsed_base = urlparse(base_url)
+    if not parsed_base.scheme or not parsed_base.netloc:
+        raise ValueError(f"Invalid base URL format: {base_url}")
+    if parsed_base.scheme.lower() not in ("http", "https"):
+        raise ValueError(f"Invalid base URL format: {base_url}")
+    return urljoin(base_url, href.strip())
+
+
+def canonicalize_url(
+    href: str | None,
+    base_url: str,
+    *,
+    drop_query_tracking: bool = True,
+    sort_query: bool = True,
+    keep_fragment: bool = False,
+    extra_drop_params=None,
+) -> str | None:
+    """Extended normalizer — reference utils.py:2122-2205 semantics."""
+    if not href:
+        return None
+
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+
+    netloc = parsed.netloc.lower()
+
+    path = quote(unquote(parsed.path))
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+
+    query = parsed.query
+    if query:
+        params = [(k.lower(), v) for k, v in parse_qsl(query, keep_blank_values=True)]
+        if drop_query_tracking:
+            drop = TRACKING_PARAMS
+            if extra_drop_params:
+                drop = drop | {p.lower() for p in extra_drop_params}
+            params = [(k, v) for k, v in params if k not in drop]
+        if sort_query:
+            params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+
+    fragment = parsed.fragment if keep_fragment else ""
+
+    return urlunparse((parsed.scheme, netloc, path, parsed.params, query, fragment))
+
+
+def get_base_domain_py(url: str) -> str:
+    """reference utils.py:2320-2368."""
+    try:
+        domain = urlparse(url).netloc.lower()
+        if not domain:
+            return ""
+        domain = domain.split(":")[0]
+        if domain.startswith("www."):
+            domain = domain[4:]
+        parts = domain.split(".")
+        if len(parts) > 2 and parts[-2] in SLD_MARKERS:
+            return ".".join(parts[-3:])
+        return ".".join(parts[-2:])
+    except Exception:
+        return ""
+
+
+def is_external_url_py(url: str, base_domain: str) -> bool:
+    """reference utils.py:2371-2402."""
+    low = url.lower()
+    if any(low.startswith(p) for p in SPECIAL_SCHEMES):
+        return True
+    try:
+        parsed = urlparse(url)
+        if not parsed.netloc:
+            return False
+        url_domain = parsed.netloc.lower().replace("www.", "")
+        base = base_domain.lower().replace("www.", "")
+        return not url_domain.endswith(base)
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------------
+# Spark surface
+# --------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(href: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalization of (href, base_url) pairs."""
+    out = [None] * len(href)
+    for i, (h, b) in enumerate(zip(href, base_url)):
+        if h is None or b is None:
+            continue
+        try:
+            out[i] = canonicalize_url(h, b)
+        except Exception:
+            out[i] = None
+    return pd.Series(out, dtype="object")
+
+
+def url_hash(url: Column | str) -> Column:
+    """64-bit URL fingerprint — JVM-side xxhash64 of the canonical URL.
+
+    This is the key of the `url_seen` filter and the frontier; at 10^10
+    URLs collisions are ~3/10^9 per pair which the exact shard-confirm
+    join (operators/seen.py) tolerates.
+    """
+    return F.xxhash64(F.col(url) if isinstance(url, str) else url)
+
+
+def host(url: Column | str) -> Column:
+    """Lowercased host (netloc without userinfo) — native, codegen-friendly."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def host_no_port(url: Column | str) -> Column:
+    return F.regexp_replace(host(url), ":\\d+$", "")
+
+
+def base_domain(url: Column | str) -> Column:
+    """Native-expression port of reference utils.py:2320-2368.
+
+    lower(host) -> strip port -> strip leading www. -> last 2 labels,
+    or last 3 when the second-to-last is an SLD marker (co.uk etc).
+    """
+    dom = F.regexp_replace(host_no_port(url), "^www\\.", "")
+    parts = F.split(dom, "\\.")
+    n = F.size(parts)
+    second_last = F.element_at(parts, -2)
+    sld = F.lit(",".join(sorted(SLD_MARKERS)))
+    take3 = (n > 2) & F.array_contains(F.split(sld, ","), second_last)
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    return F.when(dom == "", "").when(take3, last3).when(n >= 2, last2).otherwise(dom)
+
+
+def is_external(url: Column | str, base_dom: Column | str) -> Column:
+    """Native-expression port of reference utils.py:2371-2402."""
+    u = F.col(url) if isinstance(url, str) else url
+    b = F.col(base_dom) if isinstance(base_dom, str) else base_dom
+    low = F.lower(u)
+    special = F.lit(False)
+    for p in SPECIAL_SCHEMES:
+        special = special | low.startswith(p)
+    url_dom = F.regexp_replace(host(u), "www\\.", "")
+    base_clean = F.regexp_replace(F.lower(b), "www\\.", "")
+    has_netloc = host(u).isNotNull() & (host(u) != "")
+    return F.when(special, F.lit(True)).otherwise(
+        F.when(~has_netloc, F.lit(False)).otherwise(~url_dom.endswith(base_clean))
+    )
+
+
+def path_depth(url: Column | str) -> Column:
+    """Segment count of the URL path — reference scorers.py:_quick_depth.
+
+    '' or '/' -> 0; '/a' -> 1; '/a/b/' -> 2 (trailing slash ignored,
+    duplicate slashes collapsed).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    p = F.try_parse_url(c, F.lit("PATH"))
+    p = F.regexp_replace(p, "/{2,}", "/")  # collapse duplicate slashes
+    p = F.regexp_replace(p, "^/|/$", "")  # strip leading/trailing
+    return F.when(p.isNull() | (p == ""), F.lit(0)).otherwise(
+        F.size(F.split(p, "/"))
+    )
+
+
+def extension(url: Column | str) -> Column:
+    """File extension of the last path segment — reference
+    deep_crawling/filters.py:365-386 (_extract_extension): scheme and
+    domain removed, last path segment, lowercase ext after final dot;
+    '' when the filename has no dot or there is no path.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    after_scheme = F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    # path = everything from the first '/' (else ''); filename = last segment
+    path = F.regexp_extract(after_scheme, "(/.*)$", 1)
+    filename = F.element_at(F.split(path, "/"), -1)
+    has_dot = filename.contains(".")
+    ext = F.lower(F.element_at(F.split(filename, "\\."), -1))
+    return F.when(path == "", F.lit("")).when(~has_dot, F.lit("")).otherwise(ext)
