@@ -1,0 +1,144 @@
+"""Text-analysis column functions for the documents/pages tables.
+
+All native Column expressions (whole-stage codegen) — language ID,
+quality scoring, token counting, fingerprinting. These extend the
+reference's text handling (clean_tokens at utils.py:2405+, word-count
+thresholds at content_scraping_strategy.py:824-833) with the standard
+large-scale training-data-pipeline signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "als", "auch", "auf", "für", "sich", "dem", "des"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "qui",
+           "pour", "pas", "sur", "avec", "par", "mais", "nous", "vous"],
+    "es": ["el", "la", "los", "las", "que", "una", "por", "con", "para",
+           "del", "se", "su", "es", "como", "más", "pero", "sus"],
+}
+
+WORD_SPLIT_RX = "[^\\p{L}\\p{N}']+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased word tokens (empty strings removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.split(F.lower(c), WORD_SPLIT_RX)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-ish token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count: words + digits + punctuation runs.
+
+    A regex proxy for subword tokenizers (roughly 1 token per word piece
+    of <=6 chars): ceil(len(word)/6) summed, plus punctuation marks.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    word_pieces = F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
+    )
+    punct = F.size(F.filter(F.split(c, ""), lambda ch: ch.rlike("[\\p{Punct}]")))
+    return word_pieces + punct.cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang` (with multiplicity)."""
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(t, lambda tok: F.array_contains(sw, tok)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit rate.
+
+    Returns 'und' when no stopwords of any candidate language appear.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lg: stopword_hits(c, lg) for lg in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reversed so that ties resolve to the first language in STOPWORDS order
+    for lg in reversed(list(STOPWORDS)):
+        out = F.when((hits[lg] > 0) & (hits[lg] == best), lg).otherwise(out)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Boilerplate/quality heuristic in [0,1] (Gopher-rule flavored).
+
+    Components (equal weights):
+      - length score: 1 at >=50 words, linear below
+      - mean word length in [3,10] chars
+      - alpha ratio: fraction of word-chars among non-space chars
+      - stopword ratio >= 0.05 (any supported language)
+      - not mostly uppercase
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t).cast("double")
+
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+
+    total_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_wl = F.when(n > 0, total_chars / n).otherwise(F.lit(0.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.3)
+
+    nonspace = F.length(F.regexp_replace(c, "\\s+", "")).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^\\p{L}\\p{N}]+", "")).cast("double")
+    alpha_ratio = F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0))
+    alpha_score = F.least(alpha_ratio / F.lit(0.8), F.lit(1.0))
+
+    sw_hits = None
+    for lg in STOPWORDS:
+        h = stopword_hits(c, lg)
+        sw_hits = h if sw_hits is None else sw_hits + h
+    sw_ratio = F.when(n > 0, sw_hits.cast("double") / n).otherwise(F.lit(0.0))
+    sw_score = F.when(sw_ratio >= 0.05, 1.0).otherwise(sw_ratio / F.lit(0.05))
+
+    upper = F.length(F.regexp_replace(c, "[^A-Z]", "")).cast("double")
+    letters = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    upper_ratio = F.when(letters > 0, upper / letters).otherwise(F.lit(0.0))
+    case_score = F.when(upper_ratio < 0.3, 1.0).otherwise(0.2)
+
+    score = (length_score + wl_score + alpha_score + sw_score + case_score) / F.lit(5.0)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(score)
+
+
+def content_hash(text: Column | str) -> Column:
+    """sha256 content hash — reference utils.py:2681-2685."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (n-grams over tokens), space-joined."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))).otherwise(
+        F.array(F.array_join(t, " "))
+    )
+
+
+def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
+    """Order-insensitive 64-bit document fingerprint: xor-free stable
+    combination (min of shingle hashes) — cheap near-dup prefilter."""
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.array_min(hashes)

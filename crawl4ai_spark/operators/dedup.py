@@ -1,0 +1,279 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These are the training-data-pipeline operators layered on the crawl
+output (the reference itself dedups only by URL / content hash —
+async_database.py:527-541 content-addressed blobs; utils.py:2681
+generate_content_hash). Everything here is native Spark: shingling,
+hashing, banding and bucketing are Column expressions; candidate
+generation is a co-partitioned groupBy on band buckets (LSH), never an
+all-pairs product.
+
+Scale notes (100 TB):
+- MinHash signature computation is narrow (no shuffle).
+- LSH banding shuffles once on (band_id, band_hash) — uniformly
+  distributed by construction, no skew.
+- n-gram Jaccard self-join shuffles on shingle; hot shingles are capped
+  by `max_shingle_df` (document-frequency cut) before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+# Mersenne prime 2^31-1: (a*(x%p))%p stays within int64 for a,p < 2^31.
+MERSENNE_P = 2147483647
+
+
+def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = 1 + state % (MERSENNE_P - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per exact content hash (hash-groupBy dedup)."""
+    h = F.sha2(F.col(text_col), 256).alias("_content_sha")
+    w = Window.partitionBy("_content_sha").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_content_sha", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_content_sha", "_rn")
+    )
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint> of length num_hashes) — narrow."""
+    sh = shingles(text, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    sig = []
+    for a, b in _mh_params(num_hashes, seed):
+        sig.append(
+            F.array_min(
+                F.transform(base, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. est_jaccard is
+    the signature-agreement fraction; when `jaccard_threshold` is set,
+    pairs below it are dropped.
+
+    Plan shape: narrow signature -> explode B bands -> ONE shuffle on
+    (band, band_hash) -> within-bucket self-join (buckets are tiny by
+    construction) -> pair dedup.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("_sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = with_sig.select(
+        "_id", "_sig", F.posexplode(band_arr).alias("_band", "_bh")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = cand.withColumn(
+        "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+    ).drop("_sa", "_sb")
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= jaccard_threshold)
+    return out
+
+
+def simhash(text: Column | str, shingle_k: int = 2) -> Column:
+    """64-bit SimHash over shingle hashes — fully native bit arithmetic.
+
+    Per-bit vote counting uses `bin(hash)` (the 64-char two's-complement
+    digit string) zipped against the accumulator, because Spark's shift
+    functions require literal shift amounts. Index 0 = bit 63 (MSB).
+    """
+    sh = shingles(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.split(F.lpad(F.bin(h), 64, "0"), "(?!^)"),
+            lambda a, ch: a + F.when(ch == "1", 1).otherwise(-1),
+        ),
+    )
+    # powers[j] = two's-complement value of bit (63-j)
+    powers = [(-(1 << 63)) if j == 0 else (1 << (63 - j)) for j in range(64)]
+    powers_arr = F.array(*[F.lit(p).cast("long") for p in powers])
+    bits = F.zip_with(
+        counts,
+        powers_arr,
+        lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the 64-bit simhash into `n_tables`
+    16-bit blocks; by pigeonhole, any pair within Hamming distance
+    n_tables-1 agrees on at least one block — bucket-join per block,
+    then exact Hamming verify. One shuffle per table, no all-pairs.
+    """
+    block_bits = 64 // n_tables
+    sh = simhash(F.col(text_col), shingle_k)
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sim"))
+
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_sim"), t * block_bits).bitwiseAND(F.lit(mask))
+            for t in range(n_tables)
+        ]
+    )
+    tabled = base.select("_id", "_sim", F.posexplode(blocks).alias("_t", "_key"))
+
+    a, b = tabled.alias("a"), tabled.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("_ha"),
+            F.col("b._sim").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", simhash_hamming(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("_ha", "_hb")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via shingle inverted index.
+
+    explode(distinct shingles) -> (optional hot-shingle DF cap) ->
+    self-join on shingle -> per-pair intersection count -> Jaccard with
+    per-doc set sizes. The DF cap bounds the worst-case join fan-out on
+    boilerplate shingles — essential at web scale.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("_sh"),
+    )
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
+        ex = ex.join(
+            F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df).select("_sh")),
+            "_sh",
+            "left_anti",
+        )
+
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

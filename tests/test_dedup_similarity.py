@@ -1,0 +1,130 @@
+"""Dedup + similarity operator tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from crawl4ai_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall green hills of the quiet northern valley every evening"
+)
+NEAR = BASE.replace("quick", "swift")  # one token differs
+FAR = (
+    "completely different content about database systems and distributed "
+    "query processing engines running on large compute clusters at scale"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # doc 4 == doc 1 dropped, keep smallest id
+
+
+def test_minhash_signature_properties(spark):
+    df = _docs(spark)
+    rows = df.select("doc_id", minhash_signature("text", 32).alias("sig")).collect()
+    sigs = {r["doc_id"]: r["sig"] for r in rows}
+    assert len(sigs[1]) == 32
+    assert sigs[1] == sigs[4]  # identical docs → identical signatures
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 32
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    assert agree_near > agree_far
+    assert agree_near > 0.5
+
+
+def test_minhash_lsh_pairs(spark):
+    out = minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # far apart
+
+
+def test_simhash_near_vs_far(spark):
+    df = _docs(spark)
+    rows = df.select("doc_id", simhash("text").alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[1] == h[4]
+    near_d = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    far_d = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert near_d < far_d
+
+
+def test_simhash_pairs(spark):
+    out = simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 4) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(
+        _docs(spark), "text", "doc_id", threshold=0.5, max_shingle_df=None
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # high overlap
+    assert (1, 3) not in pairs
+
+
+def _emb_df(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    rows = []
+    for i in range(20):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.01 * rng.randn(16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), base
+
+
+def test_cosine_topk(spark):
+    df, base = _emb_df(spark)
+    out = cosine_topk(df, "embedding", list(base), k=2).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 100 and out[0]["cosine_sim"] > 0.999
+    assert ids[1] == 101 and out[1]["cosine_sim"] > 0.99
+
+
+def test_cosine_topk_lsh_matches_exact_top1(spark):
+    df, base = _emb_df(spark)
+    out = cosine_topk_lsh(df, "embedding", list(base), k=1, n_planes=6).collect()
+    assert out[0]["vec_id"] == 100
+
+
+def test_embedding_neardup(spark):
+    df, _ = _emb_df(spark)
+    out = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.98, n_planes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (100, 101) in pairs
+
+
+def test_on_real_embeddings_table(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = cosine_topk(emb, "embedding", list(q), k=3).collect()
+    assert out[0]["vec_id"] == 0  # self is most similar
+    assert abs(out[0]["cosine_sim"] - 1.0) < 1e-6
