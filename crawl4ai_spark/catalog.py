@@ -1,0 +1,676 @@
+"""Query catalog: every implemented operator exposed as a (spark, sf_dir)
+-> DataFrame callable, paired with an ANSI-SQL DuckDB oracle.
+
+This is the correctness surface consumed by ``__spark_entry__.py``. Each
+query derives its inputs deterministically from the driver-generated
+testdata tables (documents / embeddings / lineitem ...), so the oracle
+can either mirror the computation in SQL or compute the expected value
+analytically from the same derivation.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value hash, columns sorted by name):
+- every computed double is rounded to a fixed precision in BOTH engines;
+- column names are aliased identically on both sides;
+- queries whose semantics are not SQL-expressible (minhash banding,
+  simhash, xxhash64 fingerprints) have no oracle entry -> driver records
+  a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.entities import extract_entities
+from .functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .functions.urls import (
+    base_domain,
+    canonicalize_udf,
+    extension,
+    host,
+    is_external,
+    path_depth,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.filters import (
+    content_type_filter,
+    domain_filter,
+    seo_url_quality_score,
+    url_pattern_filter,
+)
+from .operators.scorers import (
+    composite_score,
+    domain_authority_score,
+    freshness_score,
+    keyword_relevance_score,
+    path_depth_score,
+)
+from .operators.similarity import cosine, cosine_topk_lsh, dot, l2_norm
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic derived-URL constructions (Spark Column + SQL fragment pairs)
+# ---------------------------------------------------------------------------
+
+def _d():
+    return F.col("doc_id")
+
+_SUB_SQL = "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
+_TLD_SQL = "CASE WHEN doc_id % 7 = 0 THEN 'co.uk' ELSE 'com' END"
+_DIRS_SQL = "repeat('d/', CAST(doc_id % 3 AS INT))"
+_NAME_SQL = "'p' || CAST(doc_id % 10 AS VARCHAR)"
+_EXT_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN '.html' WHEN 1 THEN '.php' "
+    "WHEN 2 THEN '.pdf' WHEN 3 THEN '' ELSE '.jpg' END"
+)
+_URL1_SQL = (
+    f"'https://' || {_SUB_SQL} || source || '.example.' || {_TLD_SQL} || '/' "
+    f"|| {_DIRS_SQL} || lang || '/' || {_NAME_SQL} || {_EXT_SQL}"
+)
+
+
+def _sub():
+    return F.when(_d() % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+
+
+def _tld():
+    return F.when(_d() % 7 == 0, F.lit("co.uk")).otherwise(F.lit("com"))
+
+
+def _name():
+    return F.concat(F.lit("p"), (_d() % 10).cast("string"))
+
+
+def _ext_piece():
+    return (
+        F.when(_d() % 5 == 0, ".html")
+        .when(_d() % 5 == 1, ".php")
+        .when(_d() % 5 == 2, ".pdf")
+        .when(_d() % 5 == 3, "")
+        .otherwise(".jpg")
+    )
+
+
+def _url1() -> F.Column:
+    return F.concat(
+        F.lit("https://"),
+        _sub(),
+        F.col("source"),
+        F.lit(".example."),
+        _tld(),
+        F.lit("/"),
+        F.expr("repeat('d/', CAST(doc_id % 3 AS INT))"),
+        F.col("lang"),
+        F.lit("/"),
+        _name(),
+        _ext_piece(),
+    )
+
+
+_TOKENIZE_SQL = "regexp_split_to_array(text, ' ')"  # corpus is single-spaced a-z
+
+
+def _sw_hits_sql(lang: str) -> str:
+    words = ", ".join(f"''{w}''" for w in STOPWORDS[lang]).replace("''", "'")
+    return f"len(list_filter({_TOKENIZE_SQL}, x -> x IN ({words})))"
+
+
+# ---------------------------------------------------------------------------
+# Query callables + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_url_parts(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    return df.select(
+        "doc_id",
+        "url",
+        host("url").alias("host"),
+        base_domain("url").alias("bdom"),
+        path_depth("url").alias("depth"),
+        extension("url").alias("ext"),
+        is_external("url", F.lit("example.com")).alias("is_ext"),
+    )
+
+
+ORACLE_URL_PARTS = f"""
+SELECT doc_id,
+       {_URL1_SQL} AS url,
+       {_SUB_SQL} || source || '.example.' || {_TLD_SQL} AS host,
+       CASE WHEN doc_id % 7 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS bdom,
+       CAST(doc_id % 3 + 2 AS INT) AS depth,
+       CASE doc_id % 5 WHEN 0 THEN 'html' WHEN 1 THEN 'php'
+            WHEN 2 THEN 'pdf' WHEN 3 THEN '' ELSE 'jpg' END AS ext,
+       doc_id % 7 = 0 AS is_ext
+FROM documents
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    href = F.concat(
+        F.lit("/A B/"),
+        _name(),
+        F.lit("/?b=2&a=1&utm_source=x"),
+        F.when(_d() % 2 == 0, "&fbclid=zz").otherwise(""),
+        F.lit("#frag"),
+    )
+    base = F.concat(F.lit("https://"), _sub(), F.col("source"), F.lit(".Example.com/base/x"))
+    return df.select(
+        "doc_id", canonicalize_udf(href, base).alias("canon_url")
+    )
+
+
+ORACLE_URL_CANONICALIZE = f"""
+SELECT doc_id,
+       'https://' || {_SUB_SQL} || source || '.example.com/A%20B/' || {_NAME_SQL}
+        || '?a=1&b=2' AS canon_url
+FROM documents
+"""
+
+
+def q_url_pattern_filter(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    return df.select(
+        "doc_id",
+        url_pattern_filter("url", ["*.html"]).alias("f_html"),
+        url_pattern_filter("url", ["^https://www\\."]).alias("f_www"),
+        url_pattern_filter("url", ["*.html"], reverse=True).alias("f_not_html"),
+    )
+
+
+ORACLE_URL_PATTERN_FILTER = """
+SELECT doc_id,
+       doc_id % 5 = 0 AS f_html,
+       doc_id % 3 = 0 AS f_www,
+       doc_id % 5 <> 0 AS f_not_html
+FROM documents
+"""
+
+
+def q_url_content_type_filter(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    return df.select(
+        "doc_id",
+        content_type_filter("url", ["text"]).alias("f_text"),
+        content_type_filter("url", ["image"]).alias("f_image"),
+    )
+
+
+ORACLE_URL_CONTENT_TYPE_FILTER = """
+SELECT doc_id,
+       doc_id % 5 IN (0, 3) AS f_text,
+       doc_id % 5 IN (3, 4) AS f_image
+FROM documents
+"""
+
+
+def q_url_domain_filter(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    return df.select(
+        "doc_id",
+        domain_filter(
+            "url", allowed_domains=["example.com"], blocked_domains=["src0.example.com"]
+        ).alias("f_dom"),
+    )
+
+
+ORACLE_URL_DOMAIN_FILTER = """
+SELECT doc_id,
+       (doc_id % 7 <> 0) AND source <> 'src0' AS f_dom
+FROM documents
+"""
+
+
+def q_url_scorers(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    kw = keyword_relevance_score("url", ["www", "html", "pdf"])
+    pd_ = path_depth_score("url", optimal_depth=3)
+    auth = domain_authority_score("url", {"src1.example.com": 0.9}, default_weight=0.5)
+    comp = composite_score([kw, pd_, auth])
+    return df.select(
+        "doc_id",
+        F.round(kw, 6).alias("kw_score"),
+        F.round(pd_, 6).alias("pd_score"),
+        F.round(auth, 6).alias("auth_score"),
+        F.round(comp, 6).alias("comp_score"),
+    )
+
+
+ORACLE_URL_SCORERS = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) / 3.0 * 1.0 AS kw,
+    CASE abs(doc_id % 3 + 2 - 3) WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 END * 1.0 AS pd,
+    CASE WHEN source = 'src1' AND doc_id % 3 <> 0 AND doc_id % 7 <> 0
+         THEN 0.9 ELSE 0.5 END * 1.0 AS auth
+  FROM documents)
+SELECT doc_id,
+       round(kw, 6) AS kw_score,
+       round(pd, 6) AS pd_score,
+       round(auth, 6) AS auth_score,
+       round((kw + pd + auth) / 3.0, 6) AS comp_score
+FROM raw
+"""
+
+
+def q_url_freshness(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    url2 = F.concat(
+        F.lit("https://news.example.com/blog/"),
+        (F.lit(2018) + _d() % 9).cast("string"),
+        F.lit("/"),
+        _name(),
+    )
+    return df.select(
+        "doc_id", F.round(freshness_score(url2, current_year=2024), 6).alias("fresh_score")
+    )
+
+
+ORACLE_URL_FRESHNESS = """
+SELECT doc_id,
+       CASE doc_id % 9
+         WHEN 0 THEN 0.4 WHEN 1 THEN 0.5 WHEN 2 THEN 0.6 WHEN 3 THEN 0.7
+         WHEN 4 THEN 0.8 WHEN 5 THEN 0.9 WHEN 6 THEN 1.0 ELSE 0.5
+       END AS fresh_score
+FROM documents
+"""
+
+
+def q_url_seo_quality(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    url3 = F.concat(
+        F.lit("https://example.com/section"),
+        F.when(_d() % 2 == 0, "_sub").otherwise(""),
+        F.lit("/item"),
+        F.when(_d() % 3 == 0, "2021").otherwise(""),
+        F.when(_d() % 5 == 0, F.expr("repeat('/padpad', 20)")).otherwise(F.lit("")),
+        F.when(_d() % 4 == 0, "?id=9").otherwise(""),
+    )
+    return df.select("doc_id", F.round(seo_url_quality_score(url3), 6).alias("seo_score"))
+
+
+ORACLE_URL_SEO_QUALITY = """
+SELECT doc_id,
+       round(1.0
+         * CASE WHEN doc_id % 5 = 0 THEN 0.7 ELSE 1.0 END
+         * CASE WHEN doc_id % 3 = 0 THEN 0.8 ELSE 1.0 END
+         * CASE WHEN doc_id % 4 = 0 THEN 0.6 ELSE 1.0 END
+         * CASE WHEN doc_id % 2 = 0 THEN 0.9 ELSE 1.0 END, 6) AS seo_score
+FROM documents
+"""
+
+
+def q_entities_extract(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn(
+        "synth",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            _d().cast("string"),
+            F.lit("@example.com pay $12.50 or 15% due 2024-03-1"),
+            (_d() % 10).cast("string"),
+        ),
+    )
+    return extract_entities(
+        df, "synth", labels=["email", "currency", "percentage", "date_iso"], id_cols=["doc_id"]
+    )
+
+
+ORACLE_ENTITIES_EXTRACT = """
+SELECT doc_id, 'email' AS label,
+       'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS value FROM documents
+UNION ALL
+SELECT doc_id, 'currency', '$12.50' FROM documents
+UNION ALL
+SELECT doc_id, 'percentage', '15%' FROM documents
+UNION ALL
+SELECT doc_id, 'date_iso', '2024-03-1' || CAST(doc_id % 10 AS VARCHAR) FROM documents
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id("text").alias("detected_lang"))
+
+
+def _oracle_lang_id() -> str:
+    hits = {lg: _sw_hits_sql(lg) for lg in STOPWORDS}
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in STOPWORDS) + ")"
+    cases = " ".join(
+        f"WHEN h_{lg} > 0 AND h_{lg} = {best} THEN '{lg}'" for lg in STOPWORDS
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS detected_lang FROM h
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
+
+
+ORACLE_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id, CAST(len({_TOKENIZE_SQL}) AS INT) AS n_tokens FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("q_score")
+    )
+
+
+def _oracle_quality() -> str:
+    sw_sum = " + ".join(_sw_hits_sql(lg) for lg in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKENIZE_SQL}) AS DOUBLE) AS n,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS chars,
+         CAST({sw_sum} AS DOUBLE) AS sw
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         least(n / 50.0, 1.0) AS ls,
+         CASE WHEN chars / n >= 3.0 AND chars / n <= 10.0 THEN 1.0 ELSE 0.3 END AS wls,
+         least((chars / chars) / 0.8, 1.0) AS als,
+         CASE WHEN sw / n >= 0.05 THEN 1.0 ELSE (sw / n) / 0.05 END AS sws,
+         1.0 AS cs
+  FROM base)
+SELECT doc_id, round((ls + wls + als + sws + cs) / 5.0, 6) AS q_score FROM parts
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = df.withColumn("doc_id", _d() + 100000)
+    return exact_dedup(df.unionByName(dup), "text", "doc_id").select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents),
+r AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM u)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
+def q_politeness_budget(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    budget = F.when(F.length("source") <= 4, 3).otherwise(5)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= budget)
+        .select("doc_id", "source")
+    )
+
+
+ORACLE_POLITENESS_BUDGET = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= CASE WHEN length(source) <= 4 THEN 3 ELSE 5 END
+"""
+
+
+def q_topk_capacity(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("score", (_d() * F.lit(2654435761)) % 1000000)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .select("doc_id", "score")
+    )
+
+
+ORACLE_TOPK_CAPACITY = """
+SELECT doc_id, score FROM (
+  SELECT doc_id, (doc_id * 2654435761) % 1000000 AS score,
+         row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000 DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 100
+"""
+
+
+def q_term_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    terms = df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return terms.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+ORACLE_TERM_STATS = f"""
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def q_round_saturation(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("round", _d() % 5)
+    per_round = df.groupBy("round").agg(F.sum(token_count("text")).alias("total_tokens"))
+    w = Window.orderBy("round")
+    return per_round.select(
+        "round",
+        "total_tokens",
+        F.lag("total_tokens").over(w).alias("prev_tokens"),
+    )
+
+
+ORACLE_ROUND_SATURATION = f"""
+WITH pr AS (
+  SELECT doc_id % 5 AS round, sum(len({_TOKENIZE_SQL})) AS total_tokens
+  FROM documents GROUP BY doc_id % 5)
+SELECT round, total_tokens,
+       lag(total_tokens) OVER (ORDER BY round) AS prev_tokens
+FROM pr
+"""
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qvec))
+    q = F.array(*[F.lit(x) for x in qvec])
+    v = F.col("embedding").cast("array<double>")
+    sim = F.round(dot(v, q) / (l2_norm(v) * F.lit(qn)), 6)
+    return (
+        df.select("vec_id", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+ORACLE_SIM_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+         AS cosine_sim
+FROM e, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_sim_neardup_pairs(spark, sf_dir):
+    df = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = df.alias("a"), df.alias("b")
+    pair = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return pair.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(sim, 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= 0.35)
+
+
+ORACLE_SIM_NEARDUP_PAIRS = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= 0.35
+"""
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)  # exact copies: jaccard 1.0
+    return minhash_lsh_pairs(
+        df.unionByName(near), "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.8,
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)
+    return simhash_pairs(df.unionByName(near), "text", "doc_id", max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)
+    return ngram_jaccard_pairs(
+        df.unionByName(near), "text", "doc_id", shingle_k=3, threshold=0.9
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+def q_sim_cosine_topk_lsh(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk_lsh(
+        df, "embedding", qvec, k=20, n_planes=8, multiprobe_hamming=2, id_cols=["vec_id"]
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "url_parts": q_url_parts,
+    "url_canonicalize": q_url_canonicalize,
+    "url_pattern_filter": q_url_pattern_filter,
+    "url_content_type_filter": q_url_content_type_filter,
+    "url_domain_filter": q_url_domain_filter,
+    "url_scorers": q_url_scorers,
+    "url_freshness": q_url_freshness,
+    "url_seo_quality": q_url_seo_quality,
+    "entities_extract": q_entities_extract,
+    "text_lang_id": q_text_lang_id,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "politeness_budget": q_politeness_budget,
+    "topk_capacity": q_topk_capacity,
+    "term_stats": q_term_stats,
+    "round_saturation": q_round_saturation,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_neardup_pairs": q_sim_neardup_pairs,
+    "lineitem_pricing": q_lineitem_pricing,
+    # rows-only (non-SQL-expressible: xxhash64 / banding / bit tricks)
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "url_parts": ORACLE_URL_PARTS,
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "url_pattern_filter": ORACLE_URL_PATTERN_FILTER,
+    "url_content_type_filter": ORACLE_URL_CONTENT_TYPE_FILTER,
+    "url_domain_filter": ORACLE_URL_DOMAIN_FILTER,
+    "url_scorers": ORACLE_URL_SCORERS,
+    "url_freshness": ORACLE_URL_FRESHNESS,
+    "url_seo_quality": ORACLE_URL_SEO_QUALITY,
+    "entities_extract": ORACLE_ENTITIES_EXTRACT,
+    "text_lang_id": _oracle_lang_id(),
+    "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+    "text_quality": _oracle_quality(),
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "politeness_budget": ORACLE_POLITENESS_BUDGET,
+    "topk_capacity": ORACLE_TOPK_CAPACITY,
+    "term_stats": ORACLE_TERM_STATS,
+    "round_saturation": ORACLE_ROUND_SATURATION,
+    "sim_cosine_topk": ORACLE_SIM_COSINE_TOPK,
+    "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
+    "lineitem_pricing": ORACLE_LINEITEM_PRICING,
+}
