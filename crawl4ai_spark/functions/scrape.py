@@ -1,0 +1,302 @@
+"""The scrape stage: per-page DOM processing inside one vectorized UDF.
+
+Reproduces the semantics of the reference's scraping strategy
+(/root/reference/crawl4ai/content_scraping_strategy.py — default lxml
+path `LXMLWebScrapingStrategy._scrap` :1566-1864): strip
+script/style/link/meta/noscript and comments, remove excluded tags,
+harvest + normalize links (internal/external split by base domain,
+first-seen dedup per page), harvest images (skip data: URIs), extract
+head metadata (title + meta name/property tags), serialize cleaned
+HTML, and emit collapsed visible text.
+
+Implementation is a from-scratch stdlib ``html.parser`` DOM (the
+container has no lxml/bs4); behavior is pinned by golden tests on the
+engine's page corpus rather than by lxml serialization quirks.
+
+Spark shape (SURVEY.md §2.8): one ``mapInPandas`` stage
+``scrape(html, url) -> struct(...)`` — Arrow-batched, narrow, no
+shuffle; downstream link explosion is a plain ``explode``.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+from .urls import get_base_domain_py
+
+# removed wholesale, subtree and all (reference :1670-1674, :621-623)
+STRIP_TAGS = {"script", "style", "link", "meta", "noscript", "template"}
+# default excluded tags (reference config: nav/footer/header excluded in
+# "text mode"; default excluded_tags is empty — keep configurable)
+DEFAULT_EXCLUDED_TAGS: frozenset[str] = frozenset()
+
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+_WS_RX = re.compile(r"\s+")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict | None = None):
+        self.tag = tag  # "" for text nodes (payload in attrs["text"])
+        self.attrs = attrs or {}
+        self.children: list[_Node] = []
+
+
+class _DomBuilder(HTMLParser):
+    """Minimal tolerant DOM builder (stdlib-only)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag (tolerant of misnesting)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(_Node("", {"text": data}))
+
+
+def parse_dom(html: str) -> _Node:
+    b = _DomBuilder()
+    b.feed(html or "")
+    b.close()
+    return b.root
+
+
+# ---------------------------------------------------------------------------
+# extraction passes
+# ---------------------------------------------------------------------------
+
+
+def _walk(node: _Node):
+    yield node
+    for c in node.children:
+        yield from _walk(c)
+
+
+def _visible_text(node: _Node, out: list[str]) -> None:
+    if node.tag in STRIP_TAGS:
+        return
+    if node.tag == "":
+        out.append(node.attrs.get("text", ""))
+        return
+    for c in node.children:
+        _visible_text(c, out)
+
+
+def extract_metadata(root: _Node) -> dict:
+    """title + meta tags -> flat dict (reference utils.py:1562-1642)."""
+    meta: dict[str, str] = {}
+    title = None
+    for n in _walk(root):
+        if n.tag == "title" and title is None:
+            parts: list[str] = []
+            for c in n.children:
+                if c.tag == "":
+                    parts.append(c.attrs.get("text", ""))
+            title = "".join(parts).strip()
+        elif n.tag == "meta":
+            key = n.attrs.get("name") or n.attrs.get("property")
+            content = n.attrs.get("content")
+            if key and content is not None and key not in meta:
+                meta[key] = content
+    if title is not None:
+        meta["title"] = title
+    return meta
+
+
+def extract_links(root: _Node, page_url: str) -> list[dict]:
+    """Harvest <a href> with first-seen dedup per normalized href
+    (reference content_scraping_strategy.py:1119-1172, 683-691)."""
+    base_dom = get_base_domain_py(page_url)
+    seen: set[str] = set()
+    links: list[dict] = []
+    for n in _walk(root):
+        if n.tag != "a":
+            continue
+        href = n.attrs.get("href")
+        if not href or href.startswith(("javascript:", "#")):
+            continue
+        abs_url = urljoin(page_url, href.strip())
+        if abs_url in seen:
+            continue
+        seen.add(abs_url)
+        text_parts: list[str] = []
+        _visible_text(n, text_parts)
+        link_dom = get_base_domain_py(abs_url)
+        links.append(
+            {
+                "href": abs_url,
+                "text": _WS_RX.sub(" ", "".join(text_parts)).strip(),
+                "title": n.attrs.get("title") or "",
+                "base_domain": link_dom,
+                "is_internal": bool(link_dom) and link_dom == base_dom,
+            }
+        )
+    return links
+
+
+def extract_images(root: _Node, page_url: str) -> list[dict]:
+    """Harvest <img> (skip data: URIs — reference :1725-1728)."""
+    seen: set[str] = set()
+    images: list[dict] = []
+    for n in _walk(root):
+        if n.tag != "img":
+            continue
+        src = n.attrs.get("src")
+        if not src or src.startswith("data:"):
+            continue
+        abs_src = urljoin(page_url, src.strip())
+        if abs_src in seen:
+            continue
+        seen.add(abs_src)
+        images.append({"src": abs_src, "alt": n.attrs.get("alt") or ""})
+    return images
+
+
+def _serialize(node: _Node, out: list[str], excluded: frozenset[str]) -> None:
+    if node.tag in STRIP_TAGS or node.tag in excluded:
+        return
+    if node.tag == "":
+        out.append(node.attrs.get("text", ""))
+        return
+    if node.tag != "#root":
+        attrs = "".join(
+            f' {k}="{v}"' for k, v in node.attrs.items() if v is not None
+        )
+        out.append(f"<{node.tag}{attrs}>")
+    for c in node.children:
+        _serialize(c, out, excluded)
+    if node.tag != "#root" and node.tag not in VOID_TAGS:
+        out.append(f"</{node.tag}>")
+
+
+def cleaned_html(root: _Node, excluded: frozenset[str] = DEFAULT_EXCLUDED_TAGS) -> str:
+    out: list[str] = []
+    _serialize(root, out, excluded)
+    return "".join(out).strip()
+
+
+def page_text(root: _Node) -> str:
+    out: list[str] = []
+    _visible_text(root, out)
+    return _WS_RX.sub(" ", "".join(out)).strip()
+
+
+def scrape_one(
+    html: str | bytes | None,
+    url: str,
+    excluded_tags: frozenset[str] = DEFAULT_EXCLUDED_TAGS,
+) -> dict:
+    """Full scrape of one page -> plain-dict ScrapingResult."""
+    if html is None:
+        return {
+            "success": False,
+            "title": None,
+            "meta": {},
+            "links": [],
+            "images": [],
+            "cleaned_html": None,
+            "text": None,
+        }
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = parse_dom(html)
+    meta = extract_metadata(root)
+    return {
+        "success": True,
+        "title": meta.get("title"),
+        "meta": meta,
+        "links": extract_links(root, url),
+        "images": extract_images(root, url),
+        "cleaned_html": cleaned_html(root, excluded_tags),
+        "text": page_text(root),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+SCRAPE_FIELDS_DDL = (
+    "success boolean, title string, meta map<string,string>, "
+    "links array<struct<href:string,text:string,title:string,"
+    "base_domain:string,is_internal:boolean>>, "
+    "images array<struct<src:string,alt:string>>, "
+    "cleaned_html string, text string"
+)
+
+
+def scrape_stage(df, html_col: str = "html", url_col: str = "url",
+                 markdown: bool = True):
+    """Append scrape (+ optional markdown) columns via one mapInPandas.
+
+    Narrow transformation: preserves the input partitioning; one Python
+    round-trip per Arrow batch. All input columns are carried through.
+
+    Output adds: success, title, meta, links, images, cleaned_html,
+    text_extracted (+ raw_markdown, markdown_with_citations,
+    references_markdown when ``markdown=True``).
+    """
+    from .markdown import html_to_markdown, links_to_citations
+
+    in_schema = df.schema
+    carried = [f"`{f.name}`" for f in in_schema.fields]
+    scrape_ddl = SCRAPE_FIELDS_DDL.replace("text string", "text_extracted string")
+    out_ddl = ", ".join(
+        [f.name + " " + f.dataType.simpleString() for f in in_schema.fields]
+    ) + ", " + scrape_ddl
+    if markdown:
+        out_ddl += (
+            ", raw_markdown string, markdown_with_citations string, "
+            "references_markdown string"
+        )
+
+    def process(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            results = []
+            for html, url in zip(pdf[html_col], pdf[url_col]):
+                r = scrape_one(html, url)
+                if markdown:
+                    if r["cleaned_html"] is not None:
+                        raw = html_to_markdown(r["cleaned_html"], url or "")
+                        cit, refs = links_to_citations(raw, url or "")
+                    else:
+                        raw = cit = refs = None
+                    r["raw_markdown"] = raw
+                    r["markdown_with_citations"] = cit
+                    r["references_markdown"] = refs
+                results.append(r)
+            res = pd.DataFrame(results)
+            res = res.rename(columns={"text": "text_extracted"})
+            out = pd.concat(
+                [pdf.reset_index(drop=True), res.reset_index(drop=True)], axis=1
+            )
+            yield out
+
+    return df.mapInPandas(process, schema=out_ddl)
