@@ -16,55 +16,31 @@ from crawl4ai_spark.catalog import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship: a 2-round BFS crawl (fetch-join -> scrape+markdown ->
+    link discovery -> seen anti-join -> politeness-budgeted frontier)
+    over the synthetic pages corpus derived from sf0.001 documents.
 
-    Derive a deterministic URL frontier from the documents table, run it
-    through the full URL layer (canonicalize -> filter chain -> scorers
-    -> per-host politeness budget -> capacity top-k) — one round of the
-    crawl engine's link-processing stage.
+    Returns the crawl_results table (lineage columns round /
+    partition_id / parent_url_hash included).
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    import shutil
+    import tempfile
 
-    from crawl4ai_spark.catalog import _url1
-    from crawl4ai_spark.functions.urls import base_domain, host, url_hash
-    from crawl4ai_spark.operators.filters import (
-        content_type_filter,
-        domain_filter,
-        filter_chain,
-    )
-    from crawl4ai_spark.operators.scorers import (
-        composite_score,
-        keyword_relevance_score,
-        path_depth_score,
-    )
+    from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun, run_crawl
+    from crawl4ai_spark.synth import generate_pages
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    links = docs.withColumn("url", _url1())
-    keep = filter_chain(
-        content_type_filter("url", ["text"]),
-        domain_filter("url", blocked_domains=["src0.example.com"]),
-    )
-    scored = (
-        links.filter(keep)
-        .withColumn("url_hash", url_hash("url"))
-        .withColumn("host", host("url"))
-        .withColumn("bdom", base_domain("url"))
-        .withColumn(
-            "priority",
-            composite_score(
-                [
-                    keyword_relevance_score("url", ["html", "www"]),
-                    path_depth_score("url", optimal_depth=3),
-                ]
-            ),
-        )
-    )
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 5)
-        .select("doc_id", "url", "url_hash", "host", "bdom", "priority")
+    sf_dir = "/root/testdata/sf0.001"
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()]
+    wd = tempfile.mkdtemp(prefix="crawl_entry_")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=2, round_seconds=16.0)
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    return run.results().select(
+        "url", "url_hash", "host", "round", "depth", "partition_id",
+        "parent_url_hash", "fetch_status", "success", "title", "n_links",
+        "raw_markdown",
     )
 
 

@@ -674,3 +674,56 @@ ORACLES: dict[str, str] = {
     "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
 }
+
+
+# ---------------------------------------------------------------------------
+# Crawl-engine queries
+# ---------------------------------------------------------------------------
+
+
+def q_pages_meta(spark, sf_dir):
+    """The synthetic pages table minus the rendered html — URL/host/
+    timestamp derivation is SQL-expressible, so the corpus layer itself
+    gets an oracle."""
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    return pages.select("url", "warc_ts", "text", "lang")
+
+
+ORACLE_PAGES_META = """
+SELECT 'https://h' ||
+         CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END AS VARCHAR)
+       || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+         AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       text, lang
+FROM documents
+"""
+
+
+def q_crawl_bfs(spark, sf_dir):
+    """Two BFS rounds of the full crawl engine on the synthetic corpus
+    (rows-only check: the per-round semantics are pinned by the
+    simulator tests in tests/test_frontier.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.frontier import CrawlConfig, CrawlRun, run_crawl
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()]
+    wd = tempfile.mkdtemp(prefix="crawl_q_")
+    cfg = CrawlConfig(max_depth=2, round_seconds=16.0)
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    return run.results().select(
+        "url", "round", "depth", "fetch_status", "success", "n_links"
+    ).orderBy("round", "url")
+
+
+QUERIES["pages_meta"] = q_pages_meta
+QUERIES["crawl_bfs"] = q_crawl_bfs
+ORACLES["pages_meta"] = ORACLE_PAGES_META

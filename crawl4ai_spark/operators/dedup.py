@@ -18,6 +18,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,20 +54,56 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_MINHASH_UDFS: dict = {}
+
+
+def _minhash_udf(num_hashes: int, seed: int):
+    """Arrow-batched numpy minhash over precomputed shingle hashes.
+
+    The shingle hashing itself stays JVM-side (xxhash64 inside one
+    ``transform``); the 64-permutation min-reduction is the part that
+    explodes Catalyst codegen (64 nested array transforms blew the
+    whole-stage-codegen method limit and fell back to interpreted eval,
+    ~100x slower), so it runs as one vectorized numpy kernel per batch:
+    (a[:,None] * flat + b[:,None]) %% P followed by minimum.reduceat.
+    """
+    key = (num_hashes, seed)
+    if key in _MINHASH_UDFS:
+        return _MINHASH_UDFS[key]
+    params = _mh_params(num_hashes, seed)
+    A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<bigint>")
+    def mh(base: pd.Series) -> pd.Series:
+        out = [None] * len(base)
+        arrs, idxs = [], []
+        for i, v in enumerate(base):
+            if v is not None and len(v):
+                arrs.append(np.asarray(v, dtype=np.int64))
+                idxs.append(i)
+        if not arrs:
+            return pd.Series(out, dtype="object")
+        flat = np.concatenate(arrs)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum([len(a) for a in arrs[:-1]], out=offsets[1:])
+        vals = (A * flat[None, :] + B) % MERSENNE_P  # (H, total)
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (H, n)
+        for j, i in enumerate(idxs):
+            out[i] = mins[:, j].tolist()
+        return pd.Series(out, dtype="object")
+
+    _MINHASH_UDFS[key] = mh
+    return mh
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
 ) -> Column:
     """MinHash signature (array<bigint> of length num_hashes) — narrow."""
     sh = shingles(text, shingle_k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    sig = []
-    for a, b in _mh_params(num_hashes, seed):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
-            )
-        )
-    return F.array(*sig)
+    return _minhash_udf(num_hashes, seed)(base)
 
 
 def minhash_lsh_pairs(
@@ -144,33 +182,52 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash(text: Column | str, shingle_k: int = 2) -> Column:
-    """64-bit SimHash over shingle hashes — fully native bit arithmetic.
+_SIMHASH_UDF = None
 
-    Per-bit vote counting uses `bin(hash)` (the 64-char two's-complement
-    digit string) zipped against the accumulator, because Spark's shift
-    functions require literal shift amounts. Index 0 = bit 63 (MSB).
+
+def _simhash_udf():
+    """Arrow-batched numpy simhash: per-bit +1/-1 votes over the shingle
+    hashes, reduced per row. (The pure-Column formulation — bin() digit
+    strings zipped per shingle — was correct but interpreted-eval slow.)
     """
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is not None:
+        return _SIMHASH_UDF
+
+    @F.pandas_udf("bigint")
+    def sh64(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        arrs, idxs = [], []
+        for i, v in enumerate(hashes):
+            if v is not None and len(v):
+                arrs.append(np.asarray(v, dtype=np.int64).view(np.uint64))
+                idxs.append(i)
+        if arrs:
+            flat = np.concatenate(arrs)
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum([len(a) for a in arrs[:-1]], out=offsets[1:])
+            bits = (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # (n, 64)
+            lens = np.diff(np.append(offsets, len(flat)))[:, None]
+            votes = 2 * ones - lens
+            sel = (votes > 0).astype(np.uint64)
+            vals = (sel << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return pd.Series(out)
+
+    _SIMHASH_UDF = sh64
+    return sh64
+
+
+def simhash(text: Column | str, shingle_k: int = 2) -> Column:
+    """64-bit SimHash over xxhash64 shingle hashes (bit j of the result
+    is the sign of the per-bit vote sum)."""
     sh = shingles(text, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.split(F.lpad(F.bin(h), 64, "0"), "(?!^)"),
-            lambda a, ch: a + F.when(ch == "1", 1).otherwise(-1),
-        ),
-    )
-    # powers[j] = two's-complement value of bit (63-j)
-    powers = [(-(1 << 63)) if j == 0 else (1 << (63 - j)) for j in range(64)]
-    powers_arr = F.array(*[F.lit(p).cast("long") for p in powers])
-    bits = F.zip_with(
-        counts,
-        powers_arr,
-        lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return _simhash_udf()(hashes)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

@@ -1,0 +1,405 @@
+"""The crawl engine: iterative BFS frontier over the pages table.
+
+This is the flagship plan (SURVEY.md §3.3 / §2.11 BFS strategy,
+bfs_strategy.py:142-192 + link_discovery :68-140), reformulated as one
+DataFrame job per round:
+
+    round r:
+      frontier_r --robots--> allowed | blocked(403-style results)
+      allowed --politeness budget--> selected | deferred | abandoned
+      selected --salted repartition by (host, salt) + secondary sort
+                 (priority desc, url)--> fetch layout + lineage
+      fetch = left join against pages (miss => failed fetch)
+      extract = scrape+markdown mapInPandas  --> results_r (+ metrics_r)
+      links = explode -> canonicalize -> depth/score/filters
+              -> in-round dedup -> anti-join url_seen -> capacity cap
+      frontier_{r+1} = deferred ∪ new links ; url_seen += new links
+      politeness state_{r+1} = backoff fold of results_r
+      manifest_r written LAST -> atomic round commit (resume point)
+
+Scale shape: two shuffles per round (fetch join on url, link dedup/
+anti-join on url_hash) plus the explicit salted repartition; everything
+else is narrow. Hot hosts are spread across ``salt`` partitions while
+``sortWithinPartitions(priority desc, url)`` preserves per-host
+priority order inside each slice — the north-rule skew answer.
+
+Determinism: every ordering is (priority desc, url asc); jitter is
+hash-derived; all round outputs are written before the manifest, so a
+kill anywhere leaves either a complete round or a cleanly re-runnable
+one. Re-running a partial round overwrites (never appends) its outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scrape import scrape_stage
+from ..functions.urls import canonicalize_udf, host_no_port, url_hash
+from .politeness import PolitenessState, select_within_budget, update_state
+from .robots import with_robots_decision
+from .scorers import keyword_relevance_score
+from .seen import SeenFilter
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash bigint, host string, priority double, depth int, "
+    "parent_url_hash bigint, round int"
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 2
+    max_pages: int | None = None
+    score_threshold: float | None = None
+    round_seconds: float = 16.0  # politeness token basis per host per round
+    n_shards: int = 32  # url_seen shard count
+    salt: int = 8  # hot-host spread factor
+    include_external: bool = False
+    keywords: tuple = ()
+    robots_rules: object | None = None  # DataFrame | None
+    shuffle_partitions: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "max_depth": self.max_depth,
+            "max_pages": self.max_pages,
+            "score_threshold": self.score_threshold,
+            "round_seconds": self.round_seconds,
+            "n_shards": self.n_shards,
+            "salt": self.salt,
+            "include_external": self.include_external,
+            "keywords": list(self.keywords),
+        }
+
+
+RESULT_COLS = [
+    "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
+    "partition_id", "fetch_status", "success", "title",
+    "text_extracted", "raw_markdown", "markdown_with_citations",
+    "references_markdown", "n_links", "links",
+]
+
+LINKS_TYPE = (
+    "array<struct<href:string,text:string,title:string,"
+    "base_domain:string,is_internal:boolean>>"
+)
+
+
+class CrawlRun:
+    """One resumable crawl over a pages table."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame, workdir: str,
+                 config: CrawlConfig | None = None):
+        self.spark = spark
+        self.pages = pages
+        self.workdir = workdir
+        self.config = config or CrawlConfig()
+        self.seen = SeenFilter(spark, workdir, self.config.n_shards)
+        self.politeness = PolitenessState(spark, workdir)
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- paths / manifests ---------------------------------------------------
+
+    def _frontier_path(self, r: int) -> str:
+        return os.path.join(self.workdir, "frontier", f"round={r}")
+
+    def _results_path(self, r: int) -> str:
+        return os.path.join(self.workdir, "results", f"round={r}")
+
+    def _metrics_path(self, r: int) -> str:
+        return os.path.join(self.workdir, "metrics", f"round={r}")
+
+    def _manifest_path(self, r: int) -> str:
+        return os.path.join(self.workdir, f"_manifest_{r}.json")
+
+    def latest_completed_round(self) -> int | None:
+        rounds = []
+        for name in os.listdir(self.workdir):
+            if name.startswith("_manifest_") and name.endswith(".json"):
+                rounds.append(int(name[len("_manifest_"):-len(".json")]))
+        return max(rounds) if rounds else None
+
+    def manifest(self, r: int) -> dict:
+        with open(self._manifest_path(r)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, r: int, payload: dict) -> None:
+        tmp = self._manifest_path(r) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(r))  # atomic round commit
+
+    # -- seeding -------------------------------------------------------------
+
+    def seed(self, urls: list[str]) -> None:
+        """Round-0 frontier from a seed list (canonical URLs)."""
+        rows = [(u,) for u in sorted(set(urls))]
+        df = self.spark.createDataFrame(rows, "url string").select(
+            "url",
+            url_hash("url").alias("url_hash"),
+            host_no_port("url").alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("bigint").alias("parent_url_hash"),
+            F.lit(0).alias("round"),
+        )
+        df.coalesce(1).sortWithinPartitions(F.desc("priority"), "url").write.mode(
+            "overwrite"
+        ).parquet(self._frontier_path(0))
+        self.seen.add(df, 0)
+
+    # -- one round -----------------------------------------------------------
+
+    def run_round(self, r: int) -> dict:
+        cfg = self.config
+        t0 = time.perf_counter()
+        # crash cleanup: a partially-run round may have written its
+        # url_seen delta for r+1; the anti-join below must not see it
+        import shutil
+
+        partial_delta = os.path.join(self.workdir, "url_seen", f"round={r + 1}")
+        if os.path.exists(partial_delta):
+            shutil.rmtree(partial_delta)
+
+        frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._frontier_path(r)
+        )
+
+        # robots gate (broadcast dim join)
+        if cfg.robots_rules is not None:
+            frontier = with_robots_decision(frontier, cfg.robots_rules)
+        else:
+            frontier = frontier.withColumn("robots_allowed", F.lit(True)).withColumn(
+                "robots_crawl_delay", F.lit(None).cast("double")
+            )
+
+        blocked = frontier.filter(~F.col("robots_allowed"))
+        candidate = frontier.filter(F.col("robots_allowed")).drop(
+            "robots_allowed", "robots_crawl_delay"
+        )
+
+        # politeness budget split
+        state = self.politeness.load(r)
+        budgeted = select_within_budget(
+            candidate, state, round_seconds=cfg.round_seconds
+        )
+        selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
+            "_selected", "_dropped"
+        )
+        deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
+            "_selected", "_dropped"
+        )
+
+        # salted fetch layout: hot hosts spread over `salt` slices, each
+        # slice in (priority desc, url) order; partition id = lineage
+        n_part = cfg.shuffle_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        layout = (
+            selected.repartition(
+                n_part, F.col("host"), F.pmod(F.col("url_hash"), F.lit(cfg.salt))
+            )
+            .sortWithinPartitions(F.desc("priority"), F.asc("url"))
+            .withColumn("partition_id", F.spark_partition_id())
+        )
+
+        # "fetch": lookup of the page body (S2 — frontier ⋈ pages)
+        fetched = layout.join(
+            self.pages.select("url", "html", "warc_ts"), "url", "left"
+        )
+
+        extracted = scrape_stage(fetched, "html", "url", markdown=True)
+        results = extracted.select(
+            "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
+            "partition_id",
+            F.when(F.col("html").isNotNull(), "fetched")
+            .otherwise("miss")
+            .alias("fetch_status"),
+            (F.col("html").isNotNull() & F.col("success")).alias("success"),
+            "title", "text_extracted", "raw_markdown",
+            "markdown_with_citations", "references_markdown",
+            F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
+            "links",
+        )
+
+        blocked_results = blocked.select(
+            "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
+            F.lit(-1).alias("partition_id"),
+            F.lit("robots_blocked").alias("fetch_status"),
+            F.lit(False).alias("success"),
+            *[F.lit(None).cast("string").alias(c) for c in (
+                "title", "text_extracted", "raw_markdown",
+                "markdown_with_citations", "references_markdown")],
+            F.lit(0).alias("n_links"),
+            F.lit(None).cast(LINKS_TYPE).alias("links"),
+        )
+
+        all_results = results.unionByName(blocked_results)
+        all_results.select(*RESULT_COLS).repartition(
+            max(n_part // 4, 1), "url_hash"
+        ).sortWithinPartitions("url_hash").write.mode("overwrite").parquet(
+            self._results_path(r)
+        )
+
+        # re-read results: breaks lineage — the scrape UDF ran exactly
+        # once (during the write above); link discovery reads parquet
+        persisted = self.spark.read.parquet(self._results_path(r))
+
+        # per-partition throughput metrics (A9)
+        persisted.groupBy("partition_id").agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum(F.col("success").cast("int")).alias("n_ok"),
+            F.sum("n_links").alias("n_links"),
+        ).coalesce(1).write.mode("overwrite").parquet(self._metrics_path(r))
+
+        # -- link discovery -> next frontier ---------------------------------
+        links = (
+            persisted.filter(F.col("success"))
+            .select(
+                F.col("url_hash").alias("parent_hash"),
+                F.col("depth").alias("parent_depth"),
+                F.explode("links").alias("lk"),
+            )
+        )
+        if not cfg.include_external:
+            links = links.filter(F.col("lk.is_internal"))
+        canon = canonicalize_udf(F.col("lk.href"), F.lit("https://unused.invalid/"))
+        scored = links.select(
+            canon.alias("url"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("parent_hash").alias("parent_url_hash"),
+        ).filter(F.col("url").isNotNull() & (F.col("depth") <= cfg.max_depth))
+        if cfg.keywords:
+            scored = scored.withColumn(
+                "priority", keyword_relevance_score("url", list(cfg.keywords))
+            )
+        else:
+            scored = scored.withColumn("priority", F.lit(0.0))
+        if cfg.score_threshold is not None:
+            scored = scored.filter(F.col("priority") >= cfg.score_threshold)
+        scored = scored.withColumn("url_hash", url_hash("url")).withColumn(
+            "host", host_no_port("url")
+        )
+
+        # in-round dedup: keep highest-priority, lowest-parent occurrence
+        from pyspark.sql import Window
+
+        # min depth first (true BFS distance), then stable parent choice
+        w = Window.partitionBy("url_hash").orderBy(
+            F.desc("priority"), F.asc("depth"), F.asc("parent_url_hash")
+        )
+        deduped = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        fresh = self.seen.anti_join(deduped)
+
+        # capacity cap (T2): remaining global page budget, measured
+        # against every URL ever admitted (= the seen set)
+        admitted_so_far = self.seen.count() if cfg.max_pages is not None else -1
+        if cfg.max_pages is not None:
+            remaining = max(cfg.max_pages - admitted_so_far, 0)
+            fresh = fresh.orderBy(F.desc("priority"), F.asc("url")).limit(remaining)
+
+        next_frontier = deferred.select(
+            "url", "url_hash", "host", "priority", "depth", "parent_url_hash"
+        ).unionByName(
+            fresh.select(
+                "url", "url_hash", "host", "priority", "depth", "parent_url_hash"
+            )
+        ).withColumn("round", F.lit(r + 1))
+
+        next_frontier.repartition(max(n_part // 4, 1), "url_hash").sortWithinPartitions(
+            F.desc("priority"), "url"
+        ).write.mode("overwrite").parquet(self._frontier_path(r + 1))
+
+        # seen delta = next-frontier rows not yet in the seen set (the
+        # deferred rows are already there); idempotent on round re-run
+        frontier_next = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._frontier_path(r + 1)
+        )
+        self.seen.add(self.seen.anti_join(frontier_next), r + 1)
+
+        # politeness fold
+        new_state = update_state(
+            state, persisted.filter(F.col("fetch_status") != "robots_blocked"), r
+        )
+        self.politeness.save(new_state, r + 1)
+
+        # one aggregate job per table for the manifest counters
+        rs = persisted.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("fetch_status") == "robots_blocked").cast("int")).alias("blk"),
+            F.sum(F.col("success").cast("int")).alias("ok"),
+        ).first()
+        frontier_count = frontier.count()
+        next_count = frontier_next.count()
+        deferred_count = deferred.count()
+        counts = {
+            "round": r,
+            "frontier": frontier_count,
+            "blocked": int(rs["blk"] or 0),
+            "selected": int(rs["n"]) - int(rs["blk"] or 0),
+            "fetched_ok": int(rs["ok"] or 0),
+            "deferred": deferred_count,
+            "new_links": next_count - deferred_count,
+            "next_frontier": next_count,
+            "cum_admitted": admitted_so_far,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "config": self.config.to_json(),
+        }
+        self._write_manifest(r, counts)
+        return counts
+
+    # -- driver loop ---------------------------------------------------------
+
+    def run(self, max_rounds: int) -> list[dict]:
+        """Run (or resume) up to ``max_rounds`` rounds; returns manifests.
+
+        Resume point: the last round with a manifest is complete; work
+        restarts at the next round, whose inputs (frontier, seen deltas,
+        politeness state) were all written before that manifest.
+        """
+        last = self.latest_completed_round()
+        start = 0 if last is None else last + 1
+        out = [self.manifest(i) for i in range(start)]
+        for r in range(start, max_rounds):
+            if not os.path.exists(self._frontier_path(r)):
+                break
+            m = self.run_round(r)
+            out.append(m)
+            if m["next_frontier"] == 0 and m["deferred"] == 0:
+                break
+        return out
+
+    def results(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "results"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    workdir: str,
+    config: CrawlConfig | None = None,
+    max_rounds: int = 3,
+) -> list[dict]:
+    """Convenience wrapper: seed (unless resuming) and run the loop."""
+    run = CrawlRun(spark, pages, workdir, config)
+    if run.latest_completed_round() is None and not os.path.exists(
+        run._frontier_path(0)
+    ):
+        run.seed(seeds)
+    return run.run(max_rounds)

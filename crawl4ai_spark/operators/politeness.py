@@ -1,0 +1,155 @@
+"""Per-host politeness: token budgets + exponential backoff state.
+
+Reference semantics (async_dispatcher.py:26-83 RateLimiter):
+- per-domain base delay, exponential backoff x2 with jitter in
+  [0.75, 1.25] capped at 60s on 429/503, decay x0.75 on success,
+  domain dropped after ``max_retries`` consecutive failures.
+
+Batch-Spark reformulation (SURVEY.md §2.6, north rule): a crawl round
+is one pass; "rate limiting" becomes a per-host TOKEN BUDGET — at most
+``floor(round_seconds / current_delay)`` fetches per host per round,
+enforced with ``row_number() over (partition by host order by
+priority desc, url)``. The backoff state is a tiny keyed table carried
+between rounds (part of the checkpoint, so resume preserves budgets).
+Jitter is made deterministic by hashing (host, round) — identical
+reruns produce identical budgets, which the resume guarantee requires.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "host string, current_delay double, fail_count int"
+
+BASE_DELAY = 1.0
+MAX_DELAY = 60.0
+MAX_RETRIES = 3
+
+
+def select_within_budget(
+    frontier: DataFrame,
+    state: DataFrame | None,
+    *,
+    round_seconds: float = 16.0,
+    host_col: str = "host",
+    order_cols: tuple = ("priority", "url"),
+) -> DataFrame:
+    """Split a frontier into (selected, deferred, abandoned) by budget.
+
+    Returns the frontier with boolean ``_selected`` / ``_dropped``
+    columns. Budget = floor(round_seconds / current_delay), min 1; hosts
+    absent from the state table get the base delay. Hosts that exceeded
+    MAX_RETRIES are dropped entirely (reference: domain dropped after 3
+    retries).
+    """
+    if state is not None and state.head(1):
+        st = F.broadcast(state.withColumnRenamed("host", "__st_host"))
+        frontier = frontier.join(
+            st, frontier[host_col] == F.col("__st_host"), "left_outer"
+        ).drop("__st_host")
+    else:
+        frontier = frontier.withColumn(
+            "current_delay", F.lit(None).cast("double")
+        ).withColumn("fail_count", F.lit(None).cast("int"))
+
+    delay = F.coalesce(F.col("current_delay"), F.lit(BASE_DELAY))
+    budget = F.greatest(F.floor(F.lit(round_seconds) / delay), F.lit(1))
+    dropped = F.coalesce(F.col("fail_count"), F.lit(0)) > MAX_RETRIES
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(order_cols[0]), F.asc(order_cols[1])
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_dropped", dropped)
+        .withColumn("_selected", (~dropped) & (F.col("_rn") <= budget))
+        .drop("_rn", "current_delay", "fail_count")
+    )
+
+
+def update_state(
+    state: DataFrame | None,
+    results: DataFrame,
+    round_no: int,
+    *,
+    host_col: str = "host",
+    success_col: str = "success",
+) -> DataFrame:
+    """Fold one round's per-host outcomes into the backoff state.
+
+    success on all fetches -> delay * 0.75 (floored at base);
+    any failure -> delay * 2 * jitter(0.75..1.25), capped at 60s;
+    fail_count increments on all-failed rounds, resets on success.
+    Jitter is xxhash64(host, round)-derived — deterministic.
+    """
+    per_host = (
+        results.groupBy(host_col)
+        .agg(
+            F.sum(F.col(success_col).cast("int")).alias("_ok"),
+            F.count("*").alias("_n"),
+        )
+        .withColumnRenamed(host_col, "_rh")
+    )
+    if state is not None and state.head(1):
+        st = (
+            state.withColumnRenamed("host", "_sh")
+            .withColumnRenamed("current_delay", "_delay")
+            .withColumnRenamed("fail_count", "_fc")
+        )
+        merged = per_host.join(
+            F.broadcast(st), F.col("_rh") == F.col("_sh"), "full_outer"
+        ).withColumn("_host", F.coalesce(F.col("_rh"), F.col("_sh")))
+    else:
+        merged = (
+            per_host.withColumn("_delay", F.lit(None).cast("double"))
+            .withColumn("_fc", F.lit(None).cast("int"))
+            .withColumn("_host", F.col("_rh"))
+        )
+
+    delay = F.coalesce(F.col("_delay"), F.lit(BASE_DELAY))
+    ok = F.coalesce(F.col("_ok"), F.lit(0))
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    had_failure = (n > 0) & (ok < n)
+    jitter = F.lit(0.75) + (
+        F.pmod(F.xxhash64(F.col("_host"), F.lit(round_no)), F.lit(1000)).cast("double")
+        / F.lit(2000.0)
+    )
+    new_delay = (
+        F.when(had_failure, F.least(delay * 2.0 * jitter, F.lit(MAX_DELAY)))
+        .otherwise(F.greatest(delay * 0.75, F.lit(BASE_DELAY)))
+    )
+    new_fail = (
+        F.when((n > 0) & (ok == 0), F.coalesce(F.col("_fc"), F.lit(0)) + 1)
+        .when(ok > 0, F.lit(0))
+        .otherwise(F.coalesce(F.col("_fc"), F.lit(0)))
+    )
+    return merged.select(
+        F.col("_host").alias("host"),
+        new_delay.alias("current_delay"),
+        new_fail.cast("int").alias("fail_count"),
+    )
+
+
+class PolitenessState:
+    """Parquet-backed per-host state table (one file per round)."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.dir = os.path.join(workdir, "politeness")
+
+    def _path(self, round_no: int) -> str:
+        return os.path.join(self.dir, f"round={round_no}")
+
+    def load(self, round_no: int) -> DataFrame | None:
+        p = self._path(round_no)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.schema(STATE_SCHEMA).parquet(p)
+
+    def save(self, df: DataFrame, round_no: int) -> None:
+        df.coalesce(1).sortWithinPartitions("host").write.mode("overwrite").parquet(
+            self._path(round_no)
+        )

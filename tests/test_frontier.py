@@ -1,0 +1,230 @@
+"""Crawl-semantics tests (SURVEY.md §5 tier-3).
+
+A single-threaded reference-faithful simulator recomputes the BFS
+visited sets, per-round selections, and politeness budgets from the
+synthetic corpus' analytic link graph; the Spark engine must match it
+round for round. Kill/resume mid-crawl must land in the identical final
+state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun, run_crawl
+from crawl4ai_spark.operators.politeness import BASE_DELAY, update_state
+from crawl4ai_spark.operators.robots import rules_table, synthetic_robots
+from crawl4ai_spark.synth import (
+    external_url,
+    generate_pages,
+    outlink_targets,
+    page_host,
+    page_url,
+)
+
+N_DOCS = 500
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    pages = generate_pages(spark, sf_dir)
+    pages.cache()
+    pages.count()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    yield pages, langs
+    pages.unpersist()
+
+
+def _doc_of(url: str) -> int:
+    return int(url.rsplit("/p", 1)[1].removesuffix(".html"))
+
+
+def simulate(seeds, langs, *, max_rounds, max_depth, round_seconds,
+             blocked_pred=None):
+    """Reference-faithful single-threaded BFS with politeness budgets.
+
+    Every fetch succeeds (the corpus is closed), so per-host delay stays
+    at BASE_DELAY and the budget is floor(round_seconds / BASE_DELAY).
+    Returns (per_round_selected, per_round_blocked, final_seen).
+    """
+    budget = max(int(round_seconds / BASE_DELAY), 1)
+    seen = set(seeds)
+    frontier = [(u, 0) for u in sorted(seeds)]  # (url, depth)
+    sel_rounds, blk_rounds = [], []
+    for _ in range(max_rounds):
+        if not frontier:
+            break
+        blocked = [u for u, d in frontier if blocked_pred and blocked_pred(u)]
+        eligible = [(u, d) for u, d in frontier if u not in blocked]
+        by_host: dict[str, list] = {}
+        for u, d in sorted(eligible):  # priority all equal -> url order
+            by_host.setdefault(page_host(_doc_of(u)), []).append((u, d))
+        selected, deferred = [], []
+        for h, rows in by_host.items():
+            selected.extend(rows[:budget])
+            deferred.extend(rows[budget:])
+        sel_rounds.append({u for u, _ in selected})
+        blk_rounds.append(set(blocked))
+        discovered: dict[str, int] = {}
+        for u, d in selected:
+            if d + 1 > max_depth:
+                continue
+            doc = _doc_of(u)
+            for t in outlink_targets(doc, N_DOCS):
+                tu = page_url(t, langs[t])
+                if tu not in seen:
+                    discovered[tu] = min(discovered.get(tu, 10**9), d + 1)
+        for tu in discovered:
+            seen.add(tu)
+        frontier = deferred + sorted(discovered.items())
+    return sel_rounds, blk_rounds, seen
+
+
+def _engine_rounds(run: CrawlRun, n: int):
+    res = run.results()
+    out = []
+    for r in range(n):
+        out.append(
+            {
+                x["url"]
+                for x in res.filter(
+                    (F.col("round") == r) & (F.col("fetch_status") != "robots_blocked")
+                ).select("url").collect()
+            }
+        )
+    return out
+
+
+def test_bfs_matches_simulator(spark, corpus, tmp_path):
+    pages, langs = corpus
+    seeds = [page_url(0, langs[0]), page_url(7, langs[7])]
+    cfg = CrawlConfig(max_depth=2, round_seconds=8.0)
+    wd = str(tmp_path / "bfs")
+    ms = run_crawl(spark, pages, seeds, wd, cfg, max_rounds=4)
+
+    sim_sel, _, sim_seen = simulate(
+        seeds, langs, max_rounds=4, max_depth=2, round_seconds=8.0
+    )
+    run = CrawlRun(spark, pages, wd, cfg)
+    eng_sel = _engine_rounds(run, len(ms))
+    for r, want in enumerate(sim_sel):
+        assert eng_sel[r] == want, f"round {r} selected-set mismatch"
+    eng_seen = {x["url"] for x in run.seen.load().select("url").collect()}
+    assert eng_seen == sim_seen
+
+
+def test_resume_identical_to_uninterrupted(spark, corpus, tmp_path):
+    pages, langs = corpus
+    seeds = [page_url(3, langs[3])]
+    cfg = CrawlConfig(max_depth=2, round_seconds=4.0)
+
+    wd_a = str(tmp_path / "uninterrupted")
+    run_crawl(spark, pages, seeds, wd_a, cfg, max_rounds=3)
+
+    # interrupted: one round, then a fresh CrawlRun resumes
+    wd_b = str(tmp_path / "resumed")
+    run_crawl(spark, pages, seeds, wd_b, cfg, max_rounds=1)
+    run_crawl(spark, pages, seeds, wd_b, cfg, max_rounds=3)
+
+    a, b = CrawlRun(spark, pages, wd_a, cfg), CrawlRun(spark, pages, wd_b, cfg)
+    cols = ["url", "round", "depth", "parent_url_hash", "success", "raw_markdown"]
+    ra = sorted(map(tuple, a.results().select(cols).collect()))
+    rb = sorted(map(tuple, b.results().select(cols).collect()))
+    assert ra == rb
+    assert {x["url"] for x in a.seen.load().collect()} == {
+        x["url"] for x in b.seen.load().collect()
+    }
+
+
+def test_crashed_round_rerun_is_idempotent(spark, corpus, tmp_path):
+    """Simulate a crash after round 1 wrote outputs but before its
+    manifest: deleting the manifest must make run() redo round 1 and
+    land in the identical state."""
+    pages, langs = corpus
+    seeds = [page_url(11, langs[11])]
+    cfg = CrawlConfig(max_depth=2, round_seconds=4.0)
+    wd = str(tmp_path / "crash")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    before = sorted(
+        map(tuple, run.results().select("url", "round", "success").collect())
+    )
+    seen_before = {x["url"] for x in run.seen.load().collect()}
+
+    os.remove(os.path.join(wd, "_manifest_1.json"))  # crash point
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    after = sorted(
+        map(tuple, run.results().select("url", "round", "success").collect())
+    )
+    seen_after = {x["url"] for x in run.seen.load().collect()}
+    assert before == after
+    assert seen_before == seen_after
+
+
+def test_robots_blocking(spark, corpus, tmp_path):
+    pages, langs = corpus
+    hosts = [f"h{i}" for i in range(32)]
+    rules = rules_table(spark, synthetic_robots(hosts))
+    # h5 (5 % 4 == 1) disallows /de/
+    seeds = [page_url(d, langs[d]) for d in range(40)]
+    cfg = CrawlConfig(max_depth=0, round_seconds=64.0, robots_rules=rules)
+    wd = str(tmp_path / "robots")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=1)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res = run.results()
+    blocked = {
+        x["url"]
+        for x in res.filter("fetch_status = 'robots_blocked'").select("url").collect()
+    }
+    want_blocked = {
+        u for u in seeds
+        if "/de/" in u and int(u.split("//h", 1)[1].split(".")[0]) % 4 == 1
+    }
+    assert blocked == want_blocked
+    # blocked urls must not contribute links or success rows
+    assert res.filter(
+        (F.col("fetch_status") == "robots_blocked") & F.col("success")
+    ).count() == 0
+
+
+def test_politeness_backoff_on_failures(spark):
+    """Hosts whose fetches all fail back off exponentially and are
+    dropped after MAX_RETRIES consecutive failed rounds."""
+    results = spark.createDataFrame(
+        [("badhost.com", False), ("badhost.com", False), ("good.com", True)],
+        "host string, success boolean",
+    )
+    st = None
+    delays = []
+    for r in range(4):
+        st = update_state(st, results, r)
+        row = {x["host"]: x for x in st.collect()}
+        delays.append(row["badhost.com"]["current_delay"])
+        assert row["badhost.com"]["fail_count"] == r + 1
+        assert row["good.com"]["fail_count"] == 0
+        assert row["good.com"]["current_delay"] == BASE_DELAY
+    assert delays == sorted(delays)  # monotone backoff
+    assert delays[0] >= 1.5  # 2x with jitter >= 0.75
+
+
+def test_external_links_config(spark, corpus, tmp_path):
+    pages, langs = corpus
+    seeds = [page_url(2, langs[2])]
+    cfg = CrawlConfig(max_depth=1, include_external=True, round_seconds=64.0)
+    wd = str(tmp_path / "ext")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res = run.results()
+    ext = external_url(2)
+    rows = res.filter(F.col("url") == ext).collect()
+    assert len(rows) == 1  # external url entered the frontier...
+    assert rows[0]["fetch_status"] == "miss"  # ...and missed the corpus
