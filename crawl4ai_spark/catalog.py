@@ -727,3 +727,372 @@ def q_crawl_bfs(spark, sf_dir):
 QUERIES["pages_meta"] = q_pages_meta
 QUERIES["crawl_bfs"] = q_crawl_bfs
 ORACLES["pages_meta"] = ORACLE_PAGES_META
+
+
+# ---------------------------------------------------------------------------
+# Chunkers (X5)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def q_chunk_fixed(spark, sf_dir):
+    from .functions.chunking import chunk_table, fixed_word_chunks
+
+    df = _docs(spark, sf_dir)
+    return chunk_table(df, "text", fixed_word_chunks("text", 7), ["doc_id"])
+
+
+ORACLE_CHUNK_FIXED = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+u AS (SELECT doc_id, ws,
+             unnest(generate_series(0, len(ws) - 1, 7)) AS s,
+             generate_subscripts(generate_series(0, len(ws) - 1, 7), 1) - 1 AS i
+      FROM w WHERE len(ws) > 0)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(ws[s + 1 : s + 7], ' ') AS chunk
+FROM u
+"""
+
+
+def q_chunk_sliding(spark, sf_dir):
+    from .functions.chunking import chunk_table, sliding_word_chunks
+
+    df = _docs(spark, sf_dir)
+    return chunk_table(
+        df, "text", sliding_word_chunks("text", window_size=10, step=4), ["doc_id"]
+    )
+
+
+ORACLE_CHUNK_SLIDING = f"""
+WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+p AS (SELECT doc_id, text, ws, len(ws) AS n FROM w)
+SELECT doc_id, CAST(s // 4 AS INT) AS chunk_idx,
+       array_to_string(ws[s + 1 : s + 10], ' ') AS chunk
+FROM (SELECT doc_id, ws, unnest(generate_series(0, n - 10, 4)) AS s
+      FROM p WHERE n > 10)
+UNION ALL
+SELECT doc_id, CAST((n - 10) // 4 + 1 AS INT),
+       array_to_string(ws[n - 9 : n], ' ')
+FROM p WHERE n > 10 AND ((n - 10) // 4) * 4 + 10 < n
+UNION ALL
+SELECT doc_id, 0, text FROM p WHERE n <= 10
+"""
+
+
+def q_chunk_overlap(spark, sf_dir):
+    from .functions.chunking import chunk_table, overlapping_window_chunks
+
+    df = _docs(spark, sf_dir)
+    return chunk_table(
+        df, "text", overlapping_window_chunks("text", window_size=12, overlap=3),
+        ["doc_id"],
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+p AS (SELECT doc_id, text, ws, len(ws) AS n,
+             1 + CAST(ceil((len(ws) - 12) / 9.0) AS INT) AS nc
+      FROM w)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       array_to_string(ws[k * 9 + 1 : k * 9 + 12], ' ') AS chunk
+FROM (SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS k
+      FROM p WHERE n > 12)
+UNION ALL
+SELECT doc_id, 0, text FROM p WHERE n <= 12
+"""
+
+
+def q_chunk_regex(spark, sf_dir):
+    from .functions.chunking import chunk_table, regex_chunks
+
+    df = _docs(spark, sf_dir)
+    return chunk_table(df, "text", regex_chunks("text", [" the "]), ["doc_id"])
+
+
+ORACLE_CHUNK_REGEX = """
+SELECT doc_id,
+       generate_subscripts(str_split_regex(text, ' the '), 1) - 1 AS chunk_idx,
+       unnest(str_split_regex(text, ' the ')) AS chunk
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Head-section analytics (F5/F6/F8)
+# ---------------------------------------------------------------------------
+
+_TITLE_SQL = "substr(text, 1, 40 + doc_id % 35)"
+_DESC_SQL = "substr(text, 10, 100 + doc_id % 120)"
+_HEAD_SQL = (
+    "'<head><title>' || " + _TITLE_SQL + " || '</title>'"
+    " || '<meta name=\"description\" content=\"' || " + _DESC_SQL + " || '\">'"
+    " || '<meta name=\"keywords\" content=\"spark data\">'"
+    " || CASE WHEN doc_id % 5 = 0 THEN '<meta name=\"robots\" content=\"noindex\">'"
+    "         ELSE '<meta name=\"robots\" content=\"index,follow\">' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<meta property=\"canonical\" content=\"https://example.com/p' ||"
+    " CAST(doc_id AS VARCHAR) || '\">' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<script type=\"application/ld+json\">{}</script>' ELSE '' END"
+    " || '</head><body>junk</body>'"
+)
+_HURL_SQL = "'https://example.com/p' || CAST(doc_id AS VARCHAR)"
+
+
+def _head_col():
+    title = F.expr("substr(text, 1, 40 + doc_id % 35)")
+    desc = F.expr("substr(text, 10, 100 + doc_id % 120)")
+    return F.concat(
+        F.lit("<head><title>"), title, F.lit("</title>"),
+        F.lit('<meta name="description" content="'), desc, F.lit('">'),
+        F.lit('<meta name="keywords" content="spark data">'),
+        F.when(_d() % 5 == 0, '<meta name="robots" content="noindex">')
+        .otherwise('<meta name="robots" content="index,follow">'),
+        F.when(
+            _d() % 4 == 0,
+            F.concat(
+                F.lit('<meta property="canonical" content="https://example.com/p'),
+                _d().cast("string"), F.lit('">'),
+            ),
+        ).otherwise(""),
+        F.when(_d() % 3 == 0, '<script type="application/ld+json">{}</script>')
+        .otherwise(""),
+        F.lit("</head><body>junk</body>"),
+    )
+
+
+def q_head_meta(spark, sf_dir):
+    from .functions.headpeek import head_section, head_title, meta_value
+
+    df = _docs(spark, sf_dir).withColumn("_head", head_section(_head_col()))
+    return df.select(
+        "doc_id",
+        head_title("_head").alias("title"),
+        meta_value("_head", "description").alias("description"),
+        meta_value("_head", "robots").alias("robots"),
+        meta_value("_head", "canonical").alias("canonical"),
+    )
+
+
+ORACLE_HEAD_META = f"""
+SELECT doc_id,
+       {_TITLE_SQL} AS title,
+       {_DESC_SQL} AS description,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex' ELSE 'index,follow' END AS robots,
+       CASE WHEN doc_id % 4 = 0 THEN 'https://example.com/p' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS canonical
+FROM documents
+"""
+
+
+def q_head_seo(spark, sf_dir):
+    from .functions.headpeek import head_section, seo_score
+
+    df = _docs(spark, sf_dir).withColumn("_head", head_section(_head_col()))
+    url = F.expr("'https://example.com/p' || CAST(doc_id AS STRING)")
+    return df.select(
+        "doc_id",
+        F.round(seo_score("_head", url, keywords=["data", "spark"]), 6).alias(
+            "seo"
+        ),
+    )
+
+
+ORACLE_HEAD_SEO = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_TITLE_SQL} AS title,
+         {_DESC_SQL} AS descr,
+         {_HURL_SQL} AS url
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN length(title) BETWEEN 50 AND 60 THEN 1.0
+         WHEN length(title) BETWEEN 40 AND 49 OR length(title) BETWEEN 61 AND 70 THEN 0.7
+         ELSE 0.3 END AS s_tl,
+    least(len(regexp_extract_all(title, '(?i)\\b(data|spark)\\b')) * 0.3, 1.0) AS s_kw,
+    CASE WHEN length(descr) BETWEEN 140 AND 160 THEN 1.0
+         WHEN length(descr) BETWEEN 120 AND 200 THEN 0.5
+         ELSE 0.2 END AS s_d,
+    CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.5 END AS s_c,
+    CASE WHEN doc_id % 5 = 0 THEN 0.0 ELSE 1.0 END AS s_r,
+    CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS s_s,
+    1.0 AS s_u
+  FROM h)
+SELECT doc_id,
+       round(0.15 * s_tl + 0.18 * s_kw + 0.12 * s_d + 0.10 * s_c
+             + 0.20 * s_r + 0.10 * s_s + 0.15 * s_u, 6) AS seo
+FROM s
+"""
+
+
+def q_head_relevance(spark, sf_dir):
+    from .functions.headpeek import content_relevance_score, head_section
+
+    df = _docs(spark, sf_dir).withColumn("_head", head_section(_head_col()))
+    return df.select(
+        "doc_id",
+        F.round(content_relevance_score("_head", "spark data table"), 6).alias(
+            "relevance"
+        ),
+    )
+
+
+def _oracle_head_relevance() -> str:
+    # weighted doc: title*3 + ' ' + desc*2 + ' ' + keywords + ' ' +
+    # all meta contents (description, keywords, robots[, canonical])
+    doc = (
+        "repeat(" + _TITLE_SQL + ", 3) || ' ' || repeat(" + _DESC_SQL + ", 2)"
+        " || ' ' || 'spark data' || ' ' || "
+        + _DESC_SQL
+        + " || ' ' || 'spark data' || ' ' ||"
+        " CASE WHEN doc_id % 5 = 0 THEN 'noindex' ELSE 'index,follow' END ||"
+        " CASE WHEN doc_id % 4 = 0 THEN ' https://example.com/p' ||"
+        " CAST(doc_id AS VARCHAR) ELSE '' END"
+    )
+    toks = f"list_filter(str_split_regex(lower({doc}), '\\s+'), x -> x <> '')"
+    parts = []
+    for term in sorted({"spark", "data", "table"}):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+        parts.append(
+            f"(ln(2.0 / ({tf} + 0.5) + 1.0) * ({tf} * 2.2)"
+            f" / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * (dl / 1000))))"
+        )
+    expr = " + ".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+p AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t)
+SELECT doc_id, round(0.0 + {expr}, 6) AS relevance FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus BM25 + adaptive aggregates (A4-A8)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_corpus(spark, sf_dir):
+    from .operators.relevance import bm25_scores
+
+    df = _docs(spark, sf_dir)
+    out = bm25_scores(df, "text", "doc_id", "spark data batch window")
+    return out.select("doc_id", F.round("bm25_score", 6).alias("bm25_score"))
+
+
+def _oracle_bm25_corpus() -> str:
+    q_terms = sorted({"spark", "data", "batch", "window"})
+    tf_scores = " + ".join(
+        f"""(SELECT coalesce((SELECT idf FROM vf WHERE t = '{term}'), 0.0))
+           * CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE) * 2.5
+           / (CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)
+              + 1.5 * (1.0 - 0.75 + 0.75 * (dl / (SELECT avgdl FROM s))))"""
+        for term in q_terms
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM p),
+t AS (SELECT doc_id, unnest(toks) AS t FROM d),
+v AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM t GROUP BY t),
+vi AS (SELECT t, ln((SELECT n FROM s) - df + 0.5) - ln(df + 0.5) AS idf_raw FROM v),
+e AS (SELECT 0.25 * avg(idf_raw) AS fl FROM vi),
+vf AS (SELECT t, CASE WHEN idf_raw < 0 THEN (SELECT fl FROM e) ELSE idf_raw END AS idf
+       FROM vi),
+raw AS (SELECT doc_id, 0.0 + {tf_scores} AS sc FROM p),
+mm AS (SELECT min(sc) AS mn, max(sc) AS mx FROM raw)
+SELECT doc_id,
+       round(CASE WHEN (SELECT mx FROM mm) = (SELECT mn FROM mm) THEN 0.5
+                  ELSE (sc - (SELECT mn FROM mm))
+                       / ((SELECT mx FROM mm) - (SELECT mn FROM mm)) END, 6)
+         AS bm25_score
+FROM raw
+"""
+
+
+def q_adaptive_metrics(spark, sf_dir):
+    from .operators.relevance import confidence
+
+    df = _docs(spark, sf_dir).withColumn("round", _d() % 5)
+    out = confidence(df, "text", "doc_id", "round", "spark data")
+    return out.select(
+        F.round("coverage", 6).alias("coverage"),
+        F.round("consistency", 6).alias("consistency"),
+        F.round("saturation", 6).alias("saturation"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def _oracle_adaptive_metrics() -> str:
+    toks = "list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 5 AS r, {toks} AS toks FROM documents),
+t AS (SELECT doc_id, r, unnest(toks) AS t FROM d),
+stats AS (SELECT t, CAST(count(*) AS DOUBLE) AS tf,
+                 CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM t GROUP BY t),
+sc AS (SELECT max(tf) AS max_tf FROM stats),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+term_score AS (
+  SELECT
+    coalesce((SELECT (df / (SELECT n FROM nd))
+                     * (1.0 + 0.5 * ln(1.0 + tf) / ln(1.0 + (SELECT max_tf FROM sc)))
+              FROM stats WHERE t = 'data'), 0.0) AS s_data,
+    coalesce((SELECT (df / (SELECT n FROM nd))
+                     * (1.0 + 0.5 * ln(1.0 + tf) / ln(1.0 + (SELECT max_tf FROM sc)))
+              FROM stats WHERE t = 'spark'), 0.0) AS s_spark),
+cov AS (SELECT least(1.0, sqrt((s_data + s_spark) / 2.0)) AS coverage FROM term_score),
+ts AS (SELECT DISTINCT doc_id, t FROM t),
+sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS ns FROM ts GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
+          FROM ts a JOIN ts b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT sum(i / (sa.ns + sb.ns - i)) AS sj
+        FROM inter JOIN sizes sa ON inter.ia = sa.doc_id
+                   JOIN sizes sb ON inter.ib = sb.doc_id),
+cons AS (SELECT coalesce(sj, 0.0) / ((SELECT n FROM nd) * ((SELECT n FROM nd) - 1) / 2.0)
+           AS consistency FROM jac),
+first_seen AS (SELECT t, min(r) AS fr FROM t GROUP BY t),
+hist AS (SELECT fr, CAST(count(*) AS DOUBLE) AS new_terms FROM first_seen GROUP BY fr),
+sat AS (SELECT greatest(0.0, least(
+          1.0 - (CASE WHEN last_v > 0 THEN last_v ELSE 1 END)
+                / (CASE WHEN first_v > 0 THEN first_v ELSE 1 END), 1.0)) AS saturation
+        FROM (SELECT (SELECT new_terms FROM hist ORDER BY fr LIMIT 1) AS first_v,
+                     (SELECT new_terms FROM hist ORDER BY fr DESC LIMIT 1) AS last_v))
+SELECT round(coverage, 6) AS coverage,
+       round(consistency, 6) AS consistency,
+       round(saturation, 6) AS saturation,
+       round(0.4 * coverage + 0.3 * consistency + 0.3 * saturation, 6) AS confidence
+FROM cov, cons, sat
+"""
+
+
+QUERIES.update(
+    {
+        "chunk_fixed": q_chunk_fixed,
+        "chunk_sliding": q_chunk_sliding,
+        "chunk_overlap": q_chunk_overlap,
+        "chunk_regex": q_chunk_regex,
+        "head_meta": q_head_meta,
+        "head_seo": q_head_seo,
+        "head_relevance": q_head_relevance,
+        "bm25_corpus": q_bm25_corpus,
+        "adaptive_metrics": q_adaptive_metrics,
+    }
+)
+ORACLES.update(
+    {
+        "chunk_fixed": ORACLE_CHUNK_FIXED,
+        "chunk_sliding": ORACLE_CHUNK_SLIDING,
+        "chunk_overlap": ORACLE_CHUNK_OVERLAP,
+        "chunk_regex": ORACLE_CHUNK_REGEX,
+        "head_meta": ORACLE_HEAD_META,
+        "head_seo": ORACLE_HEAD_SEO,
+        "head_relevance": _oracle_head_relevance(),
+        "bm25_corpus": _oracle_bm25_corpus(),
+        "adaptive_metrics": _oracle_adaptive_metrics(),
+    }
+)

@@ -1,0 +1,107 @@
+"""Chunking strategies as native Spark array expressions (SURVEY.md X5).
+
+Reference: /root/reference/crawl4ai/chunking_strategy.py —
+IdentityChunking (:28-34), RegexChunking (:38-61, default pattern
+r"\\n\\n"), FixedLengthWordChunking (:146-171, chunk_size=100),
+SlidingWindowChunking (:174-210, window=100 step=50),
+OverlappingWindowChunking (:213-256, window=1000 overlap=100).
+
+All chunkers are pure Column expressions over `split` + `sequence` +
+`slice` + `array_join` — whole-stage codegen, no Python, no shuffle.
+Word splitting matches Python's ``str.split()`` (any whitespace run,
+no empty tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _words(text: Column) -> Column:
+    """Python str.split() semantics: split on whitespace runs, drop
+    empties (leading/trailing whitespace produces no tokens)."""
+    return F.filter(F.split(text, "\\s+"), lambda w: w != "")
+
+
+def identity_chunks(text: Column | str) -> Column:
+    return F.array(_c(text))
+
+
+def regex_chunks(text: Column | str, patterns: list[str] | None = None) -> Column:
+    """Iterative regex splitting: each pattern re-splits every chunk
+    produced by the previous one (reference :54-61)."""
+    patterns = patterns or [r"\n\n"]
+    arr = F.array(_c(text))
+    for p in patterns:
+        arr = F.flatten(F.transform(arr, lambda x: F.split(x, p)))
+    return arr
+
+
+def fixed_word_chunks(text: Column | str, chunk_size: int = 100) -> Column:
+    """Non-overlapping chunks of `chunk_size` words (reference :166-171)."""
+    w = _words(_c(text))
+    n = F.size(w)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(chunk_size))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s, chunk_size), " ")
+    )
+
+
+def sliding_word_chunks(
+    text: Column | str, window_size: int = 100, step: int = 50
+) -> Column:
+    """Overlapping windows advanced by `step` (reference :195-210):
+    - len <= window -> [original text] (NOT re-joined words);
+    - windows at i = 0, step, ... while i <= len - window;
+    - if the loop's final i + window < len, append the last `window`
+      words as a tail chunk.
+    """
+    c = _c(text)
+    w = _words(c)
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), n - F.lit(window_size) + 1, F.lit(step))
+    body = F.transform(starts, lambda s: F.array_join(F.slice(w, s, window_size), " "))
+    # reference tail check uses the final loop i (= last element of starts)
+    last_i = F.element_at(starts, -1) - 1  # back to 0-based
+    tail_needed = (last_i + F.lit(window_size)) < n
+    tail = F.array(F.array_join(F.slice(w, -window_size, window_size), " "))
+    return F.when(n <= window_size, F.array(c)).otherwise(
+        F.when(tail_needed, F.concat(body, tail)).otherwise(body)
+    )
+
+
+def overlapping_window_chunks(
+    text: Column | str, window_size: int = 1000, overlap: int = 100
+) -> Column:
+    """Windows that restart at end - overlap (reference :240-256):
+    starts are k*(window-overlap); the first start whose window reaches
+    the end terminates the loop (its chunk included).
+    """
+    c = _c(text)
+    w = _words(c)
+    n = F.size(w)
+    stride = window_size - overlap
+    n_chunks = F.lit(1) + F.ceil(
+        (n - F.lit(window_size)).cast("double") / F.lit(float(stride))
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda k: k * stride + 1
+    )
+    body = F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s, window_size), " ")
+    )
+    return F.when(n <= window_size, F.array(c)).otherwise(body)
+
+
+def chunk_table(df, text_col: str, chunks: Column, id_cols: list[str]):
+    """Explode a chunk array into (ids..., chunk_idx, chunk) rows."""
+    return df.select(
+        *id_cols, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )

@@ -1,0 +1,195 @@
+"""Corpus-level relevance + adaptive-crawl aggregates (SURVEY.md A4-A8).
+
+- ``bm25_scores``: the seeder's relevance ranking
+  (async_url_seeder.py:1380-1426) — BM25Okapi (k1=1.5, b=0.75,
+  epsilon=0.25 negative-IDF flooring) over whitespace-lowered tokens,
+  followed by the seeder's min-max normalization (all-equal -> 0.5).
+- ``coverage`` / ``consistency`` / ``saturation`` / ``confidence``:
+  the AdaptiveCrawler's stopping metrics (adaptive_crawler.py:287-389).
+
+Plan shapes: corpus statistics are single aggregation passes
+(explode -> groupBy term); consistency is the one O(n^2) op (pairwise
+doc Jaccard) — it runs on the knowledge-base sample (tens of docs per
+query in the reference), never the full corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda w: w != "")
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str,
+    *,
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = 0.25,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, bm25_score) for every doc; exact BM25Okapi semantics.
+
+    Three tiny scalar aggregates (N, avgdl, avg-raw-idf for the epsilon
+    floor) + one term-stats aggregate + one join back. Driver scalars
+    are fine here: this operator ranks seed lists, not the web corpus.
+    """
+    q_terms = sorted(set(query.lower().split()))
+    docs = df.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg("_dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+
+    terms = docs.select("_id", F.explode("_toks").alias("_t"))
+    dfreq = terms.groupBy("_t").agg(F.countDistinct("_id").alias("_df"))
+    # raw idf over the WHOLE vocabulary (needed for the epsilon floor)
+    idf_raw = F.log(F.lit(float(n_docs)) - F.col("_df") + 0.5) - F.log(
+        F.col("_df") + 0.5
+    )
+    vocab = dfreq.withColumn("_idf_raw", idf_raw)
+    avg_idf = vocab.agg(F.avg("_idf_raw")).first()[0] or 0.0
+    eps_floor = epsilon * avg_idf
+    vocab = vocab.withColumn(
+        "_idf",
+        F.when(F.col("_idf_raw") < 0, F.lit(eps_floor)).otherwise(
+            F.col("_idf_raw")
+        ),
+    )
+
+    q_stats = {
+        r["_t"]: r["_idf"]
+        for r in vocab.filter(F.col("_t").isin(q_terms)).collect()
+    }
+
+    dl_norm = k1 * (1.0 - b + b * (F.col("_dl").cast("double") / F.lit(avgdl)))
+    score = F.lit(0.0)
+    for t in q_terms:
+        idf_t = float(q_stats.get(t, 0.0))
+        tf = F.size(F.filter(F.col("_toks"), lambda x: x == t)).cast("double")
+        score = score + F.lit(idf_t) * tf * (k1 + 1.0) / (tf + dl_norm)
+
+    out = docs.select(F.col("_id").alias(id_col), score.alias("bm25_score"))
+    if not normalize:
+        return out
+    # seeder min-max normalization (:1410-1420); all-equal -> 0.5
+    w = Window.partitionBy()
+    mn, mx = F.min("bm25_score").over(w), F.max("bm25_score").over(w)
+    norm = F.when(mx == mn, 0.5).otherwise(
+        (F.col("bm25_score") - mn) / (mx - mn)
+    )
+    return out.select(id_col, norm.alias("bm25_score"))
+
+
+def coverage(df: DataFrame, text_col: str, id_col: str, query: str) -> DataFrame:
+    """Adaptive coverage (adaptive_crawler.py:306-345): per query term
+    ``(df/N) * (1 + 0.5 * ln(1+tf)/ln(1+max_tf))`` averaged, then
+    sqrt-curved and capped at 1. One-row DataFrame (coverage double)."""
+    q_terms = sorted(set(query.lower().split()))
+    terms = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+    )
+    stats = terms.groupBy("_t").agg(
+        F.count("*").alias("_tf"), F.countDistinct("_id").alias("_df")
+    )
+    scalars = stats.agg(F.max("_tf").alias("max_tf")).first()
+    max_tf = scalars["max_tf"] or 1
+    n_docs = df.count()
+
+    q = stats.filter(F.col("_t").isin(q_terms)).select(
+        "_t",
+        (
+            (F.col("_df").cast("double") / F.lit(float(n_docs)))
+            * (
+                1.0
+                + 0.5
+                * F.log(1.0 + F.col("_tf"))
+                / F.lit(math.log(1.0 + max_tf))
+            )
+        ).alias("_score"),
+    )
+    found = {r["_t"]: r["_score"] for r in q.collect()}
+    avg = sum(found.get(t, 0.0) for t in q_terms) / len(q_terms)
+    cov = min(1.0, math.sqrt(avg))
+    spark = df.sparkSession
+    return spark.createDataFrame([(cov,)], "coverage double")
+
+
+def consistency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Mean pairwise Jaccard of document term SETS
+    (adaptive_crawler.py:347-372). Pairs with empty intersection count
+    as 0 — the denominator is C(n,2), not the join cardinality."""
+    n = df.count()
+    if n < 2:
+        return df.sparkSession.createDataFrame([(1.0,)], "consistency double")
+    ts = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+    ).distinct()
+    sizes = ts.groupBy("_id").agg(F.count("*").alias("_n"))
+    a, b = ts.alias("a"), ts.alias("b")
+    inter = (
+        a.join(b, (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .agg(F.count("*").alias("_i"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("_id").alias("ia"), F.col("_n").alias("_na")), "ia")
+        .join(sizes.select(F.col("_id").alias("ib"), F.col("_n").alias("_nb")), "ib")
+        .select(
+            (
+                F.col("_i").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            ).alias("_j")
+        )
+    )
+    total = j.agg(F.sum("_j")).first()[0] or 0.0
+    cons = total / (n * (n - 1) / 2)
+    return df.sparkSession.createDataFrame([(cons,)], "consistency double")
+
+
+def saturation(df: DataFrame, text_col: str, round_col: str) -> DataFrame:
+    """New-term discovery decay (adaptive_crawler.py:374-389): per-round
+    counts of first-seen terms; saturation = 1 - recent/initial with
+    zero-guards; <2 rounds -> 0."""
+    first_seen = (
+        df.select(F.col(round_col).alias("_r"), F.explode(_tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.min("_r").alias("_first"))
+        .groupBy("_first")
+        .agg(F.count("*").alias("_new"))
+        .orderBy("_first")
+    )
+    hist = [int(r["_new"]) for r in first_seen.collect()]
+    if len(hist) < 2:
+        sat = 0.0
+    else:
+        recent = hist[-1] if hist[-1] > 0 else 1
+        initial = hist[0] if hist[0] > 0 else 1
+        sat = max(0.0, min(1.0 - recent / initial, 1.0))
+    return df.sparkSession.createDataFrame([(sat,)], "saturation double")
+
+
+def confidence(
+    df: DataFrame, text_col: str, id_col: str, round_col: str, query: str
+) -> DataFrame:
+    """0.4*coverage + 0.3*consistency + 0.3*saturation
+    (adaptive_crawler.py:287-304)."""
+    cov = coverage(df, text_col, id_col, query).first()[0]
+    cons = consistency(df, text_col, id_col).first()[0]
+    sat = saturation(df, text_col, round_col).first()[0]
+    conf = 0.4 * cov + 0.3 * cons + 0.3 * sat
+    return df.sparkSession.createDataFrame(
+        [(cov, cons, sat, conf)],
+        "coverage double, consistency double, saturation double, confidence double",
+    )

@@ -1,0 +1,93 @@
+"""Edge-case parity for chunkers vs the reference's loop semantics
+(chunking_strategy.py) re-executed in plain Python."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.chunking import (
+    fixed_word_chunks,
+    identity_chunks,
+    overlapping_window_chunks,
+    regex_chunks,
+    sliding_word_chunks,
+)
+
+
+def ref_fixed(text, size):
+    words = text.split()
+    return [" ".join(words[i : i + size]) for i in range(0, len(words), size)]
+
+
+def ref_sliding(text, window, step):
+    words = text.split()
+    if len(words) <= window:
+        return [text]
+    chunks = []
+    for i in range(0, len(words) - window + 1, step):
+        chunks.append(" ".join(words[i : i + window]))
+    if i + window < len(words):
+        chunks.append(" ".join(words[-window:]))
+    return chunks
+
+
+def ref_overlap(text, window, overlap):
+    words = text.split()
+    if len(words) <= window:
+        return [text]
+    chunks, start = [], 0
+    while start < len(words):
+        end = start + window
+        chunks.append(" ".join(words[start:end]))
+        if end >= len(words):
+            break
+        start = end - overlap
+    return chunks
+
+
+def _run(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r["c"] for r in df.select(col.alias("c")).collect()]
+
+
+TEXTS = [
+    "one two three four five six seven eight nine ten eleven twelve",
+    "a b c",
+    "exactly ten words here now one two three four five",
+    "single",
+    "  padded   spacing   text   here  ",
+    " ".join(f"w{i}" for i in range(37)),
+    " ".join(f"w{i}" for i in range(40)),
+]
+
+
+@pytest.mark.parametrize("size", [3, 5, 10])
+def test_fixed_parity(spark, size):
+    got = _run(spark, TEXTS, fixed_word_chunks("text", size))
+    for t, g in zip(TEXTS, got):
+        assert list(g) == ref_fixed(t, size), (t, size)
+
+
+@pytest.mark.parametrize("window,step", [(10, 4), (5, 5), (10, 3), (3, 1)])
+def test_sliding_parity(spark, window, step):
+    got = _run(spark, TEXTS, sliding_word_chunks("text", window, step))
+    for t, g in zip(TEXTS, got):
+        assert list(g) == ref_sliding(t, window, step), (t, window, step)
+
+
+@pytest.mark.parametrize("window,overlap", [(12, 3), (10, 2), (5, 1), (6, 5)])
+def test_overlap_parity(spark, window, overlap):
+    got = _run(spark, TEXTS, overlapping_window_chunks("text", window, overlap))
+    for t, g in zip(TEXTS, got):
+        assert list(g) == ref_overlap(t, window, overlap), (t, window, overlap)
+
+
+def test_identity_and_regex(spark):
+    got = _run(spark, ["a the b the c"], identity_chunks("text"))
+    assert list(got[0]) == ["a the b the c"]
+    got = _run(spark, ["a the b the c"], regex_chunks("text", [" the "]))
+    assert list(got[0]) == ["a", "b", "c"]
+    # multi-pattern: second pattern re-splits first-pass chunks
+    got = _run(spark, ["a-b|c-d"], regex_chunks("text", ["\\|", "-"]))
+    assert list(got[0]) == ["a", "b", "c", "d"]
