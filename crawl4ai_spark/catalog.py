@@ -1096,3 +1096,89 @@ ORACLES.update(
         "adaptive_metrics": _oracle_adaptive_metrics(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Content filters (§2.9) + JSON-CSS schema extraction (X8)
+# ---------------------------------------------------------------------------
+
+
+def q_schema_extract_pages(spark, sf_dir):
+    """JSON-CSS extraction over the synthetic pages corpus; the h1/img
+    construction is analytic, so the oracle rebuilds it in SQL."""
+    from .functions.schema_extract import schema_extract_stage
+    from .synth import generate_pages
+
+    schema = {
+        "baseSelector": "body",
+        "fields": [
+            {"name": "h1", "selector": "h1", "type": "text"},
+            {"name": "img_alt", "selector": "img", "type": "attribute",
+             "attribute": "alt"},
+        ],
+    }
+    pages = generate_pages(spark, sf_dir)
+    out = schema_extract_stage(pages, "html", schema)
+    return out.select(
+        "url",
+        F.from_json(
+            "extracted_content", "array<struct<h1:string,img_alt:string>>"
+        ).alias("_items"),
+    ).select(
+        "url",
+        F.col("_items")[0]["h1"].alias("h1"),
+        F.col("_items")[0]["img_alt"].alias("img_alt"),
+    )
+
+
+ORACLE_SCHEMA_EXTRACT_PAGES = """
+SELECT 'https://h' ||
+         CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END AS VARCHAR)
+       || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+         AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+         array_to_string((str_split(text, ' '))[1:3], ' ') AS h1,
+       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt
+FROM documents
+"""
+
+
+def q_content_fit_pruning(spark, sf_dir):
+    """Pruning fit-markdown over the pages corpus (rows-only: the
+    algorithm is pinned by the ported reference tests)."""
+    from .functions.content_filter import fit_markdown_stage
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    out = fit_markdown_stage(pages, html_col="html", url_col="url")
+    return out.select(
+        "url",
+        F.length("fit_html").alias("fit_html_len"),
+        F.length("fit_markdown").alias("fit_md_len"),
+    )
+
+
+def q_content_fit_bm25(spark, sf_dir):
+    from .functions.content_filter import fit_markdown_stage
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    out = fit_markdown_stage(
+        pages, html_col="html", url_col="url", filter_type="bm25",
+        bm25_threshold=0.5,
+    )
+    return out.select(
+        "url",
+        F.length("fit_html").alias("fit_html_len"),
+        F.length("fit_markdown").alias("fit_md_len"),
+    )
+
+
+QUERIES.update(
+    {
+        "schema_extract_pages": q_schema_extract_pages,
+        "content_fit_pruning": q_content_fit_pruning,
+        "content_fit_bm25": q_content_fit_bm25,
+    }
+)
+ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
