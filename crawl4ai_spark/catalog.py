@@ -1182,3 +1182,81 @@ QUERIES.update(
     }
 )
 ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
+
+
+# ---------------------------------------------------------------------------
+# URL seeder (S5-S8, F9, T5)
+# ---------------------------------------------------------------------------
+
+_PAGE_URL_SQL = (
+    "'https://h' || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END"
+    " AS VARCHAR) || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR)"
+    " || '.html'"
+)
+
+
+def q_seeder_sitemaps(spark, sf_dir):
+    """Sitemapindex recursion + flat sitemaps must enumerate exactly the
+    corpus URLs."""
+    from .sources.seeder import expand_sitemaps, synthetic_sitemaps
+
+    sitemaps, roots = synthetic_sitemaps(spark, sf_dir)
+    return expand_sitemaps(spark, sitemaps, roots).select("url")
+
+
+ORACLE_SEEDER_SITEMAPS = f"SELECT {_PAGE_URL_SQL} AS url FROM documents"
+
+
+def q_seeder_pipeline(spark, sf_dir):
+    """CC source + nonsense filter + '*.html' pattern: the injected
+    noise (robots/sitemap/admin/hidden/print/short URLs) must all be
+    dropped, leaving exactly the corpus URLs with zero scores."""
+    from .sources.seeder import seed_urls, synthetic_cc_index
+
+    cc = synthetic_cc_index(spark, sf_dir)
+    return seed_urls(spark, cc_index=cc, pattern="*.html")
+
+
+ORACLE_SEEDER_PIPELINE = f"""
+SELECT {_PAGE_URL_SQL} AS url, 0.0 AS relevance_score FROM documents
+"""
+
+
+QUERIES.update(
+    {"seeder_sitemaps": q_seeder_sitemaps, "seeder_pipeline": q_seeder_pipeline}
+)
+ORACLES.update(
+    {
+        "seeder_sitemaps": ORACLE_SEEDER_SITEMAPS,
+        "seeder_pipeline": ORACLE_SEEDER_PIPELINE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (training-data pipeline extension; rows-only — RAW1 decode
+# is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    from .functions.multimodal import generate_media, media_features_stage
+
+    media = generate_media(spark, sf_dir)
+    out = media_features_stage(media)
+    return out.select(
+        "media_id", "kind", "phash",
+        F.round(F.element_at("feat_mean", 1), 4).alias("mean0"),
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    from .functions.multimodal import generate_media, video_frame_sample_stage
+
+    media = generate_media(spark, sf_dir).filter("kind = 'video'")
+    return video_frame_sample_stage(media, every_k=2).select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+QUERIES.update({"media_features": q_media_features, "media_frames": q_media_frames})

@@ -1,0 +1,101 @@
+"""Result cache: the crawl_results table as a URL-keyed KV store
+(SURVEY.md S9-S11).
+
+Reference semantics:
+- CacheMode / CacheContext (cache_context.py:4-92): ENABLED read+write,
+  DISABLED none, READ_ONLY, WRITE_ONLY, BYPASS.
+- SQLite cache read/write (async_database.py:288-475): url-keyed
+  CrawlResult rows, content-hash dedup of blobs (:527-541).
+
+Spark reformulation: the cache IS a parquet/Iceberg results table;
+"cache hit" is a join of the frontier against it on url_hash, routing
+hit rows around the fetch+extract stage; writes append only rows whose
+url_hash is not already present (content-addressed dedup on the key).
+"""
+
+from __future__ import annotations
+
+import os
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CacheMode(str, Enum):
+    ENABLED = "enabled"
+    DISABLED = "disabled"
+    READ_ONLY = "read_only"
+    WRITE_ONLY = "write_only"
+    BYPASS = "bypass"
+
+
+def should_read(mode: CacheMode) -> bool:
+    return mode in (CacheMode.ENABLED, CacheMode.READ_ONLY)
+
+
+def should_write(mode: CacheMode) -> bool:
+    return mode in (CacheMode.ENABLED, CacheMode.WRITE_ONLY)
+
+
+# columns a cache hit can serve without refetching
+CACHED_COLS = [
+    "url_hash", "title", "text_extracted", "raw_markdown",
+    "markdown_with_citations", "references_markdown", "n_links", "links",
+]
+
+
+class ResultCache:
+    """Parquet-backed url_hash-keyed result cache."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and bool(os.listdir(self.path))
+
+    def load(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def split_hits(self, frontier: DataFrame, mode: CacheMode):
+        """(hits, misses): hit rows carry the cached result columns.
+
+        Plan: one join on url_hash (the cache table is bucketed by
+        url_hash in production, making this a co-partitioned probe).
+        """
+        cache = self.load() if should_read(mode) else None
+        if cache is None:
+            empty = frontier.limit(0)
+            for c in CACHED_COLS[1:]:
+                empty = empty.withColumn(c, F.lit(None))
+            return empty, frontier
+        cached = cache.select(*CACHED_COLS).dropDuplicates(["url_hash"])
+        c = cached.withColumnRenamed("url_hash", "__c_hash")
+        hits = frontier.join(
+            c, frontier["url_hash"] == F.col("__c_hash"), "inner"
+        ).drop("__c_hash")
+        misses = frontier.join(
+            cached.select("url_hash"), "url_hash", "left_anti"
+        )
+        return hits, misses
+
+    def write(self, results: DataFrame, mode: CacheMode) -> int:
+        """Append successful results whose key is not cached yet
+        (content-addressed dedup on url_hash)."""
+        if not should_write(mode):
+            return 0
+        fresh = results.filter(F.col("success")).select(
+            *CACHED_COLS, F.col("url")
+        )
+        existing = self.load()
+        if existing is not None:
+            fresh = fresh.join(
+                existing.select("url_hash"), "url_hash", "left_anti"
+            )
+        n = fresh.count()
+        if n > 0:
+            fresh.write.mode("append").parquet(self.path)
+        return n

@@ -48,7 +48,7 @@ from .seen import SeenFilter
 
 FRONTIER_SCHEMA = (
     "url string, url_hash bigint, host string, priority double, depth int, "
-    "parent_url_hash bigint, round int"
+    "parent_url_hash bigint, round int, dfs_key string"
 )
 
 
@@ -64,6 +64,17 @@ class CrawlConfig:
     keywords: tuple = ()
     robots_rules: object | None = None  # DataFrame | None
     shuffle_partitions: int | None = None
+    # traversal strategy (SURVEY.md T1/T7): "bfs" crawls the whole
+    # frontier each round; "best_first" caps each round at the global
+    # top `batch_size` by (priority desc, url) — the reference's
+    # priority-queue batches of 10; "dfs" is the sequential parity mode
+    # (one url per round in LIFO preorder via the dfs_key sort key).
+    strategy: str = "bfs"
+    batch_size: int | None = None
+    # result cache (SURVEY.md S9-S11): CacheMode gating of the
+    # read/write anti-joins against a shared crawl_results table.
+    cache_mode: str = "bypass"
+    cache_path: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -75,12 +86,15 @@ class CrawlConfig:
             "salt": self.salt,
             "include_external": self.include_external,
             "keywords": list(self.keywords),
+            "strategy": self.strategy,
+            "batch_size": self.batch_size,
+            "cache_mode": self.cache_mode,
         }
 
 
 RESULT_COLS = [
     "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
-    "partition_id", "fetch_status", "success", "title",
+    "dfs_key", "partition_id", "fetch_status", "success", "title",
     "text_extracted", "raw_markdown", "markdown_with_citations",
     "references_markdown", "n_links", "links",
 ]
@@ -139,8 +153,8 @@ class CrawlRun:
 
     def seed(self, urls: list[str]) -> None:
         """Round-0 frontier from a seed list (canonical URLs)."""
-        rows = [(u,) for u in sorted(set(urls))]
-        df = self.spark.createDataFrame(rows, "url string").select(
+        rows = [(u, f"{i:06d}") for i, u in enumerate(sorted(set(urls)))]
+        df = self.spark.createDataFrame(rows, "url string, dfs_key string").select(
             "url",
             url_hash("url").alias("url_hash"),
             host_no_port("url").alias("host"),
@@ -148,6 +162,7 @@ class CrawlRun:
             F.lit(0).alias("depth"),
             F.lit(None).cast("bigint").alias("parent_url_hash"),
             F.lit(0).alias("round"),
+            "dfs_key",
         )
         df.coalesce(1).sortWithinPartitions(F.desc("priority"), "url").write.mode(
             "overwrite"
@@ -184,10 +199,36 @@ class CrawlRun:
             "robots_allowed", "robots_crawl_delay"
         )
 
+        # traversal-strategy pool cut (T1 best-first batches / T7 DFS)
+        if cfg.strategy == "best_first" and cfg.batch_size:
+            pool = candidate.orderBy(F.desc("priority"), F.asc("url")).limit(
+                cfg.batch_size
+            )
+            pool_rest = candidate.join(
+                pool.select("url_hash"), "url_hash", "left_anti"
+            )
+        elif cfg.strategy == "dfs":
+            pool = candidate.orderBy(F.asc("dfs_key")).limit(cfg.batch_size or 1)
+            pool_rest = candidate.join(
+                pool.select("url_hash"), "url_hash", "left_anti"
+            )
+        else:
+            pool, pool_rest = candidate, None
+
+        # cache read (S9/S11): hits skip fetch+extract AND the budget
+        from .cache import CacheMode, ResultCache
+
+        cache = ResultCache(self.spark, cfg.cache_path) if cfg.cache_path else None
+        cache_mode = CacheMode(cfg.cache_mode)
+        if cache is not None:
+            hits, pool = cache.split_hits(pool, cache_mode)
+        else:
+            hits = None
+
         # politeness budget split
         state = self.politeness.load(r)
         budgeted = select_within_budget(
-            candidate, state, round_seconds=cfg.round_seconds
+            pool, state, round_seconds=cfg.round_seconds
         )
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped"
@@ -195,6 +236,8 @@ class CrawlRun:
         deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped"
         )
+        if pool_rest is not None:
+            deferred = deferred.unionByName(pool_rest)
 
         # salted fetch layout: hot hosts spread over `salt` slices, each
         # slice in (priority desc, url) order; partition id = lineage
@@ -217,7 +260,7 @@ class CrawlRun:
         extracted = scrape_stage(fetched, "html", "url", markdown=True)
         results = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
-            "partition_id",
+            "dfs_key", "partition_id",
             F.when(F.col("html").isNotNull(), "fetched")
             .otherwise("miss")
             .alias("fetch_status"),
@@ -230,6 +273,7 @@ class CrawlRun:
 
         blocked_results = blocked.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
+            "dfs_key",
             F.lit(-1).alias("partition_id"),
             F.lit("robots_blocked").alias("fetch_status"),
             F.lit(False).alias("success"),
@@ -241,6 +285,18 @@ class CrawlRun:
         )
 
         all_results = results.unionByName(blocked_results)
+        if hits is not None:
+            hit_results = hits.select(
+                "url", "url_hash", "host", "depth", "priority",
+                "parent_url_hash", "dfs_key",
+                F.lit(-2).alias("partition_id"),
+                F.lit("cache_hit").alias("fetch_status"),
+                F.lit(True).alias("success"),
+                "title", "text_extracted", "raw_markdown",
+                "markdown_with_citations", "references_markdown",
+                "n_links", "links",
+            )
+            all_results = all_results.unionByName(hit_results)
         all_results.select(*RESULT_COLS).repartition(
             max(n_part // 4, 1), "url_hash"
         ).sortWithinPartitions("url_hash").write.mode("overwrite").parquet(
@@ -250,6 +306,12 @@ class CrawlRun:
         # re-read results: breaks lineage — the scrape UDF ran exactly
         # once (during the write above); link discovery reads parquet
         persisted = self.spark.read.parquet(self._results_path(r))
+
+        # cache write (S10): append fresh fetches not already cached
+        if cache is not None:
+            cache.write(
+                persisted.filter(F.col("fetch_status") == "fetched"), cache_mode
+            )
 
         # per-partition throughput metrics (A9)
         persisted.groupBy("partition_id").agg(
@@ -265,16 +327,23 @@ class CrawlRun:
             .select(
                 F.col("url_hash").alias("parent_hash"),
                 F.col("depth").alias("parent_depth"),
-                F.explode("links").alias("lk"),
+                F.col("dfs_key").alias("parent_dfs_key"),
+                F.posexplode("links").alias("pos", "lk"),
             )
         )
         if not cfg.include_external:
             links = links.filter(F.col("lk.is_internal"))
         canon = canonicalize_udf(F.col("lk.href"), F.lit("https://unused.invalid/"))
+        child_key = F.concat(
+            F.coalesce(F.col("parent_dfs_key"), F.lit("")),
+            F.lit("."),
+            F.lpad(F.col("pos").cast("string"), 4, "0"),
+        )
         scored = links.select(
             canon.alias("url"),
             (F.col("parent_depth") + 1).alias("depth"),
             F.col("parent_hash").alias("parent_url_hash"),
+            child_key.alias("dfs_key"),
         ).filter(F.col("url").isNotNull() & (F.col("depth") <= cfg.max_depth))
         if cfg.keywords:
             scored = scored.withColumn(
@@ -292,9 +361,13 @@ class CrawlRun:
         from pyspark.sql import Window
 
         # min depth first (true BFS distance), then stable parent choice
-        w = Window.partitionBy("url_hash").orderBy(
-            F.desc("priority"), F.asc("depth"), F.asc("parent_url_hash")
-        )
+        # (DFS mode keeps the earliest stack position instead)
+        if cfg.strategy == "dfs":
+            w = Window.partitionBy("url_hash").orderBy(F.asc("dfs_key"))
+        else:
+            w = Window.partitionBy("url_hash").orderBy(
+                F.desc("priority"), F.asc("depth"), F.asc("parent_url_hash")
+            )
         deduped = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -311,10 +384,12 @@ class CrawlRun:
             fresh = fresh.orderBy(F.desc("priority"), F.asc("url")).limit(remaining)
 
         next_frontier = deferred.select(
-            "url", "url_hash", "host", "priority", "depth", "parent_url_hash"
+            "url", "url_hash", "host", "priority", "depth", "parent_url_hash",
+            "dfs_key",
         ).unionByName(
             fresh.select(
-                "url", "url_hash", "host", "priority", "depth", "parent_url_hash"
+                "url", "url_hash", "host", "priority", "depth",
+                "parent_url_hash", "dfs_key",
             )
         ).withColumn("round", F.lit(r + 1))
 

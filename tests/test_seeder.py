@@ -1,0 +1,87 @@
+"""URL seeder tests: sitemap recursion, CC source, nonsense filter,
+full pipeline with relevance scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.headpeek import head_section
+from crawl4ai_spark.sources.seeder import (
+    expand_sitemaps,
+    is_nonsense_url,
+    seed_urls,
+    synthetic_cc_index,
+    synthetic_sitemaps,
+)
+from crawl4ai_spark.synth import generate_pages
+
+
+def test_nonsense_filter_rules(spark):
+    cases = [
+        ("https://x.com/robots.txt", True),
+        ("https://x.com/sitemap.xml", True),
+        ("https://x.com/sitemap/news.xml", True),
+        ("https://x.com/favicon.ico", True),
+        ("https://x.com/.well-known/security.txt", True),
+        ("https://x.com/.git/config", True),
+        ("https://x.com/wp-admin/page", True),
+        ("https://x.com/article?print=1", True),
+        ("https://x.com/a", True),  # path too short
+        ("https://x.com/en", False),  # whitelisted short path
+        ("https://x.com/en/article.html", False),
+        ("https://x.com/blog/post-123", False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select("url", is_nonsense_url("url").alias("n")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, u
+
+
+def test_sitemap_recursion_covers_corpus(spark, sf_dir):
+    sitemaps, roots = synthetic_sitemaps(spark, sf_dir)
+    urls = expand_sitemaps(spark, sitemaps, roots)
+    all_pages = {r["url"] for r in generate_pages(spark, sf_dir).select("url").collect()}
+    got = {r["url"] for r in urls.collect()}
+    assert got == all_pages  # index recursion + flat sitemaps = full corpus
+
+
+def test_seed_pipeline_filters_noise_and_caps(spark, sf_dir):
+    cc = synthetic_cc_index(spark, sf_dir)
+    out = seed_urls(spark, cc_index=cc, pattern="*.html", max_urls=100)
+    rows = out.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["url"].endswith(".html")
+        assert "robots" not in r["url"] and "wp-admin" not in r["url"]
+        # deterministic order: url asc when unscored
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls)
+
+
+def test_seed_pipeline_relevance_ranking(spark, sf_dir):
+    pages = generate_pages(spark, sf_dir)
+    heads = pages.select(
+        "url",
+        head_section(F.decode("html", "utf-8")).alias("head"),
+    )
+    cc = synthetic_cc_index(spark, sf_dir)
+    out = seed_urls(
+        spark, cc_index=cc, heads=heads, query="slow merge join",
+        score_threshold=0.01, max_urls=50,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 50
+    scores = [r["relevance_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0.01 for s in scores)
+
+
+def test_seed_domain_scoping(spark, sf_dir):
+    cc = synthetic_cc_index(spark, sf_dir)
+    out = seed_urls(spark, cc_index=cc, domain="h4.example.com")
+    rows = out.collect()
+    assert rows
+    assert all("//h4.example.com/" in r["url"] for r in rows)
