@@ -1260,3 +1260,70 @@ def q_media_frames(spark, sf_dir):
 
 
 QUERIES.update({"media_features": q_media_features, "media_frames": q_media_frames})
+
+
+# ---------------------------------------------------------------------------
+# Link intrinsic scoring (§2.8 link harvest scoring hooks)
+# ---------------------------------------------------------------------------
+
+
+def q_link_intrinsic(spark, sf_dir):
+    """Intrinsic link-quality score over derived link rows (page-term
+    overlap disabled so every rule mirrors to pure CASE arithmetic)."""
+    from .functions.link_scoring import link_intrinsic_score
+
+    df = _docs(spark, sf_dir)
+    text = (
+        F.when(_d() % 4 == 0, "click here")
+        .when(_d() % 4 == 1, "API reference guide here")
+        .when(_d() % 4 == 2, "hm")
+        .otherwise("one two three four five")
+    )
+    url = F.concat(
+        F.when(_d() % 2 == 0, "https://").otherwise("http://"),
+        F.lit("site.example.com"),
+        F.when(_d() % 5 == 0, "/docs/item")
+        .when(_d() % 5 == 1, "/blog/item")
+        .when(_d() % 5 == 2, "/admin/item")
+        .otherwise("/a/b/c/d/e/f"),
+        F.lit("/p"),
+        (_d() % 10).cast("string"),
+    )
+    title_attr = F.when(_d() % 3 == 0, "a descriptive title").otherwise("ab")
+    class_attr = F.when(_d() % 6 == 0, "nav main").when(_d() % 6 == 1, "ad banner").otherwise("")
+    rel_attr = F.when(_d() % 7 == 0, "next").when(_d() % 7 == 1, "nofollow").otherwise("")
+    score = link_intrinsic_score(
+        text, url, title_attr, class_attr, rel_attr,
+        F.array().cast("array<string>"), F.lit(False),
+    )
+    return df.select("doc_id", F.round(score, 6).alias("link_score"))
+
+
+ORACLE_LINK_INTRINSIC = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN doc_id % 6 = 0 THEN 1.5 ELSE 0.0 END
+    - CASE WHEN doc_id % 6 = 1 THEN 1.0 ELSE 0.0 END
+    + CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END
+    - CASE WHEN doc_id % 7 = 1 THEN 0.5 ELSE 0.0 END
+    + CASE WHEN doc_id % 5 = 0 THEN 2.0
+           WHEN doc_id % 5 = 1 THEN 1.0 ELSE 0.0 END
+    - CASE WHEN doc_id % 5 = 2 THEN 1.5 ELSE 0.0 END
+    -- depth: /docs|/blog|/admin paths -> 5 slashes -> depth 3 -> 0;
+    -- the /a/b/c/d/e/f path -> 9 slashes -> depth 7 -> -0.5
+    + CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 0.0 ELSE -0.5 END
+    + CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 0.0 END
+    -- text quality: 'hm' fails len>3; others pass
+    + CASE WHEN doc_id % 4 = 2 THEN 0.0 ELSE 1.0 END
+    + CASE WHEN doc_id % 4 = 2 THEN 0.0 ELSE 0.5 END          -- wc >= 2
+    + CASE WHEN doc_id % 4 IN (1, 3) THEN 0.5 ELSE 0.0 END    -- wc >= 4
+    - CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.0 END          -- generic text
+    AS raw
+  FROM documents)
+SELECT doc_id, round(greatest(0.0, least(raw, 10.0)), 6) AS link_score FROM s
+"""
+
+
+QUERIES["link_intrinsic"] = q_link_intrinsic
+ORACLES["link_intrinsic"] = ORACLE_LINK_INTRINSIC

@@ -216,6 +216,7 @@ def scrape_one(
         return {
             "success": False,
             "title": None,
+            "headings": None,
             "meta": {},
             "links": [],
             "images": [],
@@ -226,9 +227,16 @@ def scrape_one(
         html = html.decode("utf-8", errors="replace")
     root = parse_dom(html)
     meta = extract_metadata(root)
+    heads: list[str] = []
+    for n in _walk(root):
+        if n.tag in ("h1", "h2", "h3"):
+            parts: list[str] = []
+            _visible_text(n, parts)
+            heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
     return {
         "success": True,
         "title": meta.get("title"),
+        "headings": " ".join(h for h in heads if h),
         "meta": meta,
         "links": extract_links(root, url),
         "images": extract_images(root, url),
@@ -242,7 +250,7 @@ def scrape_one(
 # ---------------------------------------------------------------------------
 
 SCRAPE_FIELDS_DDL = (
-    "success boolean, title string, meta map<string,string>, "
+    "success boolean, title string, headings string, meta map<string,string>, "
     "links array<struct<href:string,text:string,title:string,"
     "base_domain:string,is_internal:boolean>>, "
     "images array<struct<src:string,alt:string>>, "

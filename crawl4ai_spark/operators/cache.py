@@ -40,8 +40,9 @@ def should_write(mode: CacheMode) -> bool:
 
 # columns a cache hit can serve without refetching
 CACHED_COLS = [
-    "url_hash", "title", "text_extracted", "raw_markdown",
-    "markdown_with_citations", "references_markdown", "n_links", "links",
+    "url_hash", "title", "headings", "meta", "text_extracted",
+    "raw_markdown", "markdown_with_citations", "references_markdown",
+    "n_links", "links",
 ]
 
 

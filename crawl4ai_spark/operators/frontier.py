@@ -95,8 +95,8 @@ class CrawlConfig:
 RESULT_COLS = [
     "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
     "dfs_key", "partition_id", "fetch_status", "success", "title",
-    "text_extracted", "raw_markdown", "markdown_with_citations",
-    "references_markdown", "n_links", "links",
+    "headings", "meta", "text_extracted", "raw_markdown",
+    "markdown_with_citations", "references_markdown", "n_links", "links",
 ]
 
 LINKS_TYPE = (
@@ -265,7 +265,7 @@ class CrawlRun:
             .otherwise("miss")
             .alias("fetch_status"),
             (F.col("html").isNotNull() & F.col("success")).alias("success"),
-            "title", "text_extracted", "raw_markdown",
+            "title", "headings", "meta", "text_extracted", "raw_markdown",
             "markdown_with_citations", "references_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
             "links",
@@ -278,7 +278,10 @@ class CrawlRun:
             F.lit("robots_blocked").alias("fetch_status"),
             F.lit(False).alias("success"),
             *[F.lit(None).cast("string").alias(c) for c in (
-                "title", "text_extracted", "raw_markdown",
+                "title", "headings")],
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            *[F.lit(None).cast("string").alias(c) for c in (
+                "text_extracted", "raw_markdown",
                 "markdown_with_citations", "references_markdown")],
             F.lit(0).alias("n_links"),
             F.lit(None).cast(LINKS_TYPE).alias("links"),
@@ -292,7 +295,7 @@ class CrawlRun:
                 F.lit(-2).alias("partition_id"),
                 F.lit("cache_hit").alias("fetch_status"),
                 F.lit(True).alias("success"),
-                "title", "text_extracted", "raw_markdown",
+                "title", "headings", "meta", "text_extracted", "raw_markdown",
                 "markdown_with_citations", "references_markdown",
                 "n_links", "links",
             )
