@@ -134,13 +134,14 @@ def bench_extract(cpus: int, replicate: int = 16) -> dict:
         )
         n = big.count()
         # warm-up: spawn the Python worker pool before the clock starts
+        drop = ("html", "cleaned_html")  # pipeline output = extractions
         scrape_stage(
-            big.limit(cpus * 8), "html", "url", markdown=True
+            big.limit(cpus * 8), "html", "url", markdown=True, drop_cols=drop
         ).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        scrape_stage(big, "html", "url", markdown=True).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        scrape_stage(
+            big, "html", "url", markdown=True, drop_cols=drop
+        ).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         return {
             "cpus": cpus,

@@ -259,23 +259,32 @@ SCRAPE_FIELDS_DDL = (
 
 
 def scrape_stage(df, html_col: str = "html", url_col: str = "url",
-                 markdown: bool = True):
+                 markdown: bool = True, drop_cols: tuple = ()):
     """Append scrape (+ optional markdown) columns via one mapInPandas.
 
     Narrow transformation: preserves the input partitioning; one Python
-    round-trip per Arrow batch. All input columns are carried through.
+    round-trip per Arrow batch. Input columns are carried through except
+    those named in ``drop_cols`` — dropping the raw ``html`` (and
+    ``cleaned_html`` when downstream doesn't persist it) roughly halves
+    the Arrow traffic OUT of the Python workers, which is the scaling
+    bottleneck of the stage at high parallelism.
 
-    Output adds: success, title, meta, links, images, cleaned_html,
-    text_extracted (+ raw_markdown, markdown_with_citations,
-    references_markdown when ``markdown=True``).
+    Output adds: success, title, headings, meta, links, images,
+    cleaned_html, text_extracted (+ raw_markdown,
+    markdown_with_citations, references_markdown when ``markdown=True``).
     """
     from .markdown import html_to_markdown, links_to_citations
 
     in_schema = df.schema
-    carried = [f"`{f.name}`" for f in in_schema.fields]
     scrape_ddl = SCRAPE_FIELDS_DDL.replace("text string", "text_extracted string")
+    if "cleaned_html" in drop_cols:
+        scrape_ddl = scrape_ddl.replace("cleaned_html string, ", "")
     out_ddl = ", ".join(
-        [f.name + " " + f.dataType.simpleString() for f in in_schema.fields]
+        [
+            f.name + " " + f.dataType.simpleString()
+            for f in in_schema.fields
+            if f.name not in drop_cols
+        ]
     ) + ", " + scrape_ddl
     if markdown:
         out_ddl += (
@@ -302,8 +311,12 @@ def scrape_stage(df, html_col: str = "html", url_col: str = "url",
                 results.append(r)
             res = pd.DataFrame(results)
             res = res.rename(columns={"text": "text_extracted"})
+            carried = pdf.drop(columns=[c for c in drop_cols if c in pdf.columns])
+            if "cleaned_html" in drop_cols and "cleaned_html" in res.columns:
+                res = res.drop(columns=["cleaned_html"])
             out = pd.concat(
-                [pdf.reset_index(drop=True), res.reset_index(drop=True)], axis=1
+                [carried.reset_index(drop=True), res.reset_index(drop=True)],
+                axis=1,
             )
             yield out
 

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingle_hashes, shingles, tokens
 
 # Mersenne prime 2^31-1: (a*(x%p))%p stays within int64 for a,p < 2^31.
 MERSENNE_P = 2147483647
@@ -101,8 +101,10 @@ def minhash_signature(
     text: Column | str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
 ) -> Column:
     """MinHash signature (array<bigint> of length num_hashes) — narrow."""
-    sh = shingles(text, shingle_k)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    base = F.transform(
+        shingle_hashes(text, shingle_k),
+        lambda x: F.pmod(x, F.lit(MERSENNE_P)),
+    )
     return _minhash_udf(num_hashes, seed)(base)
 
 
@@ -225,9 +227,7 @@ def _simhash_udf():
 def simhash(text: Column | str, shingle_k: int = 2) -> Column:
     """64-bit SimHash over xxhash64 shingle hashes (bit j of the result
     is the sign of the per-bit vote sum)."""
-    sh = shingles(text, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    return _simhash_udf()(hashes)
+    return _simhash_udf()(shingle_hashes(text, shingle_k))
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -302,9 +302,15 @@ def ngram_jaccard_pairs(
     per-doc set sizes. The DF cap bounds the worst-case join fan-out on
     boilerplate shingles — essential at web scale.
     """
+    # join key = xxhash64(shingle): an 8-byte shuffle key instead of the
+    # shingle string (collision odds ~2^-64 per pair — negligible even
+    # at web scale, and only ever merges two shingles, biasing Jaccard
+    # by at most 1/|union|)
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("_sh"),
+        F.explode(
+            F.array_distinct(shingle_hashes(F.col(text_col), shingle_k))
+        ).alias("_sh"),
     )
     if max_shingle_df is not None:
         dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))

@@ -255,16 +255,21 @@ class CrawlRun:
         # "fetch": lookup of the page body (S2 — frontier ⋈ pages)
         fetched = layout.join(
             self.pages.select("url", "html", "warc_ts"), "url", "left"
-        )
+        ).withColumn("_has_html", F.col("html").isNotNull())
 
-        extracted = scrape_stage(fetched, "html", "url", markdown=True)
+        # drop the raw bytes from the stage output: the results table
+        # persists extractions, not input bytes (halves Arrow egress)
+        extracted = scrape_stage(
+            fetched, "html", "url", markdown=True,
+            drop_cols=("html", "cleaned_html"),
+        )
         results = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
             "dfs_key", "partition_id",
-            F.when(F.col("html").isNotNull(), "fetched")
+            F.when(F.col("_has_html"), "fetched")
             .otherwise("miss")
             .alias("fetch_status"),
-            (F.col("html").isNotNull() & F.col("success")).alias("success"),
+            (F.col("_has_html") & F.col("success")).alias("success"),
             "title", "headings", "meta", "text_extracted", "raw_markdown",
             "markdown_with_citations", "references_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
