@@ -1327,3 +1327,43 @@ SELECT doc_id, round(greatest(0.0, least(raw, 10.0)), 6) AS link_score FROM s
 
 QUERIES["link_intrinsic"] = q_link_intrinsic
 ORACLES["link_intrinsic"] = ORACLE_LINK_INTRINSIC
+
+
+# ---------------------------------------------------------------------------
+# Data-table detection/extraction (A10, §2.8 tables)
+# ---------------------------------------------------------------------------
+
+
+def q_tables_extract(spark, sf_dir):
+    """Score-gated table extraction over the synthetic corpus: pages
+    with doc_id %% 5 == 0 embed a 2-col k/v table whose contents are
+    analytic in doc_id/lang."""
+    from .functions.tables import tables_stage
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    out = tables_stage(pages, "html", score_threshold=7.0)
+    t = F.element_at("tables", 1)
+    return out.filter(F.size("tables") > 0).select(
+        "url",
+        F.array_join(t["headers"], ",").alias("headers"),
+        t["rows"][0][1].alias("id_val"),
+        t["rows"][1][1].alias("lang_val"),
+    )
+
+
+ORACLE_TABLES_EXTRACT = """
+SELECT 'https://h' ||
+         CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END AS VARCHAR)
+       || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+         AS url,
+       'k,v' AS headers,
+       CAST(doc_id AS VARCHAR) AS id_val,
+       lang AS lang_val
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
+QUERIES["tables_extract"] = q_tables_extract
+ORACLES["tables_extract"] = ORACLE_TABLES_EXTRACT
