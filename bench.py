@@ -173,8 +173,11 @@ def main() -> None:
 
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
-        lo = bench_extract(LOW_CPUS, replicate=8)
-        hi4 = bench_extract(HIGH_CPUS, replicate=8)
+        # 80k URLs so each point runs long enough to amortize fixed
+        # overheads (worker pools, Arrow init) — the pair the BASELINE
+        # methodology documents
+        lo = bench_extract(LOW_CPUS, replicate=16)
+        hi4 = bench_extract(HIGH_CPUS, replicate=16)
         ratio = (
             hi4["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
         )
