@@ -1,0 +1,74 @@
+"""Property-based robustness: the per-page scalar pipeline must never
+raise on arbitrary input — a crawler eats the web's worst HTML."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawl4ai_spark.functions.content_filter import (
+    bm25_filter_blocks,
+    prune_filter_blocks,
+)
+from crawl4ai_spark.functions.markdown import html_to_markdown, links_to_citations
+from crawl4ai_spark.functions.schema_extract import json_css_extract
+from crawl4ai_spark.functions.scrape import scrape_one
+from crawl4ai_spark.functions.tables import extract_data_tables
+from crawl4ai_spark.functions.urls import canonicalize_url, get_base_domain_py
+
+# text that looks vaguely like broken markup
+_tagchars = st.sampled_from(list("<>/=\"'& abcdefghij\n\t!-[]()#*_`."))
+fuzzy_html = st.text(alphabet=_tagchars, max_size=400)
+any_text = st.text(max_size=300)
+
+SCHEMA = {
+    "baseSelector": "div",
+    "fields": [
+        {"name": "t", "selector": "p", "type": "text"},
+        {"name": "l", "selector": "a", "type": "attribute", "attribute": "href"},
+    ],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(fuzzy_html)
+def test_markdown_never_raises(html):
+    out = html_to_markdown(html, "https://x.com/a/b.html")
+    assert isinstance(out, str)
+    cit, refs = links_to_citations(out, "https://x.com/a/b.html")
+    assert isinstance(cit, str) and isinstance(refs, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(fuzzy_html)
+def test_scrape_never_raises(html):
+    r = scrape_one(html, "https://x.com/p")
+    assert isinstance(r["links"], list)
+    assert isinstance(r["text"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(fuzzy_html)
+def test_filters_and_tables_never_raise(html):
+    assert isinstance(prune_filter_blocks(html), list)
+    assert isinstance(bm25_filter_blocks(html), list)
+    assert isinstance(extract_data_tables(html), list)
+    assert isinstance(json_css_extract(html, SCHEMA), list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text, any_text)
+def test_canonicalize_never_raises(href, base):
+    try:
+        out = canonicalize_url(href, "https://base.example.com/" + base)
+    except ValueError:
+        return  # invalid base is an accepted, typed failure
+    assert out is None or isinstance(out, str)
+    get_base_domain_py("https://h.example.com/" + href)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_scrape_binary_garbage(b):
+    r = scrape_one(b, "https://x.com/p")
+    assert r["success"] in (True, False)
