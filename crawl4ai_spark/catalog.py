@@ -490,7 +490,8 @@ def q_round_saturation(spark, sf_dir):
 
 ORACLE_ROUND_SATURATION = f"""
 WITH pr AS (
-  SELECT doc_id % 5 AS round, sum(len({_TOKENIZE_SQL})) AS total_tokens
+  SELECT doc_id % 5 AS round,
+         CAST(sum(len({_TOKENIZE_SQL})) AS BIGINT) AS total_tokens
   FROM documents GROUP BY doc_id % 5)
 SELECT round, total_tokens,
        lag(total_tokens) OVER (ORDER BY round) AS prev_tokens
