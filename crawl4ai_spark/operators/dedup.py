@@ -125,13 +125,19 @@ def minhash_lsh_pairs(
     the signature-agreement fraction; when `jaccard_threshold` is set,
     pairs below it are dropped.
 
-    Plan shape: narrow signature -> explode B bands -> ONE shuffle on
-    (band, band_hash) -> within-bucket self-join (buckets are tiny by
-    construction) -> pair dedup.
+    Plan shape: narrow signature (persisted — reused by the banding AND
+    the post-dedup agreement joins) -> explode B bands carrying only
+    (id, band, band_hash) 24-byte rows -> ONE shuffle on (band,
+    band_hash) -> within-bucket self-join (buckets are tiny by
+    construction) -> pair dedup -> join the two signatures back for the
+    agreement estimate. Keeping the 64x8-byte signatures OUT of the
+    banding explode and the self-join cuts the candidate-stage shuffle
+    bytes ~8x; at 100 TB the signatures would live in a materialized
+    side table keyed by id — the persist here is that table.
     """
     rows = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
 
     band_arr = F.array(
         *[
@@ -148,9 +154,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = with_sig.select(
-        "_id", "_sig", F.posexplode(band_arr).alias("_band", "_bh")
-    )
+    banded = with_sig.select("_id", F.posexplode(band_arr).alias("_band", "_bh"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -164,21 +168,25 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    sig_a = with_sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    sig_b = with_sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    out = cand.withColumn(
-        "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
-    ).drop("_sa", "_sb")
+    out = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .drop("_sa", "_sb")
+        .select("id_a", "id_b", "est_jaccard")
+    )
     if jaccard_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= jaccard_threshold)
     return out

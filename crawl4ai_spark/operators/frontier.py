@@ -75,6 +75,12 @@ class CrawlConfig:
     # read/write anti-joins against a shared crawl_results table.
     cache_mode: str = "bypass"
     cache_path: str | None = None
+    # bloom fast path in front of the seen anti-join (exactness
+    # preserved: bloom has no false negatives; "maybe" rows still go
+    # through the exact join). Wins when |seen| >> |candidates| — the
+    # steady state of a long crawl; at toy scale the exact join alone
+    # is faster, so default off.
+    seen_bloom: bool = False
 
     def to_json(self) -> dict:
         return {
@@ -89,6 +95,7 @@ class CrawlConfig:
             "strategy": self.strategy,
             "batch_size": self.batch_size,
             "cache_mode": self.cache_mode,
+            "seen_bloom": self.seen_bloom,
         }
 
 
@@ -114,7 +121,10 @@ class CrawlRun:
         self.pages = pages
         self.workdir = workdir
         self.config = config or CrawlConfig()
-        self.seen = SeenFilter(spark, workdir, self.config.n_shards)
+        self.seen = SeenFilter(
+            spark, workdir, self.config.n_shards,
+            use_bloom=self.config.seen_bloom,
+        )
         self.politeness = PolitenessState(spark, workdir)
         os.makedirs(workdir, exist_ok=True)
 
@@ -178,13 +188,31 @@ class CrawlRun:
         # url_seen delta for r+1; the anti-join below must not see it
         import shutil
 
-        partial_delta = os.path.join(self.workdir, "url_seen", f"round={r + 1}")
-        if os.path.exists(partial_delta):
-            shutil.rmtree(partial_delta)
+        for partial_delta in (
+            os.path.join(self.workdir, "url_seen", f"round={r + 1}"),
+            os.path.join(self.workdir, "url_seen_blooms", f"round={r + 1}"),
+        ):
+            if os.path.exists(partial_delta):
+                shutil.rmtree(partial_delta)
 
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(r)
         )
+        # metadata-only count on the parquet scan (no plan re-execution)
+        frontier_count = frontier.count()
+
+        # cumulative admitted count (= seen-set size) carried through the
+        # manifests: at 10^10 URLs a per-round seen.count() full scan is
+        # the one genuine scale-killer in max_pages mode — the manifest
+        # already knows the number. Fallback to the scan only on a
+        # resume path that lacks the key (old manifests).
+        if r == 0:
+            admitted_before = frontier_count
+        else:
+            try:
+                admitted_before = int(self.manifest(r - 1)["cum_admitted_next"])
+            except (FileNotFoundError, KeyError):
+                admitted_before = self.seen.count()
 
         # robots gate (broadcast dim join)
         if cfg.robots_rules is not None:
@@ -382,24 +410,32 @@ class CrawlRun:
             .drop("_rn")
         )
 
+        if cfg.seen_bloom:
+            # the bloom prefilter splits `deduped` twice (definite-new /
+            # maybe-seen) and collects the maybe-side shard list; persist
+            # so the link-discovery plan runs once
+            deduped = deduped.persist()
         fresh = self.seen.anti_join(deduped)
 
         # capacity cap (T2): remaining global page budget, measured
-        # against every URL ever admitted (= the seen set)
-        admitted_so_far = self.seen.count() if cfg.max_pages is not None else -1
+        # against every URL ever admitted (= the seen set, tracked via
+        # the manifests — no per-round full scan)
         if cfg.max_pages is not None:
-            remaining = max(cfg.max_pages - admitted_so_far, 0)
+            remaining = max(cfg.max_pages - admitted_before, 0)
             fresh = fresh.orderBy(F.desc("priority"), F.asc("url")).limit(remaining)
 
+        # deferred rows keep the round they were admitted in (lineage);
+        # fresh links are stamped with the next round — the distinction
+        # lets the manifest counters come from ONE aggregation below
         next_frontier = deferred.select(
             "url", "url_hash", "host", "priority", "depth", "parent_url_hash",
-            "dfs_key",
+            "round", "dfs_key",
         ).unionByName(
             fresh.select(
                 "url", "url_hash", "host", "priority", "depth",
-                "parent_url_hash", "dfs_key",
+                "parent_url_hash", F.lit(r + 1).alias("round"), "dfs_key",
             )
-        ).withColumn("round", F.lit(r + 1))
+        )
 
         next_frontier.repartition(max(n_part // 4, 1), "url_hash").sortWithinPartitions(
             F.desc("priority"), "url"
@@ -411,6 +447,8 @@ class CrawlRun:
             self._frontier_path(r + 1)
         )
         self.seen.add(self.seen.anti_join(frontier_next), r + 1)
+        if cfg.seen_bloom:
+            deduped.unpersist(blocking=False)
 
         # politeness fold
         new_state = update_state(
@@ -424,9 +462,16 @@ class CrawlRun:
             F.sum((F.col("fetch_status") == "robots_blocked").cast("int")).alias("blk"),
             F.sum(F.col("success").cast("int")).alias("ok"),
         ).first()
-        frontier_count = frontier.count()
-        next_count = frontier_next.count()
-        deferred_count = deferred.count()
+        # ONE aggregation over the just-written next-frontier parquet
+        # replaces the former three per-round count jobs (frontier /
+        # next / deferred each re-executed their full plans)
+        fs = frontier_next.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("round") != r + 1).cast("int")).alias("defer"),
+        ).first()
+        next_count = int(fs["n"])
+        deferred_count = int(fs["defer"] or 0)
+        new_links = next_count - deferred_count
         counts = {
             "round": r,
             "frontier": frontier_count,
@@ -434,9 +479,10 @@ class CrawlRun:
             "selected": int(rs["n"]) - int(rs["blk"] or 0),
             "fetched_ok": int(rs["ok"] or 0),
             "deferred": deferred_count,
-            "new_links": next_count - deferred_count,
+            "new_links": new_links,
             "next_frontier": next_count,
-            "cum_admitted": admitted_so_far,
+            "cum_admitted": admitted_before,
+            "cum_admitted_next": admitted_before + new_links,
             "wall_s": round(time.perf_counter() - t0, 3),
             "config": self.config.to_json(),
         }

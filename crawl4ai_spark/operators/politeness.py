@@ -28,6 +28,15 @@ BASE_DELAY = 1.0
 MAX_DELAY = 60.0
 MAX_RETRIES = 3
 
+# Broadcast the per-host state table only while it plausibly fits on
+# the driver/executors; at web scale (10^8+ hosts) fall back to a
+# shuffle join on `host` — the join key is already the shuffle key.
+BROADCAST_MAX_HOSTS = 1_000_000
+
+
+def _sized(state: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(state) if n_rows <= BROADCAST_MAX_HOSTS else state
+
 
 def select_within_budget(
     frontier: DataFrame,
@@ -45,8 +54,9 @@ def select_within_budget(
     MAX_RETRIES are dropped entirely (reference: domain dropped after 3
     retries).
     """
-    if state is not None and state.head(1):
-        st = F.broadcast(state.withColumnRenamed("host", "__st_host"))
+    n_state = state.count() if state is not None else 0
+    if n_state:
+        st = _sized(state.withColumnRenamed("host", "__st_host"), n_state)
         frontier = frontier.join(
             st, frontier[host_col] == F.col("__st_host"), "left_outer"
         ).drop("__st_host")
@@ -93,14 +103,17 @@ def update_state(
         )
         .withColumnRenamed(host_col, "_rh")
     )
-    if state is not None and state.head(1):
+    n_state = state.count() if state is not None else 0
+    if n_state:
         st = (
             state.withColumnRenamed("host", "_sh")
             .withColumnRenamed("current_delay", "_delay")
             .withColumnRenamed("fail_count", "_fc")
         )
+        # full_outer can't broadcast either side in Spark; the join key
+        # (host) is the natural shuffle key at any scale
         merged = per_host.join(
-            F.broadcast(st), F.col("_rh") == F.col("_sh"), "full_outer"
+            st, F.col("_rh") == F.col("_sh"), "full_outer"
         ).withColumn("_host", F.coalesce(F.col("_rh"), F.col("_sh")))
     else:
         merged = (

@@ -8,70 +8,211 @@ keyed by the canonical URL.
 Spark design for a 10^10-URL frontier:
 - key = ``xxhash64(canonical_url)`` (→ functions/urls.url_hash).
 - the seen set is a table sharded by ``pmod(url_hash, n_shards)`` and
-  stored as per-round parquet deltas under ``<workdir>/url_seen/`` (an
-  Iceberg bucketed table in production — the bucket join then needs no
-  re-shuffle of the seen side).
+  stored as per-round parquet deltas, **directory-partitioned by
+  shard** (``url_seen/round=N/shard=K/``; an Iceberg bucketed table in
+  production). Directory partitioning means a shard predicate on the
+  seen side is pure file pruning — untouched shards are never read.
 - the per-round membership test is ONE co-partitioned left-anti join on
-  (shard, url_hash): candidate links are repartitioned by the same
-  shard function, so each task joins against exactly one shard.
-- exactness: the hash is 64-bit (pair-collision odds ~3e-9 at 1e10
+  url_hash: candidate links are repartitioned by the same shard
+  function, so each task joins against exactly one shard.
+- **bloom fast path** (``use_bloom=True``): each round's delta also
+  writes a per-shard bloom-bitset sidecar (``url_seen_blooms/round=N``).
+  ``anti_join`` then tests every candidate against the OR of its
+  shard's blooms in one Arrow-batched numpy kernel; candidates the
+  bloom rejects are *definitely* unseen (no false negatives) and skip
+  the join entirely, and the exact join runs only for the "maybe" rows
+  against only the shards they map to (file-pruned). Exactness is
+  preserved — the bloom is a prefilter, never the verdict. In
+  production the sidecars are executor-side broadcast variables; at
+  10^10 URLs with 16 bits/key they total ~20 GB across 32 shards, so
+  each executor holds only the shards its tasks touch.
+- exactness of the hash key: 64-bit (pair-collision odds ~3e-9 at 1e10
   URLs); a production deployment confirms collisions against the full
   URL inside the shard — the shard rows carry ``url`` for that purpose.
-- a Bloom/cuckoo fast-path can front the join (Spark's
-  ``DataFrame.stat.bloomFilter`` per shard) to skip shards with no
-  candidates; at local test scale the exact join IS the fast path.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SEEN_SCHEMA = "url_hash bigint, url string, shard int"
+BLOOM_SCHEMA = "shard int, m long, k int, bits binary"
+
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 7  # probes; with 16 bits/key the false-positive rate ~1e-3
 
 
 def shard_of(url_hash_col, n_shards: int):
     return F.pmod(url_hash_col, F.lit(n_shards)).cast("int")
 
 
+def _bloom_probes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) probe indices via double hashing on the 64-bit url_hash."""
+    h = hashes.astype(np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _bloom_build(hashes: np.ndarray, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                 k: int = BLOOM_K) -> tuple[int, int, bytes]:
+    m = max(1024, bits_per_key * len(hashes))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    idx = _bloom_probes(hashes, m, k).ravel()
+    np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return m, k, bits.tobytes()
+
+
+def _bloom_test_any(hashes: np.ndarray,
+                    blooms: list[tuple[int, int, np.ndarray]]) -> np.ndarray:
+    """True where a hash MIGHT be in any of the bloom filters."""
+    out = np.zeros(len(hashes), dtype=bool)
+    for m, k, bits in blooms:
+        pending = ~out
+        if not pending.any():
+            break
+        idx = _bloom_probes(hashes[pending], m, k)
+        hit = ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).all(axis=1)
+        out[pending] = hit
+    return out
+
+
 class SeenFilter:
     """Parquet-backed sharded seen set with per-round append deltas."""
 
-    def __init__(self, spark: SparkSession, workdir: str, n_shards: int = 32):
+    def __init__(self, spark: SparkSession, workdir: str, n_shards: int = 32,
+                 use_bloom: bool = False):
         self.spark = spark
         self.path = os.path.join(workdir, "url_seen")
+        self.bloom_path = os.path.join(workdir, "url_seen_blooms")
         self.n_shards = n_shards
+        self.use_bloom = use_bloom
+
+    def _rounds(self, path: str) -> set[int]:
+        if not os.path.exists(path):
+            return set()
+        return {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(path)
+            if name.startswith("round=")
+        }
+
+    @staticmethod
+    def _has_data(path: str) -> bool:
+        """True when at least one parquet data file exists under path —
+        an empty delta written with partitionBy emits no files, which
+        would break schema inference on the whole-tree read."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def load(self) -> DataFrame:
-        if not os.path.exists(self.path) or not os.listdir(self.path):
+        if not self._has_data(self.path):
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        # per-round deltas live in round=N subdirs (partition discovery)
+        # per-round deltas live in round=N/shard=K subdirs (partition
+        # discovery -> shard predicates are file pruning)
         return self.spark.read.parquet(self.path).select(
-            "url_hash", "url", "shard"
+            "url_hash", "url", F.col("shard").cast("int").alias("shard")
         )
+
+    def _load_blooms(self) -> dict[int, list[tuple[int, int, np.ndarray]]] | None:
+        """Per-shard bloom list, or None when sidecars don't cover every
+        delta round (falling back to the exact join keeps exactness)."""
+        if self._rounds(self.path) != self._rounds(self.bloom_path):
+            return None
+        if not self._has_data(self.bloom_path):
+            return {}
+        pdf = self.spark.read.schema(BLOOM_SCHEMA).parquet(
+            self.bloom_path
+        ).toPandas()
+        blooms: dict[int, list] = {}
+        for row in pdf.itertuples():
+            blooms.setdefault(int(row.shard), []).append(
+                (int(row.m), int(row.k), np.frombuffer(row.bits, dtype=np.uint8))
+            )
+        return blooms
 
     def anti_join(self, candidates: DataFrame, url_hash_col: str = "url_hash") -> DataFrame:
         """Rows of ``candidates`` whose url_hash is NOT in the seen set.
 
-        Plan shape: both sides hash-partitioned on the join key; the
-        seen side is pre-sharded on disk so partition-local reads feed
-        the join (bucketed Iceberg: zero seen-side shuffle).
+        Exact path: one hash-partitioned left-anti join (the seen side is
+        pre-sharded on disk; bucketed Iceberg: zero seen-side shuffle).
+
+        Bloom path (``use_bloom``): definite-new rows skip the join;
+        maybe-seen rows join against only their shards (file-pruned).
         """
-        seen = self.load().select(F.col("url_hash").alias("__seen_hash"))
-        return candidates.join(
-            seen,
-            F.col(url_hash_col) == F.col("__seen_hash"),
-            "left_anti",
+        if not self.use_bloom:
+            seen = self.load().select(F.col("url_hash").alias("__seen_hash"))
+            return candidates.join(
+                seen,
+                F.col(url_hash_col) == F.col("__seen_hash"),
+                "left_anti",
+            )
+
+        blooms = self._load_blooms()
+        if not blooms:  # no deltas yet, sidecars incomplete, or empty set
+            if blooms == {} and not self._has_data(self.path):
+                return candidates  # provably empty seen set
+            seen = self.load().select(F.col("url_hash").alias("__seen_hash"))
+            return candidates.join(
+                seen, F.col(url_hash_col) == F.col("__seen_hash"), "left_anti"
+            )
+
+        n_shards = self.n_shards
+        bc = self.spark.sparkContext.broadcast(blooms)
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64)
+            shards = np.mod(hv, n_shards)
+            out = np.zeros(len(hv), dtype=bool)
+            table = bc.value
+            for s in np.unique(shards):
+                bl = table.get(int(s))
+                if bl:
+                    sel = shards == s
+                    out[sel] = _bloom_test_any(hv[sel], bl)
+            return pd.Series(out)
+
+        cand = candidates.withColumn("__maybe", maybe_seen(F.col(url_hash_col)))
+        definite_new = cand.filter(~F.col("__maybe")).drop("__maybe")
+        maybe = cand.filter(F.col("__maybe")).drop("__maybe")
+
+        # shard list of the maybe rows -> file pruning on the seen side.
+        # (callers persist `candidates` when its plan is expensive)
+        touched = [
+            int(r["s"])
+            for r in maybe.select(
+                shard_of(F.col(url_hash_col), n_shards).alias("s")
+            ).distinct().collect()
+        ]
+        if not touched:
+            return definite_new
+        seen = (
+            self.load()
+            .filter(F.col("shard").isin(touched))
+            .select(F.col("url_hash").alias("__seen_hash"))
         )
+        confirmed_new = maybe.join(
+            seen, F.col(url_hash_col) == F.col("__seen_hash"), "left_anti"
+        )
+        return definite_new.unionByName(confirmed_new)
 
     def add(self, rows: DataFrame, round_no: int,
             url_hash_col: str = "url_hash", url_col: str = "url") -> None:
         """Write this round's delta of newly-seen URLs.
 
         One subdir per round, overwritten (not appended) so a crashed
-        round can be re-run idempotently.
+        round can be re-run idempotently; directory-partitioned by
+        shard. With ``use_bloom``, a per-shard bloom sidecar is built
+        from the written delta (one extra small job per round).
         """
         delta = (
             rows.select(
@@ -83,9 +224,26 @@ class SeenFilter:
             .repartition(self.n_shards, "shard")
             .sortWithinPartitions("url_hash")
         )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"round={round_no}")
-        )
+        delta_path = os.path.join(self.path, f"round={round_no}")
+        delta.write.partitionBy("shard").mode("overwrite").parquet(delta_path)
+
+        if self.use_bloom:
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+                m, k, bits = _bloom_build(hashes)
+                return pd.DataFrame(
+                    {"shard": [int(pdf["shard"].iloc[0])], "m": [m],
+                     "k": [k], "bits": [bits]}
+                )
+
+            # explicit schema: an empty delta dir has no files to infer
+            # from (shard maps from the partition directories)
+            written = self.spark.read.schema(SEEN_SCHEMA).parquet(delta_path)
+            written.groupBy("shard").applyInPandas(
+                build, schema=BLOOM_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.bloom_path, f"round={round_no}")
+            )
 
     def count(self) -> int:
         return self.load().count()
