@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .functions.entities import extract_entities
 from .functions.text import (
     STOPWORDS,
-    doc_fingerprint,
+    doc_fingerprint_portable,
     lang_id,
     quality_score,
     token_count,
@@ -606,13 +606,54 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     df = _docs(spark, sf_dir).select("doc_id", "text")
     near = df.withColumn("doc_id", _d() + 100000)
-    return ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs(
         df.unionByName(near), "text", "doc_id", shingle_k=3, threshold=0.9
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# Exact mirror of the inverted-index Jaccard: distinct 3-shingles per
+# doc (the engine joins on xxhash64 of the shingle; identical sets
+# modulo ~2^-64 collisions), the same hot-shingle DF cap, the same
+# double-division. Raw-threshold filter, then round for the hash gate.
+ORACLE_DEDUP_NGRAM_JACCARD = """
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+w AS (SELECT doc_id AS id, regexp_split_to_array(text, ' ') AS ws FROM u),
+sh AS (SELECT id, list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       FROM w WHERE len(ws) >= 3),
+ex0 AS (SELECT id, unnest(s) AS sh FROM sh),
+hot AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) > 1000),
+ex AS (SELECT * FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+  FROM inter JOIN sizes sa ON inter.id_a = sa.id
+             JOIN sizes sb ON inter.id_b = sb.id)
+WHERE j >= 0.9
+"""
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", doc_fingerprint("text").alias("fp"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint_portable("text").alias("fp")
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16)),
+         'min') AS fp
+FROM w
+"""
 
 
 def q_sim_cosine_topk_lsh(spark, sf_dir):
@@ -645,7 +686,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "lineitem_pricing": q_lineitem_pricing,
-    # rows-only (non-SQL-expressible: xxhash64 / banding / bit tricks)
+    # rows-only BY DESIGN: minhash/simhash candidate sets and the
+    # hyperplane-LSH probe order depend on xxhash64 bit patterns — a
+    # faithful SQL mirror would require reimplementing xxhash64 in SQL.
+    # Their *semantics* are pinned instead by pytest: exact-copy pairs
+    # must all surface (est_jaccard/hamming extremes), the probabilistic
+    # candidates are verified against exact recomputation in
+    # tests/test_dedup_similarity.py.
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -674,6 +721,8 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": ORACLE_SIM_COSINE_TOPK,
     "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
 }
 
 
@@ -704,9 +753,14 @@ FROM documents
 
 
 def q_crawl_bfs(spark, sf_dir):
-    """Two BFS rounds of the full crawl engine on the synthetic corpus
-    (rows-only check: the per-round semantics are pinned by the
-    simulator tests in tests/test_frontier.py)."""
+    """Two BFS rounds of the full crawl engine on the synthetic corpus.
+
+    Because the corpus link graph is arithmetic in doc_id, the whole
+    two-round crawl — seed ordering, in-round dedup, seen anti-join,
+    per-host politeness budgets (floor(16s / 1s) = 16 fetches/host) —
+    is mirrored by the SQL oracle below; the per-round semantics are
+    additionally pinned by the simulator tests in tests/test_frontier.py.
+    """
     import tempfile
 
     from pyspark.sql import functions as F
@@ -725,9 +779,49 @@ def q_crawl_bfs(spark, sf_dir):
     ).orderBy("round", "url")
 
 
+_PAGE_URL_SQL = (
+    "'https://h' || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END"
+    " AS VARCHAR) || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR)"
+    " || '.html'"
+)
+
+# Round 0 = the 5 lexicographically-first urls (all fetch ok, every
+# page harvests exactly 7 links: 3 nav + 3 list + 1 external). Round 1
+# = distinct internal outlink targets (d*31 + j*97 + 7 mod n) minus the
+# seeds, capped at 16 per host (round_seconds=16 / BASE_DELAY=1; the
+# all-success round-0 fold keeps delay at the 1.0 floor), row_number
+# ordered by (priority desc = all 0.0, url asc).
+ORACLE_CRAWL_BFS = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pages AS (SELECT doc_id, {_PAGE_URL_SQL} AS url,
+                 'h' || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32
+                             ELSE 0 END AS VARCHAR) || '.example.com' AS host
+          FROM documents),
+seeds AS (SELECT doc_id, url FROM pages ORDER BY url LIMIT 5),
+r0 AS (SELECT url, 0 AS round, 0 AS depth, 'fetched' AS fetch_status,
+              TRUE AS success, 7 AS n_links
+       FROM seeds),
+tgts AS (SELECT DISTINCT p.url, p.host
+         FROM seeds s
+         CROSS JOIN generate_series(0, 5) g(j)
+         JOIN pages p
+           ON p.doc_id = (s.doc_id * 31 + g.j * 97 + 7) % (SELECT n FROM nn)),
+fresh AS (SELECT url, host FROM tgts
+          WHERE url NOT IN (SELECT url FROM seeds)),
+sel AS (SELECT url FROM (
+          SELECT url, row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+          FROM fresh)
+        WHERE rn <= 16),
+r1 AS (SELECT url, 1 AS round, 1 AS depth, 'fetched' AS fetch_status,
+              TRUE AS success, 7 AS n_links
+       FROM sel)
+SELECT * FROM r0 UNION ALL SELECT * FROM r1
+"""
+
 QUERIES["pages_meta"] = q_pages_meta
 QUERIES["crawl_bfs"] = q_crawl_bfs
 ORACLES["pages_meta"] = ORACLE_PAGES_META
+ORACLES["crawl_bfs"] = ORACLE_CRAWL_BFS
 
 
 # ---------------------------------------------------------------------------
@@ -1145,18 +1239,43 @@ FROM documents
 
 
 def q_content_fit_pruning(spark, sf_dir):
-    """Pruning fit-markdown over the pages corpus (rows-only: the
-    algorithm is pinned by the ported reference tests)."""
+    """Pruning fit-markdown over the pages corpus.
+
+    The oracle mirrors the *selection* semantics, which are analytic on
+    the synthetic structure: nav/script drop via the excluded-tag set,
+    li and img prune below the 0.48 composite threshold (the emptied ul
+    then fails the nonempty-text block test), every other top-level
+    element scores safely above it -> surviving block count = 5 fixed
+    (h1 + 3 paragraphs + external-link p) plus the %5 table, %7 pre and
+    %11 blockquote, with the h1 always serialized first. Byte-level
+    output is pinned separately by the ported reference tests and the
+    markdown goldens."""
     from .functions.content_filter import fit_markdown_stage
     from .synth import generate_pages
 
     pages = generate_pages(spark, sf_dir)
     out = fit_markdown_stage(pages, html_col="html", url_col="url")
+    # one "<div>" wrapper per surviving block (block bodies never emit
+    # a div; splitting on newline would miscount multi-line <pre>)
+    n_blocks = F.size(F.split("fit_html", F.lit("<div>"), -1)) - 1
     return out.select(
         "url",
-        F.length("fit_html").alias("fit_html_len"),
-        F.length("fit_markdown").alias("fit_md_len"),
+        n_blocks.alias("n_blocks"),
+        F.element_at(F.split("fit_html", "\n"), 1).alias("first_block"),
     )
+
+
+ORACLE_CONTENT_FIT_PRUNING = f"""
+SELECT {_PAGE_URL_SQL} AS url,
+       CAST(5 + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_blocks,
+       '<div><h1>Doc ' || CAST(doc_id AS VARCHAR) || ': '
+         || array_to_string((str_split(text, ' '))[1:3], ' ')
+         || '</h1></div>' AS first_block
+FROM documents
+"""
 
 
 def q_content_fit_bm25(spark, sf_dir):
@@ -1179,22 +1298,20 @@ QUERIES.update(
     {
         "schema_extract_pages": q_schema_extract_pages,
         "content_fit_pruning": q_content_fit_pruning,
+        # content_fit_bm25 stays rows-only BY DESIGN: its selection
+        # depends on per-page BM25 idf statistics over the block-walk
+        # chunks — mirrorable in SQL only by restating the whole scoring
+        # engine, which the ported reference tests already pin.
         "content_fit_bm25": q_content_fit_bm25,
     }
 )
 ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
+ORACLES["content_fit_pruning"] = ORACLE_CONTENT_FIT_PRUNING
 
 
 # ---------------------------------------------------------------------------
 # URL seeder (S5-S8, F9, T5)
 # ---------------------------------------------------------------------------
-
-_PAGE_URL_SQL = (
-    "'https://h' || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END"
-    " AS VARCHAR) || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR)"
-    " || '.html'"
-)
-
 
 def q_seeder_sitemaps(spark, sf_dir):
     """Sitemapindex recursion + flat sitemaps must enumerate exactly the
@@ -1241,14 +1358,54 @@ ORACLES.update(
 
 
 def q_media_features(spark, sf_dir):
+    """RAW1 decode + channel statistics: the first feat_mean entry is
+    arithmetically derivable from the generator (image channel-0 mean,
+    audio mean |amplitude|, video middle-frame channel-0 mean), so the
+    oracle recomputes it in SQL. phash/embedding stay pytest-pinned
+    (bit assembly is not SQL-practical)."""
     from .functions.multimodal import generate_media, media_features_stage
 
     media = generate_media(spark, sf_dir)
     out = media_features_stage(media)
     return out.select(
-        "media_id", "kind", "phash",
+        "media_id", "kind",
         F.round(F.element_at("feat_mean", 1), 4).alias("mean0"),
     )
+
+
+# Generator mirrors (multimodal.generate_media): image pixels are
+# (j*(i+7)) % 256 over h*w*3 with h=8+i%8, w=8+(i*3)%8 (channel 0 =
+# every 3rd flat index); audio is int16(trunc(sin(t*f)*3000)) with
+# f=0.01+(i%10)*0.001 over n=1600+(i%5)*160 samples; video's middle
+# frame (index 3 of 6) spans flat indices [144, 192) of (j*(i+3))%256.
+ORACLE_MEDIA_FEATURES = """
+WITH img AS (
+  SELECT doc_id, (8 + doc_id % 8) * (8 + (doc_id * 3) % 8) * 3 AS npx
+  FROM documents),
+imgm AS (
+  SELECT doc_id, avg((j * (doc_id + 7)) % 256) AS m
+  FROM (SELECT doc_id, unnest(generate_series(0, npx - 3, 3)) AS j FROM img)
+  GROUP BY doc_id),
+aud AS (
+  SELECT doc_id, 1600 + (doc_id % 5) * 160 AS n,
+         0.01 + (doc_id % 10) * 0.001 AS f
+  FROM documents WHERE doc_id % 3 = 0),
+audm AS (
+  SELECT doc_id,
+         avg(abs(CAST(trunc(sin(t * f) * 3000) AS SMALLINT))) AS m
+  FROM (SELECT doc_id, f, unnest(generate_series(0, n - 1)) AS t FROM aud)
+  GROUP BY doc_id),
+vidm AS (
+  SELECT doc_id, avg((j * (doc_id + 3)) % 256) AS m
+  FROM (SELECT doc_id, unnest(generate_series(144, 189, 3)) AS j
+        FROM documents WHERE doc_id % 5 = 0)
+  GROUP BY doc_id)
+SELECT doc_id * 10 AS media_id, 'image' AS kind, round(m, 4) AS mean0 FROM imgm
+UNION ALL
+SELECT doc_id * 10 + 1, 'audio', round(m, 4) FROM audm
+UNION ALL
+SELECT doc_id * 10 + 2, 'video', round(m, 4) FROM vidm
+"""
 
 
 def q_media_frames(spark, sf_dir):
@@ -1260,7 +1417,19 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+# Every video has 6 frames sampled at every_k=2 -> indices 0/2/4; each
+# packed RAW1 frame is 17 header + 4*4*3 payload = 65 bytes.
+ORACLE_MEDIA_FRAMES = """
+SELECT doc_id * 10 + 2 AS media_id, CAST(g.j AS INT) AS frame_idx,
+       65 AS frame_bytes
+FROM documents, generate_series(0, 4, 2) g(j)
+WHERE doc_id % 5 = 0
+"""
+
 QUERIES.update({"media_features": q_media_features, "media_frames": q_media_frames})
+ORACLES.update(
+    {"media_features": ORACLE_MEDIA_FEATURES, "media_frames": ORACLE_MEDIA_FRAMES}
+)
 
 
 # ---------------------------------------------------------------------------

@@ -144,6 +144,16 @@ def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     return F.array_min(hashes)
 
 
+def doc_fingerprint_portable(text: Column | str, k: int = 3) -> Column:
+    """Same min-over-shingle-hashes fingerprint built on md5 instead of
+    xxhash64 — md5 is implemented identically in Spark and DuckDB, so
+    this variant is exactly mirrorable by the SQL oracle (the xxhash64
+    one above is the production fast path; both run the identical
+    shingle -> hash -> array_min pipeline)."""
+    sh = shingles(text, k)
+    return F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
+
+
 def shingle_hashes(text: Column | str, k: int = 3) -> Column:
     """64-bit k-shingle hashes WITHOUT materializing shingle strings.
 
