@@ -13,9 +13,11 @@ Reference algorithms reproduced from
   BM25Okapi scoring x priority-tag weights, threshold, re-sort to
   document order, clean_element serialization (:329-377).
 
-Divergence note: the reference's default BM25 pipeline Snowball-stems
-tokens; no stemmer ships in this environment, so ``use_stemming``
-defaults to False here and stemming is a no-op hook.
+Stemming: the reference's default BM25 pipeline Snowball-stems tokens
+(content_filter_strategy.py:23,408 ``use_stemming: bool = True``,
+stemWord per word before clean_tokens at :485-504); ``use_stemming``
+defaults to True here too, backed by the from-spec Porter2
+implementation in functions/stemmer.py.
 
 Spark surface: ``fit_markdown_stage`` — one Arrow-batched mapInPandas
 appending fit_html + fit_markdown (the reference wraps surviving blocks
@@ -458,10 +460,11 @@ def bm25_filter_blocks(
     user_query: str | None = None,
     bm25_threshold: float = 1.0,
     min_word_threshold: int | None = None,
-    use_stemming: bool = False,
+    use_stemming: bool = True,
 ) -> list[str]:
     """BM25ContentFilter.filter_content — blocks >= threshold, document
-    order, cleaned serialization."""
+    order, cleaned serialization. Stems before stop-word cleaning, the
+    reference's order (content_filter_strategy.py:485-504)."""
     if not html or not isinstance(html, str):
         return []
     root = parse_dom(html)
@@ -474,6 +477,11 @@ def bm25_filter_blocks(
         return []
     tokenized_corpus = [c[1].lower().split() for c in candidates]
     tokenized_query = query.lower().split()
+    if use_stemming:
+        from .stemmer import stem_words
+
+        tokenized_corpus = [stem_words(t) for t in tokenized_corpus]
+        tokenized_query = stem_words(tokenized_query)
     tokenized_corpus = [clean_tokens(t) for t in tokenized_corpus]
     tokenized_query = clean_tokens(tokenized_query)
     bm25 = _BM25Okapi(tokenized_corpus)
@@ -505,6 +513,7 @@ def fit_markdown_stage(
     threshold_type: str = "fixed",
     bm25_threshold: float = 1.0,
     min_word_threshold: int | None = None,
+    use_stemming: bool = True,
 ):
     """Append fit_html + fit_markdown via one Arrow-batched mapInPandas
     (DefaultMarkdownGenerator fit path: blocks wrapped in <div>, then
@@ -533,6 +542,7 @@ def fit_markdown_stage(
                         html, user_query=user_query,
                         bm25_threshold=bm25_threshold,
                         min_word_threshold=min_word_threshold,
+                        use_stemming=use_stemming,
                     )
                 else:
                     blocks = prune_filter_blocks(

@@ -189,3 +189,38 @@ def test_fit_markdown_stage_spark(spark, sf_dir):
         # boilerplate (nav/script) never survives the pruning filter
         assert "<nav>" not in r["fit_html"]
         assert "tracker" not in r["fit_markdown"]
+
+
+def test_bm25_stemming_differential():
+    """Inflected terms must match the query only when stemming is on —
+    the reference's default (content_filter_strategy.py:408)."""
+    from crawl4ai_spark.functions.content_filter import bm25_filter_blocks
+
+    html = (
+        "<html><head><title>connection guide</title></head><body>"
+        "<p>connected connecting connections everywhere in this text</p>"
+        "<p>utterly unrelated filler words about zebras galore</p>"
+        "<p>more filler prose discussing pelicans and granite quarries</p>"
+        "<p>further filler sentences covering kilns and tidal estuaries</p>"
+        "</body></html>"
+    )
+    stemmed = bm25_filter_blocks(html, bm25_threshold=0.4, use_stemming=True)
+    plain = bm25_filter_blocks(html, bm25_threshold=0.4, use_stemming=False)
+    assert any("connected" in b for b in stemmed)
+    assert not any("connected" in b for b in plain)
+
+
+def test_bm25_stemming_default_on():
+    import inspect
+
+    from crawl4ai_spark.functions.content_filter import (
+        bm25_filter_blocks,
+        fit_markdown_stage,
+    )
+
+    assert inspect.signature(bm25_filter_blocks).parameters[
+        "use_stemming"
+    ].default is True
+    assert inspect.signature(fit_markdown_stage).parameters[
+        "use_stemming"
+    ].default is True
