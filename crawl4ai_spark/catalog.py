@@ -1238,6 +1238,51 @@ FROM documents
 """
 
 
+def q_schema_extract_xpath(spark, sf_dir):
+    """JSON-XPath extraction (X8 true-XPath path) over the synthetic
+    pages: child/descendant axes, per-parent positional indexing and an
+    attribute predicate, all analytic in doc_id."""
+    from .functions.schema_extract import schema_extract_stage
+    from .synth import generate_pages
+
+    schema = {
+        "baseSelector": "//body",
+        "fields": [
+            {"name": "h1", "selector": ".//h1", "type": "text"},
+            {"name": "nav2", "selector": ".//nav/a[2]", "type": "text"},
+            {"name": "titled", "selector": ".//li/a[@title='target 1']",
+             "type": "text"},
+            {"name": "img_alt", "selector": ".//img", "type": "attribute",
+             "attribute": "alt"},
+        ],
+    }
+    pages = generate_pages(spark, sf_dir)
+    out = schema_extract_stage(pages, "html", schema, selector_type="xpath")
+    items = F.from_json(
+        "extracted_content",
+        "array<struct<h1:string,nav2:string,titled:string,img_alt:string>>",
+    )
+    first = items[0]
+    return out.select(
+        "url",
+        first["h1"].alias("h1"),
+        first["nav2"].alias("nav2"),
+        first["titled"].alias("titled"),
+        first["img_alt"].alias("img_alt"),
+    )
+
+
+ORACLE_SCHEMA_EXTRACT_XPATH = f"""
+SELECT {_PAGE_URL_SQL} AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+         array_to_string((str_split(text, ' '))[1:3], ' ') AS h1,
+       'link 1' AS nav2,
+       'item 1' AS titled,
+       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt
+FROM documents
+"""
+
+
 def q_content_fit_pruning(spark, sf_dir):
     """Pruning fit-markdown over the pages corpus.
 
@@ -1297,6 +1342,7 @@ def q_content_fit_bm25(spark, sf_dir):
 QUERIES.update(
     {
         "schema_extract_pages": q_schema_extract_pages,
+        "schema_extract_xpath": q_schema_extract_xpath,
         "content_fit_pruning": q_content_fit_pruning,
         # content_fit_bm25 stays rows-only BY DESIGN: its selection
         # depends on per-page BM25 idf statistics over the block-walk
@@ -1306,6 +1352,7 @@ QUERIES.update(
     }
 )
 ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
+ORACLES["schema_extract_xpath"] = ORACLE_SCHEMA_EXTRACT_XPATH
 ORACLES["content_fit_pruning"] = ORACLE_CONTENT_FIT_PRUNING
 
 
