@@ -899,6 +899,40 @@ SELECT doc_id, 0, text FROM p WHERE n <= 12
 """
 
 
+def q_chunk_sentence(spark, sf_dir):
+    """Sentence chunker over a synthetic sentence-ified corpus (the raw
+    corpus has no punctuation): every 7-word group becomes a period-
+    terminated sentence, which the chunker must recover with
+    first-occurrence dedup."""
+    from .functions.chunking import (
+        chunk_table,
+        fixed_word_chunks,
+        sentence_chunks,
+    )
+
+    df = _docs(spark, sf_dir).withColumn(
+        "_sent",
+        F.concat(F.array_join(fixed_word_chunks("text", 7), ". "), F.lit(".")),
+    )
+    return chunk_table(df, "_sent", sentence_chunks("_sent"), ["doc_id"])
+
+
+ORACLE_CHUNK_SENTENCE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+u AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 7)) AS s
+      FROM w WHERE len(ws) > 0),
+c AS (SELECT doc_id, s,
+             array_to_string(ws[s + 1 : s + 7], ' ') || '.' AS chunk
+      FROM u),
+f AS (SELECT doc_id, chunk, min(s) AS fs FROM c GROUP BY doc_id, chunk)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fs) - 1 AS INT)
+         AS chunk_idx,
+       chunk
+FROM f
+"""
+
+
 def q_chunk_regex(spark, sf_dir):
     from .functions.chunking import chunk_table, regex_chunks
 
@@ -1171,6 +1205,7 @@ QUERIES.update(
         "chunk_sliding": q_chunk_sliding,
         "chunk_overlap": q_chunk_overlap,
         "chunk_regex": q_chunk_regex,
+        "chunk_sentence": q_chunk_sentence,
         "head_meta": q_head_meta,
         "head_seo": q_head_seo,
         "head_relevance": q_head_relevance,
@@ -1184,6 +1219,7 @@ ORACLES.update(
         "chunk_sliding": ORACLE_CHUNK_SLIDING,
         "chunk_overlap": ORACLE_CHUNK_OVERLAP,
         "chunk_regex": ORACLE_CHUNK_REGEX,
+        "chunk_sentence": ORACLE_CHUNK_SENTENCE,
         "head_meta": ORACLE_HEAD_META,
         "head_seo": ORACLE_HEAD_SEO,
         "head_relevance": _oracle_head_relevance(),

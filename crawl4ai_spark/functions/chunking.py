@@ -100,6 +100,21 @@ def overlapping_window_chunks(
     return F.when(n <= window_size, F.array(c)).otherwise(body)
 
 
+def sentence_chunks(text: Column | str, dedupe: bool = True) -> Column:
+    """Regex sentence chunker standing in for NlpSentenceChunking
+    (reference chunking_strategy.py:65-91: NLTK sent_tokenize, then
+    ``list(set(...))``). nltk isn't in this environment; sentences are
+    instead extracted natively as maximal runs ending in [.?!] (tail
+    without terminator kept), trimmed, empties dropped. ``dedupe``
+    mirrors the reference's set() dedup but keeps first-occurrence
+    order rather than arbitrary set order (documented divergence — the
+    reference discards order entirely)."""
+    c = _c(text)
+    arr = F.regexp_extract_all(c, F.lit(r"[^.?!]+[.?!]+|[^.?!]+$"), 0)
+    arr = F.filter(F.transform(arr, lambda s: F.trim(s)), lambda s: s != "")
+    return F.array_distinct(arr) if dedupe else arr
+
+
 def chunk_table(df, text_col: str, chunks: Column, id_cols: list[str]):
     """Explode a chunk array into (ids..., chunk_idx, chunk) rows."""
     return df.select(

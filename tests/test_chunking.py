@@ -91,3 +91,50 @@ def test_identity_and_regex(spark):
     # multi-pattern: second pattern re-splits first-pass chunks
     got = _run(spark, ["a-b|c-d"], regex_chunks("text", ["\\|", "-"]))
     assert list(got[0]) == ["a", "b", "c", "d"]
+
+
+def test_sentence_chunks_loop_parity(spark):
+    """Spark sentence chunker vs a pure-Python reference splitter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.chunking import sentence_chunks
+
+    def py_sentences(text, dedupe=True):
+        parts = re.findall(r"[^.?!]+[.?!]+|[^.?!]+$", text)
+        parts = [p.strip() for p in parts]
+        parts = [p for p in parts if p]
+        if dedupe:
+            seen, out = set(), []
+            for p in parts:
+                if p not in seen:
+                    seen.add(p)
+                    out.append(p)
+            return out
+        return parts
+
+    cases = [
+        "One sentence. Two sentences! Three? And a tail without end",
+        "Repeat me. Repeat me. Unique one.",
+        "No terminator at all",
+        "  spaced.   out!  ",
+        "",
+        "Dr. Who? Yes... sort of.",
+        "multi\nline. with breaks\nhere.",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [
+        r["s"]
+        for r in df.select(sentence_chunks("t").alias("s")).collect()
+    ]
+    for text, chunks in zip(cases, got):
+        assert list(chunks) == py_sentences(text), text
+
+
+def test_sentence_chunks_no_dedupe(spark):
+    from crawl4ai_spark.functions.chunking import sentence_chunks
+
+    df = spark.createDataFrame([("A. A. B.",)], "t string")
+    row = df.select(sentence_chunks("t", dedupe=False).alias("s")).first()
+    assert list(row["s"]) == ["A.", "A.", "B."]
