@@ -1199,8 +1199,65 @@ FROM cov, cons, sat
 """
 
 
+def q_adaptive_embedding(spark, sf_dir):
+    """Embedding-strategy adaptive crawl link ranking (reference
+    EmbeddingStrategy adaptive_crawler.py:804-921): query variations,
+    KB and candidate links all drawn deterministically from the
+    embeddings table through the pluggable-embedder seam."""
+    from .operators.adaptive_embedding import (
+        coverage_gaps,
+        select_links_embedding,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kb = emb.filter(F.col("vec_id") % 5 == 1)
+    cand = emb.filter(F.col("vec_id") % 5 == 2).select(
+        F.col("vec_id").alias("link_id"), "embedding"
+    )
+    gaps = coverage_gaps(kb, queries)
+    out = select_links_embedding(cand, gaps, kb)
+    return out.select("link_id", F.round("link_score", 6).alias("link_score"))
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_ADAPTIVE_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+kb AS (SELECT v AS kv FROM e WHERE vec_id % 5 = 1),
+cand AS (SELECT vec_id AS link_id, v AS cv FROM e WHERE vec_id % 5 = 2),
+gaps AS (SELECT qid, qv,
+                min(1 - {_COS_SQL.format(a="qv", b="kv")}) AS gap
+         FROM q, kb GROUP BY qid, qv),
+pair AS (SELECT link_id, gap,
+                1 - {_COS_SQL.format(a="cv", b="qv")} AS nd
+         FROM cand, gaps),
+per AS (SELECT link_id,
+               sum(CASE WHEN gap > 0.2 AND nd < gap
+                        THEN (gap - nd) * 2 ELSE 0 END) AS total,
+               sum(CASE WHEN gap > 0.2 THEN 1 ELSE 0 END) AS nhelp
+        FROM pair GROUP BY link_id),
+ov AS (SELECT link_id, max({_COS_SQL.format(a="cv", b="kv")}) AS maxsim
+       FROM cand, kb GROUP BY link_id)
+SELECT per.link_id,
+       round((CASE WHEN nhelp > 0 THEN total / nhelp ELSE 0 END)
+             * (1 - CASE WHEN maxsim > 0.85
+                         THEN (maxsim - 0.85) * 2 ELSE 0 END), 6)
+         AS link_score
+FROM per JOIN ov ON per.link_id = ov.link_id
+"""
+
+
 QUERIES.update(
     {
+        "adaptive_embedding": q_adaptive_embedding,
         "chunk_fixed": q_chunk_fixed,
         "chunk_sliding": q_chunk_sliding,
         "chunk_overlap": q_chunk_overlap,
@@ -1215,6 +1272,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "adaptive_embedding": ORACLE_ADAPTIVE_EMBEDDING,
         "chunk_fixed": ORACLE_CHUNK_FIXED,
         "chunk_sliding": ORACLE_CHUNK_SLIDING,
         "chunk_overlap": ORACLE_CHUNK_OVERLAP,
