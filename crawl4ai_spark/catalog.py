@@ -1640,6 +1640,63 @@ QUERIES["link_intrinsic"] = q_link_intrinsic
 ORACLES["link_intrinsic"] = ORACLE_LINK_INTRINSIC
 
 
+def q_link_preview(spark, sf_dir):
+    """LinkPreview head-extraction loop (§2.11) over the synthetic
+    corpus: internal-only, '*.html' include pattern, 4-link cap; the
+    head source is each target page's own <head>, so the valid rows'
+    head_title is analytic via one arithmetic join."""
+    from .functions.headpeek import head_section
+    from .functions.scrape import scrape_stage
+    from .operators.link_preview import LinkPreviewConfig, link_preview_stage
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    results = scrape_stage(pages, "html", "url", markdown=False).select(
+        "url", "links"
+    )
+    heads = pages.select(
+        "url", head_section(F.col("html").cast("string")).alias("head_html")
+    )
+    cfg = LinkPreviewConfig(
+        include_internal=True, include_external=False,
+        include_patterns=("*.html",), max_links=4,
+    )
+    return link_preview_stage(results, heads, cfg)
+
+
+ORACLE_LINK_PREVIEW = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pages AS (SELECT doc_id, text, {_PAGE_URL_SQL} AS url FROM documents),
+lk AS (SELECT p.doc_id, p.url AS page_url, g.j AS link_pos,
+              (p.doc_id * 31 + g.j * 97 + 7) % (SELECT n FROM nn) AS tid,
+              TRUE AS is_internal
+       FROM pages p CROSS JOIN generate_series(0, 5) g(j)
+       UNION ALL
+       SELECT doc_id, url, 6, NULL, FALSE FROM pages),
+res AS (SELECT l.page_url,
+               CASE WHEN l.is_internal THEN t.url
+                    ELSE 'https://ext' || CAST(l.doc_id % 5 AS VARCHAR)
+                         || '.other.net/page' || CAST(l.doc_id % 11 AS VARCHAR)
+               END AS href,
+               CAST(l.link_pos AS INT) AS link_pos,
+               l.is_internal,
+               CASE WHEN l.is_internal AND l.link_pos < 4
+                    THEN 'valid' ELSE 'skipped' END AS status,
+               CASE WHEN l.is_internal AND l.link_pos < 4
+                    THEN 'Doc ' || CAST(t.doc_id AS VARCHAR) || ': '
+                         || array_to_string((str_split(t.text, ' '))[1:3], ' ')
+               END AS head_title
+        FROM lk l LEFT JOIN pages t ON l.tid = t.doc_id)
+SELECT page_url, href, link_pos, is_internal, status, head_title,
+       CAST(NULL AS DOUBLE) AS relevance_score,
+       0.0 AS total_score
+FROM res
+"""
+
+QUERIES["link_preview"] = q_link_preview
+ORACLES["link_preview"] = ORACLE_LINK_PREVIEW
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------
