@@ -1697,6 +1697,43 @@ QUERIES["link_preview"] = q_link_preview
 ORACLES["link_preview"] = ORACLE_LINK_PREVIEW
 
 
+def q_pdf_extract(spark, sf_dir):
+    """From-scratch PDF reader over the deterministic pdf table
+    (functions/pdf.py): per-page text slices, metadata and the page-1
+    /URI link are all arithmetic in doc_id."""
+    from .functions.pdf import generate_pdfs, pdf_process_stage
+
+    pdfs = generate_pdfs(spark, sf_dir)
+    out = pdf_process_stage(pdfs)
+    return out.select(
+        "doc_id", "page_number", "title", "author", "n_pages", "encrypted",
+        "raw_text",
+        F.try_element_at("links", F.lit(1)).alias("link0"),
+    )
+
+
+ORACLE_PDF_EXTRACT = """
+WITH w AS (SELECT doc_id, source, regexp_split_to_array(text, ' ') AS ws
+           FROM documents),
+pg AS (SELECT doc_id, source, ws, unnest(generate_series(0, doc_id % 3)) AS k
+       FROM w)
+SELECT doc_id, CAST(k + 1 AS INT) AS page_number,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       source AS author,
+       CAST(1 + doc_id % 3 AS INT) AS n_pages,
+       FALSE AS encrypted,
+       coalesce(array_to_string(ws[k * 10 + 1 : k * 10 + 10], ' '), '')
+         AS raw_text,
+       CASE WHEN doc_id % 4 = 0 AND k = 0
+            THEN 'https://ref' || CAST(doc_id % 9 AS VARCHAR)
+                 || '.example.com/cite' END AS link0
+FROM pg
+"""
+
+QUERIES["pdf_extract"] = q_pdf_extract
+ORACLES["pdf_extract"] = ORACLE_PDF_EXTRACT
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------
