@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "sim_cosine_topk", "sim_cosine_topk_lsh",
     "topk_capacity", "politeness_budget", "lineitem_pricing", "pages_meta",
+    "chunk_sentence", "schema_extract_xpath", "adaptive_embedding",
+    "link_preview", "pdf_extract",
 ]
 
 

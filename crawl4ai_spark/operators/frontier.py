@@ -457,10 +457,12 @@ class CrawlRun:
         self.politeness.save(new_state, r + 1)
 
         # one aggregate job per table for the manifest counters
-        rs = persisted.agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("fetch_status") == "robots_blocked").cast("int")).alias("blk"),
-            F.sum(F.col("success").cast("int")).alias("ok"),
+        # result counters come from the 32-row metrics table (blocked
+        # rows carry partition_id -1), not another scan of the results
+        rs = self.spark.read.parquet(self._metrics_path(r)).agg(
+            F.sum("n_urls").alias("n"),
+            F.sum(F.when(F.col("partition_id") == -1, F.col("n_urls"))).alias("blk"),
+            F.sum("n_ok").alias("ok"),
         ).first()
         # ONE aggregation over the just-written next-frontier parquet
         # replaces the former three per-round count jobs (frontier /
