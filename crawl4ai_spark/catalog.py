@@ -1734,6 +1734,53 @@ QUERIES["pdf_extract"] = q_pdf_extract
 ORACLES["pdf_extract"] = ORACLE_PDF_EXTRACT
 
 
+def q_schema_infer(spark, sf_dir):
+    """generate_schema structural inference round-trip (§2.10): each
+    page's dominant repeated group is its 3-item link list, so the
+    inferred schema must recover exactly those items — analytic via
+    the outlink arithmetic."""
+    from .functions.schema_extract import json_css_extract
+    from .functions.schema_infer import infer_schema
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir).select("url", "html")
+
+    def proc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                h = bytes(html).decode()
+                schema = infer_schema(h)
+                items = json_css_extract(h, schema) if schema else []
+                for i, it in enumerate(items):
+                    rows.append((url, i, it.get("a"), it.get("a_href")))
+            yield pd.DataFrame(
+                rows, columns=["url", "item_idx", "text", "href"]
+            )
+
+    return pages.mapInPandas(
+        proc, "url string, item_idx int, text string, href string"
+    )
+
+
+ORACLE_SCHEMA_INFER = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pages AS (SELECT doc_id, {_PAGE_URL_SQL} AS url FROM documents)
+SELECT p.url, CAST(g.j AS INT) AS item_idx,
+       'item ' || CAST(g.j AS VARCHAR) AS text,
+       t.url AS href
+FROM pages p
+CROSS JOIN generate_series(0, 2) g(j)
+JOIN pages t
+  ON t.doc_id = (p.doc_id * 31 + (g.j + 3) * 97 + 7) % (SELECT n FROM nn)
+"""
+
+QUERIES["schema_infer"] = q_schema_infer
+ORACLES["schema_infer"] = ORACLE_SCHEMA_INFER
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------
