@@ -1781,6 +1781,68 @@ QUERIES["schema_infer"] = q_schema_infer
 ORACLES["schema_infer"] = ORACLE_SCHEMA_INFER
 
 
+def q_ua_generate(spark, sf_dir):
+    """Deterministic UA generation + Sec-CH-UA hints (X14), indexed by
+    doc_id so the oracle replays the same table lookups."""
+    from .functions.user_agent import client_hints, user_agent
+
+    df = _docs(spark, sf_dir)
+    ua = user_agent(_d())
+    return df.select("doc_id", ua.alias("ua"), client_hints(ua).alias("hints"))
+
+
+def _oracle_ua() -> str:
+    from .functions.user_agent import (
+        CHROME_VERSIONS,
+        DESKTOP_PLATFORMS,
+        EDGE_VERSIONS,
+        FIREFOX_VERSIONS,
+        MOBILE_PLATFORMS,
+    )
+
+    def lst(opts):
+        return "[" + ", ".join("'" + o.replace("'", "''") + "'" for o in opts) + "]"
+
+    plats = lst(DESKTOP_PLATFORMS + MOBILE_PLATFORMS)
+    chrome = lst(CHROME_VERSIONS)
+    edge = lst(EDGE_VERSIONS)
+    firefox = lst(FIREFOX_VERSIONS)
+    majors = lst([v.split("/")[1].split(".")[0] for v in CHROME_VERSIONS])
+    edge_majors = lst([v.split("/")[1].split(".")[0] for v in EDGE_VERSIONS])
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         ({plats})[doc_id % 13 + 1] AS plat,
+         ({chrome})[doc_id % 5 + 1] AS cv,
+         ({edge})[doc_id % 5 + 1] AS ev,
+         ({firefox})[doc_id % 10 + 1] AS fv,
+         ({majors})[doc_id % 5 + 1] AS cmj,
+         ({edge_majors})[doc_id % 5 + 1] AS emj,
+         doc_id % 3 AS rot
+  FROM documents)
+SELECT doc_id,
+  'Mozilla/5.0 ' || plat || ' ' ||
+  CASE rot
+    WHEN 0 THEN 'AppleWebKit/537.36 (KHTML, like Gecko) ' || cv || ' Safari/537.36'
+    WHEN 1 THEN 'AppleWebKit/537.36 (KHTML, like Gecko) ' || cv
+                || ' Safari/537.36 ' || ev
+    ELSE 'Gecko/20100101 ' || fv
+  END AS ua,
+  CASE rot
+    WHEN 0 THEN '"Chromium";v="' || cmj || '", "Not_A Brand";v="8", '
+                || '"Google Chrome";v="' || cmj || '"'
+    WHEN 1 THEN '"Chromium";v="' || cmj || '", "Not_A Brand";v="8", '
+                || '"Microsoft Edge";v="' || emj || '"'
+    ELSE '""'
+  END AS hints
+FROM p
+"""
+
+
+QUERIES["ua_generate"] = q_ua_generate
+ORACLES["ua_generate"] = _oracle_ua()
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------

@@ -198,3 +198,31 @@ def test_extension(spark):
     got = {r["url"]: r["e"] for r in df.select("url", extension("url").alias("e")).collect()}
     for u, expected in EXT_CASES:
         assert (got[u] or "") == expected, u
+
+
+def test_user_agent_client_hints_branches(spark):
+    """Sec-CH-UA derivation matches the reference branch logic
+    (user_agent_generator.py:24-66) for all four browser families."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.user_agent import client_hints, user_agent
+
+    cases = [
+        ("Mozilla/5.0 (X) AppleWebKit/537.36 Chrome/119.0.1 Safari/537.36",
+         '"Chromium";v="119", "Not_A Brand";v="8", "Google Chrome";v="119"'),
+        ("Mozilla/5.0 (X) Chrome/118.0.1 Safari/537.36 Edg/118.0.2",
+         '"Chromium";v="118", "Not_A Brand";v="8", "Microsoft Edge";v="118"'),
+        ("Mozilla/5.0 (X) Gecko/20100101 Firefox/119.0", '""'),
+        ("Mozilla/5.0 (iPhone) Version/16.5 Mobile/15E148", 
+         '"Safari";v="16", "Not_A Brand";v="8"'),
+        ("curl/8.0", '""'),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "ua string")
+    got = [r["h"] for r in df.select(client_hints("ua").alias("h")).collect()]
+    assert got == [c[1] for c in cases]
+
+    # determinism: same index -> same UA
+    d = spark.range(20).select(user_agent(F.col("id")).alias("ua"))
+    a = [r["ua"] for r in d.collect()]
+    b = [r["ua"] for r in d.collect()]
+    assert a == b and all(u.startswith("Mozilla/5.0 (") for u in a)
