@@ -1843,6 +1843,37 @@ QUERIES["ua_generate"] = q_ua_generate
 ORACLES["ua_generate"] = _oracle_ua()
 
 
+def q_ssl_parse(spark, sf_dir):
+    """From-scratch DER/X.509 decode over the deterministic cert table
+    (functions/ssl_cert.py); every field is arithmetic in doc_id. The
+    sha256 fingerprint is pytest-pinned (DER bytes aren't rebuildable
+    in SQL)."""
+    from .functions.ssl_cert import generate_certs, ssl_cert_stage
+
+    out = ssl_cert_stage(generate_certs(spark, sf_dir))
+    return out.select(
+        "doc_id", "subject_cn", "subject_o", "issuer_cn", "issuer_c",
+        "serial", "not_before", "not_after",
+    )
+
+
+ORACLE_SSL_PARSE = """
+SELECT doc_id,
+       'h' || CAST(doc_id % 32 AS VARCHAR) || '.example.com' AS subject_cn,
+       source AS subject_o,
+       'Example CA ' || CAST(doc_id % 3 AS VARCHAR) AS issuer_cn,
+       'US' AS issuer_c,
+       1000 + doc_id AS serial,
+       '2024-01-01 00:00:00' AS not_before,
+       '2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-01 00:00:00'
+         AS not_after
+FROM documents
+"""
+
+QUERIES["ssl_parse"] = q_ssl_parse
+ORACLES["ssl_parse"] = ORACLE_SSL_PARSE
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------
