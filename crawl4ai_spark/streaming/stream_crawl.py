@@ -79,6 +79,94 @@ def start_stream_extract(
     )
 
 
+POLITENESS_STATE_SCHEMA = "current_delay double, fail_count int, rounds int"
+POLITENESS_OUT_SCHEMA = (
+    "host string, current_delay double, fail_count int, rounds int, "
+    "n_urls long, n_ok long"
+)
+
+
+def _politeness_fold(key, pdfs, state):
+    """Per-host backoff fold (the streaming twin of
+    operators/politeness.update_state): all-success decays delay x0.75
+    (floored at 1s), any failure doubles it with deterministic jitter
+    in [0.75, 1.25) capped at 60s; fail_count tracks consecutive
+    all-failed micro-batches. Jitter hashes (host, fold round) — md5
+    here vs xxhash64 in the batch engine, both deterministic per
+    engine (documented divergence; the reference jitters randomly)."""
+    import hashlib
+
+    import pandas as pd
+
+    host = key[0]
+    if state.exists:
+        delay, fail, rounds = state.get
+    else:
+        delay, fail, rounds = 1.0, 0, 0
+    n = ok = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        ok += int(pdf["success"].sum())
+    h = int.from_bytes(hashlib.md5(f"{host}:{rounds}".encode()).digest()[:4], "big")
+    jitter = 0.75 + (h % 1000) / 2000.0
+    if n > 0 and ok < n:
+        delay = min(delay * 2.0 * jitter, 60.0)
+    else:
+        delay = max(delay * 0.75, 1.0)
+    if n > 0 and ok == 0:
+        fail += 1
+    elif ok > 0:
+        fail = 0
+    rounds += 1
+    state.update((float(delay), int(fail), int(rounds)))
+    yield pd.DataFrame(
+        [
+            {
+                "host": host, "current_delay": float(delay),
+                "fail_count": int(fail), "rounds": int(rounds),
+                "n_urls": int(n), "n_ok": int(ok),
+            }
+        ]
+    )
+
+
+def start_stream_politeness(
+    spark: SparkSession,
+    results_dir: str,
+    state_out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful streaming operator: per-host politeness/backoff
+    state folded across micro-batches with ``applyInPandasWithState``
+    — checkpointed, so a killed stream resumes with the exact per-host
+    delays (the streaming analog of PolitenessState round files)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = "url string, host string, warc_ts timestamp, success boolean"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(results_dir)
+    )
+    folded = stream.groupBy("host").applyInPandasWithState(
+        _politeness_fold,
+        outputStructType=POLITENESS_OUT_SCHEMA,
+        stateStructType=POLITENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        folded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", state_out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
 def start_stream_metrics(
     spark: SparkSession,
     results_dir: str,

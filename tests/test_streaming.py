@@ -4,6 +4,7 @@ checkpoint without re-processing."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -87,3 +88,84 @@ def test_stream_extract_incremental_and_resume(spark, sf_dir, tmp_path):
     assert ok == 30  # every url exists in the corpus
     assert res.filter(F.col("raw_markdown").isNull()).count() == 0
     pages.unpersist()
+
+
+def test_stream_politeness_stateful_fold_and_resume(spark, tmp_path):
+    """applyInPandasWithState per-host backoff: fold parity with a
+    python simulator across micro-batches, and checkpointed state
+    surviving a stream restart."""
+    import hashlib
+
+    from crawl4ai_spark.streaming.stream_crawl import start_stream_politeness
+
+    events_dir = str(tmp_path / "events")
+    state_dir = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "pol_ckpt")
+    os.makedirs(events_dir, exist_ok=True)
+
+    def batch(rows):
+        spark.createDataFrame(
+            [(u, h, None, s) for u, h, s in rows],
+            "url string, host string, warc_ts timestamp, success boolean",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    def simulate(folds):
+        delay, fail = 1.0, 0
+        for r, (n, ok) in enumerate(folds):
+            h = int.from_bytes(
+                hashlib.md5(f"h1:{r}".encode()).digest()[:4], "big"
+            )
+            jitter = 0.75 + (h % 1000) / 2000.0
+            if n > 0 and ok < n:
+                delay = min(delay * 2.0 * jitter, 60.0)
+            else:
+                delay = max(delay * 0.75, 1.0)
+            if n > 0 and ok == 0:
+                fail += 1
+            elif ok > 0:
+                fail = 0
+        return delay, fail
+
+    def rows_for(host):
+        try:
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(state_dir)
+                    .filter(f"host = '{host}'")
+                    .select("rounds", "current_delay", "fail_count")
+                    .collect(),
+                )
+            )
+        except Exception:
+            return []
+
+    q = start_stream_politeness(spark, events_dir, state_dir, ckpt)
+    try:
+        # batch 1: h1 all fail, h2 all ok
+        batch([("u1", "h1", False), ("u2", "h1", False), ("u3", "h2", True)])
+        assert _wait_for(lambda: len(rows_for("h1")) >= 1)
+        # batch 2: h1 mixed
+        batch([("u4", "h1", True), ("u5", "h1", False)])
+        assert _wait_for(lambda: len(rows_for("h1")) >= 2)
+    finally:
+        q.stop()
+
+    # restart from checkpoint; batch 3 continues the fold (rounds=2)
+    q2 = start_stream_politeness(spark, events_dir, state_dir, ckpt)
+    try:
+        batch([("u6", "h1", False), ("u7", "h1", False)])
+        assert _wait_for(lambda: len(rows_for("h1")) >= 3)
+    finally:
+        q2.stop()
+
+    got = rows_for("h1")
+    want = []
+    folds = [(2, 0), (2, 1), (2, 0)]
+    for r in range(1, 4):
+        d, f = simulate(folds[:r])
+        want.append((r, d, f))
+    assert got == sorted(want)
+    # all-success host decays at the floor
+    h2 = rows_for("h2")
+    assert h2[0][1] == 1.0 and h2[0][2] == 0
