@@ -93,6 +93,14 @@ class SeenFilter:
         self.bloom_path = os.path.join(workdir, "url_seen_blooms")
         self.n_shards = n_shards
         self.use_bloom = use_bloom
+        # per-round bloom cache + its broadcast: only NEW delta rounds
+        # are read from disk, and the broadcast is rebuilt only when the
+        # round set changes (production: executors hold the blooms and
+        # new increments stream in — reloading the full set per query
+        # would dominate the fast path it exists to provide)
+        self._bloom_rounds: dict[int, dict[int, list]] = {}
+        self._bloom_bc = None
+        self._bloom_bc_key: tuple = ()
 
     def _rounds(self, path: str) -> set[int]:
         if not os.path.exists(path):
@@ -124,20 +132,38 @@ class SeenFilter:
 
     def _load_blooms(self) -> dict[int, list[tuple[int, int, np.ndarray]]] | None:
         """Per-shard bloom list, or None when sidecars don't cover every
-        delta round (falling back to the exact join keeps exactness)."""
-        if self._rounds(self.path) != self._rounds(self.bloom_path):
+        delta round (falling back to the exact join keeps exactness).
+        Incremental: rounds already cached are not re-read."""
+        rounds = self._rounds(self.path)
+        if rounds != self._rounds(self.bloom_path):
             return None
-        if not self._has_data(self.bloom_path):
-            return {}
-        pdf = self.spark.read.schema(BLOOM_SCHEMA).parquet(
-            self.bloom_path
-        ).toPandas()
-        blooms: dict[int, list] = {}
-        for row in pdf.itertuples():
-            blooms.setdefault(int(row.shard), []).append(
-                (int(row.m), int(row.k), np.frombuffer(row.bits, dtype=np.uint8))
-            )
-        return blooms
+        self._bloom_rounds = {
+            r: v for r, v in self._bloom_rounds.items() if r in rounds
+        }
+        for r in sorted(rounds - set(self._bloom_rounds)):
+            rp = os.path.join(self.bloom_path, f"round={r}")
+            per_round: dict[int, list] = {}
+            if self._has_data(rp):
+                pdf = self.spark.read.schema(BLOOM_SCHEMA).parquet(rp).toPandas()
+                for row in pdf.itertuples():
+                    per_round.setdefault(int(row.shard), []).append(
+                        (int(row.m), int(row.k),
+                         np.frombuffer(row.bits, dtype=np.uint8))
+                    )
+            self._bloom_rounds[r] = per_round
+        merged: dict[int, list] = {}
+        for per_round in self._bloom_rounds.values():
+            for shard, lst in per_round.items():
+                merged.setdefault(shard, []).extend(lst)
+        return merged
+
+    def _bloom_broadcast(self, blooms: dict, rounds_key: tuple):
+        if self._bloom_bc is None or self._bloom_bc_key != rounds_key:
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist(blocking=False)
+            self._bloom_bc = self.spark.sparkContext.broadcast(blooms)
+            self._bloom_bc_key = rounds_key
+        return self._bloom_bc
 
     def anti_join(self, candidates: DataFrame, url_hash_col: str = "url_hash") -> DataFrame:
         """Rows of ``candidates`` whose url_hash is NOT in the seen set.
@@ -166,7 +192,9 @@ class SeenFilter:
             )
 
         n_shards = self.n_shards
-        bc = self.spark.sparkContext.broadcast(blooms)
+        bc = self._bloom_broadcast(
+            blooms, tuple(sorted(self._rounds(self.path)))
+        )
 
         @F.pandas_udf("boolean")
         def maybe_seen(h: pd.Series) -> pd.Series:
@@ -181,29 +209,44 @@ class SeenFilter:
                     out[sel] = _bloom_test_any(hv[sel], bl)
             return pd.Series(out)
 
+        # the bloom shrinks the candidate side to the tiny "maybe" set,
+        # which unlocks a zero-shuffle topology: collect the maybe
+        # hashes (callers persist `candidates` when their plan is
+        # expensive), probe the shard-pruned seen scan MAP-SIDE (the
+        # exact path would shuffle the full seen side), then
+        # broadcast-anti the confirmed hits back onto the candidates.
         cand = candidates.withColumn("__maybe", maybe_seen(F.col(url_hash_col)))
-        definite_new = cand.filter(~F.col("__maybe")).drop("__maybe")
-        maybe = cand.filter(F.col("__maybe")).drop("__maybe")
-
-        # shard list of the maybe rows -> file pruning on the seen side.
-        # (callers persist `candidates` when its plan is expensive)
-        touched = [
-            int(r["s"])
-            for r in maybe.select(
-                shard_of(F.col(url_hash_col), n_shards).alias("s")
-            ).distinct().collect()
+        maybe_hashes = [
+            int(r["h"])
+            for r in cand.filter(F.col("__maybe"))
+            .select(F.col(url_hash_col).alias("h"))
+            .distinct()
+            .collect()
         ]
-        if not touched:
-            return definite_new
-        seen = (
+        if not maybe_hashes:
+            return cand.drop("__maybe")
+        if len(maybe_hashes) > 2_000_000:
+            # driver-memory guard: giant maybe sets (bloom barely
+            # filtering) degrade to the plain co-partitioned anti-join
+            seen = self.load().select(F.col("url_hash").alias("__seen_hash"))
+            return candidates.join(
+                seen, F.col(url_hash_col) == F.col("__seen_hash"), "left_anti"
+            )
+        touched = sorted({h % n_shards for h in maybe_hashes})
+        probe = self.spark.createDataFrame(
+            [(h,) for h in maybe_hashes], "url_hash bigint"
+        )
+        confirmed = (
             self.load()
             .filter(F.col("shard").isin(touched))
+            .join(F.broadcast(probe), "url_hash", "left_semi")
             .select(F.col("url_hash").alias("__seen_hash"))
         )
-        confirmed_new = maybe.join(
-            seen, F.col(url_hash_col) == F.col("__seen_hash"), "left_anti"
+        return cand.drop("__maybe").join(
+            F.broadcast(confirmed),
+            F.col(url_hash_col) == F.col("__seen_hash"),
+            "left_anti",
         )
-        return definite_new.unionByName(confirmed_new)
 
     def add(self, rows: DataFrame, round_no: int,
             url_hash_col: str = "url_hash", url_col: str = "url") -> None:
