@@ -1874,6 +1874,98 @@ QUERIES["ssl_parse"] = q_ssl_parse
 ORACLES["ssl_parse"] = ORACLE_SSL_PARSE
 
 
+def q_robots_decision(spark, sf_dir):
+    """Robots gate (S12/J6) over the synthetic corpus: hosts h(n) with
+    n%4==1 disallow /de/, h0 carries a crawl-delay — both analytic."""
+    from .operators.robots import (
+        rules_table,
+        synthetic_robots,
+        with_robots_decision,
+    )
+    from .synth import generate_pages
+
+    frontier = generate_pages(spark, sf_dir).select(
+        "url", host("url").alias("host")
+    )
+    rules = rules_table(spark, synthetic_robots([f"h{i}" for i in range(32)]))
+    out = with_robots_decision(frontier, rules)
+    return out.select("url", "robots_allowed", "robots_crawl_delay")
+
+
+_HOSTNUM_SQL = "(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END)"
+
+ORACLE_ROBOTS_DECISION = f"""
+SELECT {_PAGE_URL_SQL} AS url,
+       NOT ({_HOSTNUM_SQL} % 4 = 1 AND lang = 'de') AS robots_allowed,
+       CASE WHEN {_HOSTNUM_SQL} = 0 THEN 0.5 END AS robots_crawl_delay
+FROM documents
+"""
+
+
+def q_filter_chain_stats(spark, sf_dir):
+    """FilterChain + FilterStats (F1/A1): one-pass pass/reject counters
+    over the derived url table, plus the short-circuit chain."""
+    from .operators.filters import filter_chain, filter_stats
+
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    preds = {
+        "pattern": url_pattern_filter("url", ["*.html"]),
+        "ctype": content_type_filter("url", ["text"]),
+        "domain": domain_filter(
+            "url", allowed_domains=["example.com"],
+            blocked_domains=["src0.example.com"],
+        ),
+    }
+    preds["chain"] = filter_chain(*preds.values())
+    return filter_stats(df, preds)
+
+
+ORACLE_FILTER_CHAIN_STATS = """
+SELECT count(*) AS total_urls,
+       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pattern_passed,
+       CAST(sum(CASE WHEN doc_id % 5 IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT)
+         AS ctype_passed,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 AND source <> 'src0'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS domain_passed,
+       CAST(sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0
+                      AND source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+         AS chain_passed
+FROM documents
+"""
+
+
+def q_text_bpe_count(spark, sf_dir):
+    from .functions.text import bpe_ish_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe")
+    )
+
+
+ORACLE_TEXT_BPE_COUNT = """
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS wd
+           FROM documents)
+SELECT doc_id, CAST(sum(ceil(length(wd) / 6.0)) AS BIGINT) AS n_bpe
+FROM w GROUP BY doc_id
+"""
+
+QUERIES.update(
+    {
+        "robots_decision": q_robots_decision,
+        "filter_chain_stats": q_filter_chain_stats,
+        "text_bpe_count": q_text_bpe_count,
+    }
+)
+ORACLES.update(
+    {
+        "robots_decision": ORACLE_ROBOTS_DECISION,
+        "filter_chain_stats": ORACLE_FILTER_CHAIN_STATS,
+        "text_bpe_count": ORACLE_TEXT_BPE_COUNT,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Data-table detection/extraction (A10, §2.8 tables)
 # ---------------------------------------------------------------------------
