@@ -1433,10 +1433,141 @@ def q_content_fit_bm25(spark, sf_dir):
     )
 
 
+def q_content_fit_bm25_nostem(spark, sf_dir):
+    """BM25 fit-content selection with stemming off — the variant whose
+    every stage (page-query extraction, block-walk chunking,
+    clean_tokens, BM25Okapi with epsilon idf-flooring, priority-tag
+    weighting, thresholding) is mirrored exactly by the SQL oracle over
+    the synthetic pages' enumerable chunk list. The stemming-on default
+    stays rows-only (Porter2 isn't SQL-expressible) and is pinned by
+    the ported reference tests + tests/test_stemmer.py."""
+    from .functions.content_filter import fit_markdown_stage
+    from .synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    out = fit_markdown_stage(
+        pages, html_col="html", url_col="url", filter_type="bm25",
+        bm25_threshold=0.5, use_stemming=False,
+    )
+    n_blocks = F.size(F.split("fit_html", F.lit("<div>"), -1)) - 1
+    return out.select("url", n_blocks.alias("n_blocks"))
+
+
+def _oracle_content_fit_bm25_nostem() -> str:
+    from .functions.content_filter import NOISE, STOP_WORDS
+
+    stop = sorted(
+        w for w in (STOP_WORDS | NOISE) if "'" not in w or True
+    )
+    stop_sql = ", ".join("'" + w.replace("'", "''") + "'" for w in stop)
+    keep = (
+        "list_filter(str_split_regex(lower({t}), '\\s+'), "
+        f"x -> length(x) > 2 AND x NOT IN ({stop_sql}))"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, lang, text, regexp_split_to_array(text, ' ') AS ws
+           FROM documents),
+p AS (SELECT doc_id, lang, text, ws, len(ws) AS n, len(ws) // 3 AS stp FROM w),
+-- the block-walk chunk list of every synthetic page, in document order
+chunks AS (
+  SELECT doc_id, 0 AS ord, 'link 0|link 1|link 2' AS ctext, 'nav' AS tag FROM p
+  UNION ALL
+  SELECT doc_id, 1,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ': '
+           || array_to_string(ws[1:3], ' '), 'h1' FROM p
+  UNION ALL
+  SELECT doc_id, 2 + k,
+         array_to_string(ws[k * stp + 1 : (k + 1) * stp], ' ')
+           || CASE WHEN k = 1 AND doc_id % 3 = 0 THEN 'keysection'
+                   ELSE '' END,
+         'p'
+  FROM p, unnest([0, 1, 2]) t(k)
+  UNION ALL
+  SELECT doc_id, 5 + k, 'item ' || CAST(k AS VARCHAR), 'li'
+  FROM p, unnest([0, 1, 2]) t(k)
+  UNION ALL
+  SELECT doc_id, 8,
+         'External:partner ' || CAST(doc_id % 5 AS VARCHAR), 'p' FROM p
+  UNION ALL
+  SELECT doc_id, 9, 'k', 'th' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 10, 'v', 'th' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 11, 'id', 'td' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 12, CAST(doc_id AS VARCHAR), 'td' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 13, 'lang', 'td' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 14, lang, 'td' FROM p WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 15,
+         'value = ' || CAST(doc_id AS VARCHAR) || ' lang = ''' || lang || '''',
+         'pre' FROM p WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 16, array_to_string(ws[1:5], ' '), 'blockquote'
+  FROM p WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 17, 'var tracker = 1;', 'body' FROM p),
+tok AS (SELECT doc_id, ord, tag, {keep.format(t="ctext")} AS toks FROM chunks),
+cl AS (SELECT doc_id, ord, tag, toks, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+st AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS nchunks, avg(dl) AS avgdl
+       FROM cl GROUP BY doc_id),
+-- per-page vocabulary idf with rank_bm25's epsilon flooring
+voc AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS df
+        FROM (SELECT doc_id, ord, unnest(list_distinct(toks)) AS t FROM cl)
+        GROUP BY doc_id, t),
+vraw AS (SELECT v.doc_id, v.t,
+                ln(s.nchunks - v.df + 0.5) - ln(v.df + 0.5) AS idf_raw
+         FROM voc v JOIN st s ON v.doc_id = s.doc_id),
+eps AS (SELECT doc_id, 0.25 * avg(idf_raw) AS fl FROM vraw GROUP BY doc_id),
+vf AS (SELECT vraw.doc_id, t,
+              CASE WHEN idf_raw < 0 THEN eps.fl ELSE idf_raw END AS idf
+       FROM vraw JOIN eps ON vraw.doc_id = eps.doc_id),
+-- page query = title + h1 (identical) + meta description, cleaned,
+-- multiplicity preserved (BM25Okapi scores each query token occurrence)
+q0 AS (SELECT doc_id,
+              {keep.format(
+                  t="'Doc ' || CAST(doc_id AS VARCHAR) || ': ' "
+                    "|| array_to_string(ws[1:3], ' ')")} AS tq,
+              {keep.format(t="array_to_string(ws[1:8], ' ')")} AS dq
+       FROM p),
+qt AS (SELECT doc_id, unnest(list_concat(list_concat(tq, tq), dq)) AS t
+       FROM q0),
+-- per (chunk, query-token-occurrence) BM25 contribution
+contrib AS (
+  SELECT cl.doc_id, cl.ord, cl.tag,
+         vf.idf * (CAST(len(list_filter(cl.toks, x -> x = qt.t)) AS DOUBLE)
+                   * 2.5)
+           / (CAST(len(list_filter(cl.toks, x -> x = qt.t)) AS DOUBLE)
+              + 1.5 * (1.0 - 0.75 + 0.75 * cl.dl / st.avgdl)) AS sc
+  FROM cl
+  JOIN st ON cl.doc_id = st.doc_id
+  JOIN qt ON qt.doc_id = cl.doc_id
+  JOIN vf ON vf.doc_id = cl.doc_id AND vf.t = qt.t),
+scores AS (SELECT doc_id, ord, tag, coalesce(sum(sc), 0.0) AS score
+           FROM contrib GROUP BY doc_id, ord, tag),
+sel AS (SELECT c.doc_id,
+               CASE WHEN coalesce(s.score, 0.0)
+                         * (CASE c.tag WHEN 'h1' THEN 5.0 WHEN 'th' THEN 1.5
+                                       WHEN 'pre' THEN 1.5
+                                       WHEN 'blockquote' THEN 2.0
+                                       ELSE 1.0 END) >= 0.5
+                    THEN 1 ELSE 0 END AS hit
+        FROM chunks c LEFT JOIN scores s
+          ON c.doc_id = s.doc_id AND c.ord = s.ord)
+SELECT {_PAGE_URL_SQL} AS url,
+       CAST((SELECT sum(hit) FROM sel WHERE sel.doc_id = documents.doc_id)
+            AS INT) AS n_blocks
+FROM documents
+"""
+
+
 QUERIES.update(
     {
         "schema_extract_pages": q_schema_extract_pages,
         "schema_extract_xpath": q_schema_extract_xpath,
+        "content_fit_bm25_nostem": q_content_fit_bm25_nostem,
         "content_fit_pruning": q_content_fit_pruning,
         # content_fit_bm25 stays rows-only BY DESIGN: its selection
         # depends on per-page BM25 idf statistics over the block-walk
@@ -1447,6 +1578,7 @@ QUERIES.update(
 )
 ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
 ORACLES["schema_extract_xpath"] = ORACLE_SCHEMA_EXTRACT_XPATH
+ORACLES["content_fit_bm25_nostem"] = _oracle_content_fit_bm25_nostem()
 ORACLES["content_fit_pruning"] = ORACLE_CONTENT_FIT_PRUNING
 
 
