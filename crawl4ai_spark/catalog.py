@@ -639,6 +639,100 @@ WHERE j >= 0.9
 """
 
 
+def q_dedup_minhash_portable(spark, sf_dir):
+    """The full MinHash+LSH pipeline with the engine-portable shingle
+    hash: permutations, banding, candidate generation and the
+    agreement estimate are all replayed exactly by the SQL oracle (the
+    xxhash64 production entry stays rows-only)."""
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)
+    out = minhash_lsh_pairs(
+        df.unionByName(near), "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.8, hash_fn="md5",
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _oracle_minhash_portable() -> str:
+    from .operators.dedup import MERSENNE_P, _mh_params
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_params(64, 42))
+    )
+    return f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+w AS (SELECT doc_id AS id, regexp_split_to_array(text, ' ') AS ws FROM u),
+sh AS (SELECT id, unnest(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       FROM w WHERE len(ws) >= 3),
+hv AS (SELECT id,
+              CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                % {MERSENNE_P} AS h
+       FROM sh),
+params(pi, a, b) AS (VALUES {vals}),
+sigs AS (SELECT id, pi, min((a * h + b) % {MERSENNE_P}) AS sv
+         FROM hv CROSS JOIN params GROUP BY id, pi),
+bnd AS (SELECT id, pi // 4 AS band,
+               array_to_string(list(sv ORDER BY pi), ',') AS key
+        FROM sigs GROUP BY id, pi // 4),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+agree AS (SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / 64.0 AS ej
+          FROM cand c
+          JOIN sigs sa ON sa.id = c.id_a
+          JOIN sigs sb ON sb.id = c.id_b AND sb.pi = sa.pi
+          GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM agree WHERE ej >= 0.8
+"""
+
+
+def q_dedup_simhash_portable(spark, sf_dir):
+    """SimHash with the portable shingle hash: the bit-vote fold, the
+    pigeonhole block tables and the Hamming verify are replayed by the
+    SQL oracle (xxhash64 production entry stays rows-only)."""
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)
+    out = simhash_pairs(
+        df.unionByName(near), "text", "doc_id", max_hamming=3, hash_fn="md5"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_SIMHASH_PORTABLE = """
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+w AS (SELECT doc_id AS id, regexp_split_to_array(text, ' ') AS ws FROM u),
+sh AS (SELECT id, unnest(list_transform(
+           generate_series(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1])) AS s
+       FROM w WHERE len(ws) >= 2),
+hv AS (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+       FROM sh),
+bits AS (SELECT id, j,
+                CASE WHEN sum(2 * ((h // (CAST(1 AS BIGINT) << j)) % 2) - 1)
+                          > 0 THEN 1 ELSE 0 END AS bit
+         FROM hv, unnest(generate_series(0, 59)) t(j)
+         GROUP BY id, j),
+sim AS (SELECT id, sum(bit * (CAST(1 AS BIGINT) << j)) AS sh FROM bits
+        GROUP BY id),
+tab AS (SELECT id, sh, t,
+               (sh // (CAST(1 AS BIGINT) << (16 * t))) % 65536 AS key
+        FROM sim, unnest(generate_series(0, 3)) g(t)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.sh AS ha, b.sh AS hb
+         FROM tab a JOIN tab b
+           ON a.t = b.t AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint_portable("text").alias("fp")
@@ -695,6 +789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_dedup_similarity.py.
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
@@ -722,6 +818,8 @@ ORACLES: dict[str, str] = {
     "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_portable": _oracle_minhash_portable(),
+    "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
 }
 

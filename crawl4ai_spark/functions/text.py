@@ -154,6 +154,18 @@ def doc_fingerprint_portable(text: Column | str, k: int = 3) -> Column:
     return F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
 
 
+def shingle_hashes_md5(text: Column | str, k: int = 3) -> Column:
+    """Engine-portable 60-bit shingle hashes: md5-prefix integers over
+    the shingle strings — computed identically by Spark and DuckDB, so
+    the minhash/simhash oracles can replay the exact pipeline (the
+    xxhash64 path below is the production fast path)."""
+    sh = shingles(text, k)
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
 def shingle_hashes(text: Column | str, k: int = 3) -> Column:
     """64-bit k-shingle hashes WITHOUT materializing shingle strings.
 

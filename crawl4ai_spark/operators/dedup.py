@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_hashes, shingles, tokens
+from ..functions.text import shingle_hashes, shingle_hashes_md5, shingles, tokens
 
 # Mersenne prime 2^31-1: (a*(x%p))%p stays within int64 for a,p < 2^31.
 MERSENNE_P = 2147483647
@@ -98,13 +98,18 @@ def _minhash_udf(num_hashes: int, seed: int):
 
 
 def minhash_signature(
-    text: Column | str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
+    text: Column | str, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> Column:
-    """MinHash signature (array<bigint> of length num_hashes) — narrow."""
-    base = F.transform(
-        shingle_hashes(text, shingle_k),
-        lambda x: F.pmod(x, F.lit(MERSENNE_P)),
+    """MinHash signature (array<bigint> of length num_hashes) — narrow.
+    ``hash_fn='md5'`` swaps in the engine-portable shingle hash so the
+    SQL oracle can replay the identical permutations."""
+    hashes = (
+        shingle_hashes(text, shingle_k)
+        if hash_fn == "xxhash64"
+        else shingle_hashes_md5(text, shingle_k)
     )
+    base = F.transform(hashes, lambda x: F.pmod(x, F.lit(MERSENNE_P)))
     return _minhash_udf(num_hashes, seed)(base)
 
 
@@ -118,6 +123,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float | None = None,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -136,7 +142,7 @@ def minhash_lsh_pairs(
     side table keyed by id — the persist here is that table.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed, hash_fn)
     with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
 
     band_arr = F.array(
@@ -232,10 +238,17 @@ def _simhash_udf():
     return sh64
 
 
-def simhash(text: Column | str, shingle_k: int = 2) -> Column:
-    """64-bit SimHash over xxhash64 shingle hashes (bit j of the result
-    is the sign of the per-bit vote sum)."""
-    return _simhash_udf()(shingle_hashes(text, shingle_k))
+def simhash(text: Column | str, shingle_k: int = 2,
+            hash_fn: str = "xxhash64") -> Column:
+    """64-bit SimHash over shingle hashes (bit j of the result is the
+    sign of the per-bit vote sum); ``hash_fn='md5'`` uses the portable
+    60-bit shingle hash (top bits vote all-negative -> zero)."""
+    hashes = (
+        shingle_hashes(text, shingle_k)
+        if hash_fn == "xxhash64"
+        else shingle_hashes_md5(text, shingle_k)
+    )
+    return _simhash_udf()(hashes)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -250,6 +263,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_k: int = 2,
     n_tables: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -259,7 +273,7 @@ def simhash_pairs(
     then exact Hamming verify. One shuffle per table, no all-pairs.
     """
     block_bits = 64 // n_tables
-    sh = simhash(F.col(text_col), shingle_k)
+    sh = simhash(F.col(text_col), shingle_k, hash_fn)
     base = df.select(F.col(id_col).alias("_id"), sh.alias("_sim"))
 
     mask = (1 << block_bits) - 1
