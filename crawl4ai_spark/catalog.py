@@ -751,12 +751,53 @@ FROM w
 
 
 def q_sim_cosine_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k. The planes are deterministic
+    (RandomState(42)), so the oracle embeds them as literals and
+    replays bucketing, the Hamming<=2 multiprobe set and the exact
+    rerank in SQL."""
     df = _emb(spark, sf_dir)
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = cosine_topk_lsh(
         df, "embedding", qvec, k=20, n_planes=8, multiprobe_hamming=2, id_cols=["vec_id"]
     )
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _oracle_sim_cosine_topk_lsh() -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+    plane_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in p) + "])"
+        for i, p in enumerate(planes)
+    )
+    masks = (
+        [0]
+        + [1 << i for i in range(8)]
+        + [(1 << i) ^ (1 << j) for i in range(8) for j in range(i + 1, 8)]
+    )
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+planes(pi, pv) AS (VALUES {plane_rows}),
+b AS (SELECT e.vec_id, any_value(e.v) AS v,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                           THEN (CAST(1 AS BIGINT) << p.pi)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+qb AS (SELECT bucket AS qbits, v AS qv FROM b WHERE vec_id = 0),
+masks(m) AS (VALUES {mask_rows}),
+probes AS (SELECT DISTINCT xor(qb.qbits, masks.m) AS pb FROM qb, masks),
+cand AS (SELECT vec_id, v FROM b WHERE bucket IN (SELECT pb FROM probes))
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cosine_sim
+FROM cand, qb
+ORDER BY cosine_sim DESC
+LIMIT 20
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -780,12 +821,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "lineitem_pricing": q_lineitem_pricing,
-    # rows-only BY DESIGN: minhash/simhash candidate sets and the
-    # hyperplane-LSH probe order depend on xxhash64 bit patterns — a
-    # faithful SQL mirror would require reimplementing xxhash64 in SQL.
-    # Their *semantics* are pinned instead by pytest: exact-copy pairs
-    # must all surface (est_jaccard/hamming extremes), the probabilistic
-    # candidates are verified against exact recomputation in
+    # rows-only BY DESIGN: the production minhash/simhash entries hash
+    # shingles with xxhash64, which no SQL engine reproduces — but the
+    # IDENTICAL pipelines are oracle-checked through the
+    # dedup_minhash_portable / dedup_simhash_portable twins (md5-based
+    # shingle hash, same permutations/banding/votes/verify), and
+    # exact-copy/recall semantics are pinned by
     # tests/test_dedup_similarity.py.
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -821,6 +862,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_portable": _oracle_minhash_portable(),
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "sim_cosine_topk_lsh": _oracle_sim_cosine_topk_lsh(),
 }
 
 
