@@ -639,6 +639,19 @@ WHERE j >= 0.9
 """
 
 
+def q_dedup_ngram_prefix(spark, sf_dir):
+    """The AllPairs/PPJoin prefix-filtered strategy forced on (auto
+    picks the plain inverted index at this scale): identical output to
+    dedup_ngram_jaccard, so it shares the exact-Jaccard oracle."""
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    near = df.withColumn("doc_id", _d() + 100000)
+    out = ngram_jaccard_pairs(
+        df.unionByName(near), "text", "doc_id", shingle_k=3, threshold=0.9,
+        algorithm="prefix",
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_minhash_portable(spark, sf_dir):
     """The full MinHash+LSH pipeline with the engine-portable shingle
     hash: permutations, banding, candidate generation and the
@@ -830,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_dedup_similarity.py.
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_prefix": q_dedup_ngram_prefix,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -859,6 +873,7 @@ ORACLES: dict[str, str] = {
     "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_ngram_prefix": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_portable": _oracle_minhash_portable(),
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

@@ -42,6 +42,15 @@ def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the input before the narrow hashing stages: parquet
+    scans often arrive in a handful of partitions (file-sized), which
+    would serialize the per-row shingle/signature work onto as many
+    cores; one cheap shuffle of the raw rows unlocks the cluster."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the smallest id per exact content hash (hash-groupBy dedup)."""
     h = F.sha2(F.col(text_col), 256).alias("_content_sha")
@@ -143,7 +152,9 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed, hash_fn)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
+    with_sig = _spread(df).select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).persist()
 
     band_arr = F.array(
         *[
@@ -274,7 +285,7 @@ def simhash_pairs(
     """
     block_bits = 64 // n_tables
     sh = simhash(F.col(text_col), shingle_k, hash_fn)
-    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sim"))
+    base = _spread(df).select(F.col(id_col).alias("_id"), sh.alias("_sim"))
 
     mask = (1 << block_bits) - 1
     blocks = F.array(
@@ -316,49 +327,127 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    algorithm: str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= threshold via shingle inverted index.
+    """Exact n-gram Jaccard pairs >= threshold.
 
-    explode(distinct shingles) -> (optional hot-shingle DF cap) ->
-    self-join on shingle -> per-pair intersection count -> Jaccard with
-    per-doc set sizes. The DF cap bounds the worst-case join fan-out on
-    boilerplate shingles — essential at web scale.
+    Two physical strategies with identical output:
+
+    - ``inverted``: explode(distinct shingles) -> hot-shingle DF cap ->
+      self-join on shingle -> per-pair intersection counts -> Jaccard
+      with per-doc set sizes. Fewest passes — fastest at small scale,
+      but the self-join fans out as sum(df^2) over shingles.
+    - ``prefix``: AllPairs/PPJoin prefix filtering. Under the global
+      (df asc, hash asc) shingle order, two sets with Jaccard >= t must
+      share an element among each one's first ``n - ceil(t*n) + 1``
+      shingles — only those enter the index self-join (rarest shingles
+      first, so frequent shingles sit in almost nobody's prefix),
+      collapsing the candidate count quadratically; candidates are then
+      verified EXACTLY with one array_intersect over the full sets.
+      More passes, but the only shape that survives web-scale corpora.
+
+    ``auto`` picks inverted below ~100k docs and prefix above — the
+    crossover where the prefix pipeline's extra passes amortize.
+    The hot-shingle DF cap applies in both (removing boilerplate
+    shingles from the sets themselves).
+
+    join key = xxhash64(shingle): an 8-byte shuffle key instead of the
+    shingle string (collision odds ~2^-64 per pair — negligible even at
+    web scale, and only ever merges two shingles, biasing Jaccard by at
+    most 1/|union|).
     """
-    # join key = xxhash64(shingle): an 8-byte shuffle key instead of the
-    # shingle string (collision odds ~2^-64 per pair — negligible even
-    # at web scale, and only ever merges two shingles, biasing Jaccard
-    # by at most 1/|union|)
-    ex = df.select(
+    if algorithm == "auto":
+        algorithm = "inverted" if df.count() <= 100_000 else "prefix"
+
+    ex = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(shingle_hashes(F.col(text_col), shingle_k))
         ).alias("_sh"),
     )
-    if max_shingle_df is not None:
-        dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
-        ex = ex.join(
-            F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df).select("_sh")),
-            "_sh",
-            "left_anti",
+
+    if algorithm == "inverted":
+        if max_shingle_df is not None:
+            dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
+            ex = ex.join(
+                F.broadcast(
+                    dfreq.filter(F.col("_df") > max_shingle_df).select("_sh")
+                ),
+                "_sh",
+                "left_anti",
+            )
+        sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("_inter"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
 
-    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
+    # -- prefix-filtered path ------------------------------------------------
+    ex = ex.persist()  # one shingle-hash pass feeds DF counts AND sets
+    dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
+    exd = ex.join(dfreq, "_sh")
+    if max_shingle_df is not None:
+        exd = exd.filter(F.col("_df") <= max_shingle_df)
 
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_inter"))
+    sets = (
+        exd.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_sh"))).alias("_ord"))
+        .select("_id", F.transform("_ord", lambda x: x["_sh"]).alias("_set"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+
+    n = F.size("_set")
+    # epsilon guards the ceil against float error (10*0.9 -> 9.0000…02
+    # would over-tighten the prefix and silently DROP true pairs)
+    prefix_len = n - F.ceil(n.cast("double") * threshold - 1e-9).cast("int") + 1
+    pref = sets.select(
+        "_id",
+        F.explode(F.slice("_set", 1, F.greatest(prefix_len, F.lit(1)))).alias("_sh"),
+    )
+
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    set_a = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_xa"))
+    set_b = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_xb"))
+    inter = F.size(F.array_intersect(F.col("_xa"), F.col("_xb")))
+    na, nb = F.size(F.col("_xa")), F.size(F.col("_xb"))
+    return (
+        cand.join(set_a, "id_a")
+        .join(set_b, "id_b")
         .withColumn(
             "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+            inter.cast("double") / (na + nb - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out

@@ -128,3 +128,29 @@ def test_on_real_embeddings_table(spark, sf_dir):
     out = cosine_topk(emb, "embedding", list(q), k=3).collect()
     assert out[0]["vec_id"] == 0  # self is most similar
     assert abs(out[0]["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_ngram_jaccard_algorithms_agree(spark, sf_dir):
+    """The inverted-index and prefix-filtered strategies must produce
+    byte-identical pair sets (prefix filtering is lossless by the
+    AllPairs theorem)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    near = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    u = docs.unionByName(near)
+    for t in (0.5, 0.9):
+        got = {}
+        for algo in ("inverted", "prefix"):
+            rows = ngram_jaccard_pairs(
+                u, "text", "doc_id", threshold=t, algorithm=algo
+            ).collect()
+            got[algo] = sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in rows
+            )
+        assert got["inverted"] == got["prefix"], f"threshold {t}"
+        assert len(got["inverted"]) >= 200  # the exact-copy pairs at least
