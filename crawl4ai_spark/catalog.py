@@ -2161,6 +2161,62 @@ QUERIES["ssl_parse"] = q_ssl_parse
 ORACLES["ssl_parse"] = ORACLE_SSL_PARSE
 
 
+def q_cache_split(spark, sf_dir):
+    """Result-cache gating (S9-S11): a cache primed with the doc%3==0
+    subset must route exactly those rows around fetch+extract; ENABLED
+    reads hits, BYPASS must hit nothing."""
+    import shutil
+    import tempfile
+
+    from .operators.cache import CacheMode, ResultCache
+    from .operators.frontier import LINKS_TYPE
+
+    df = _docs(spark, sf_dir)
+    cached_src = df.filter(_d() % 3 == 0).select(
+        _d().alias("url_hash"),
+        F.lit("t").alias("title"),
+        F.lit(None).cast("string").alias("headings"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lit(None).cast("string").alias("text_extracted"),
+        F.lit("md").alias("raw_markdown"),
+        F.lit(None).cast("string").alias("markdown_with_citations"),
+        F.lit(None).cast("string").alias("references_markdown"),
+        F.lit(0).alias("n_links"),
+        F.lit(None).cast(LINKS_TYPE).alias("links"),
+        F.lit(True).alias("success"),
+        F.concat(F.lit("u"), _d().cast("string")).alias("url"),
+    )
+    wd = tempfile.mkdtemp(prefix="cache_q_")
+    shutil.rmtree(wd, ignore_errors=True)
+    cache = ResultCache(spark, wd)
+    cache.write(cached_src, CacheMode.ENABLED)
+
+    pool = df.select(_d().alias("url_hash"))
+    hits, misses = cache.split_hits(pool, CacheMode.ENABLED)
+    bypass_hits, _ = cache.split_hits(pool, CacheMode.BYPASS)
+    enabled = hits.select(
+        F.col("url_hash").alias("doc_id"), F.lit(True).alias("is_hit")
+    ).unionByName(
+        misses.select(
+            F.col("url_hash").alias("doc_id"), F.lit(False).alias("is_hit")
+        )
+    )
+    return enabled.join(
+        bypass_hits.select(F.col("url_hash").alias("doc_id"))
+        .withColumn("_bypass_hit", F.lit(True)),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "is_hit",
+        F.coalesce("_bypass_hit", F.lit(False)).alias("bypass_hit"),
+    )
+
+
+ORACLE_CACHE_SPLIT = """
+SELECT doc_id, doc_id % 3 = 0 AS is_hit, FALSE AS bypass_hit FROM documents
+"""
+
+
 def q_robots_decision(spark, sf_dir):
     """Robots gate (S12/J6) over the synthetic corpus: hosts h(n) with
     n%4==1 disallow /de/, h0 carries a crawl-delay — both analytic."""
@@ -2239,6 +2295,7 @@ FROM w GROUP BY doc_id
 
 QUERIES.update(
     {
+        "cache_split": q_cache_split,
         "robots_decision": q_robots_decision,
         "filter_chain_stats": q_filter_chain_stats,
         "text_bpe_count": q_text_bpe_count,
@@ -2246,6 +2303,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "cache_split": ORACLE_CACHE_SPLIT,
         "robots_decision": ORACLE_ROBOTS_DECISION,
         "filter_chain_stats": ORACLE_FILTER_CHAIN_STATS,
         "text_bpe_count": ORACLE_TEXT_BPE_COUNT,

@@ -71,6 +71,13 @@ class CrawlConfig:
     # (one url per round in LIFO preorder via the dfs_key sort key).
     strategy: str = "bfs"
     batch_size: int | None = None
+    # priority aging (T6): deferred URLs gain `priority_aging` per round
+    # spent waiting in the frontier (rounds-waited = current round minus
+    # the admitted round each row carries), so politeness-deferred rows
+    # on hot hosts can't starve behind a stream of fresh high-priority
+    # links. 0.0 = off (reference parity: its queue has no aging either
+    # in batch terms, hence the former N/A).
+    priority_aging: float = 0.0
     # result cache (SURVEY.md S9-S11): CacheMode gating of the
     # read/write anti-joins against a shared crawl_results table.
     cache_mode: str = "bypass"
@@ -96,6 +103,7 @@ class CrawlConfig:
             "batch_size": self.batch_size,
             "cache_mode": self.cache_mode,
             "seen_bloom": self.seen_bloom,
+            "priority_aging": self.priority_aging,
         }
 
 
@@ -226,10 +234,21 @@ class CrawlRun:
         candidate = frontier.filter(F.col("robots_allowed")).drop(
             "robots_allowed", "robots_crawl_delay"
         )
+        # effective priority for THIS round's orderings: aging boosts by
+        # rounds-waited (from the admitted-round lineage) without ever
+        # touching the stored priority — deferred rows re-persist their
+        # original value, so the boost cannot compound across rounds
+        if cfg.priority_aging:
+            eff = F.col("priority") + F.lit(cfg.priority_aging) * F.greatest(
+                F.lit(r) - F.col("round"), F.lit(0)
+            ).cast("double")
+        else:
+            eff = F.col("priority")
+        candidate = candidate.withColumn("_prio_eff", eff)
 
         # traversal-strategy pool cut (T1 best-first batches / T7 DFS)
         if cfg.strategy == "best_first" and cfg.batch_size:
-            pool = candidate.orderBy(F.desc("priority"), F.asc("url")).limit(
+            pool = candidate.orderBy(F.desc("_prio_eff"), F.asc("url")).limit(
                 cfg.batch_size
             )
             pool_rest = candidate.join(
@@ -256,7 +275,8 @@ class CrawlRun:
         # politeness budget split
         state = self.politeness.load(r)
         budgeted = select_within_budget(
-            pool, state, round_seconds=cfg.round_seconds
+            pool, state, round_seconds=cfg.round_seconds,
+            order_cols=("_prio_eff", "url"),
         )
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped"
@@ -276,8 +296,9 @@ class CrawlRun:
             selected.repartition(
                 n_part, F.col("host"), F.pmod(F.col("url_hash"), F.lit(cfg.salt))
             )
-            .sortWithinPartitions(F.desc("priority"), F.asc("url"))
+            .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
             .withColumn("partition_id", F.spark_partition_id())
+            .drop("_prio_eff")
         )
 
         # "fetch": lookup of the page body (S2 — frontier ⋈ pages)

@@ -228,3 +228,37 @@ def test_external_links_config(spark, corpus, tmp_path):
     rows = res.filter(F.col("url") == ext).collect()
     assert len(rows) == 1  # external url entered the frontier...
     assert rows[0]["fetch_status"] == "miss"  # ...and missed the corpus
+
+
+def test_priority_aging_prevents_starvation(spark, corpus, tmp_path):
+    """T6: with priority_aging on, politeness-deferred rows outrank
+    equal-priority fresh links the next round, so every budget slot on
+    the hot host goes to the longest-waiting URLs; the stored frontier
+    priority stays unboosted (no cross-round compounding)."""
+    pages, langs = corpus
+    # three h0 seeds, h0 budget = 1 fetch/round
+    h0_docs = [i for i in range(N_DOCS) if page_host(i) == "h0"][:3]
+    seeds = sorted(page_url(i, langs[i]) for i in h0_docs)
+    cfg = CrawlConfig(max_depth=3, round_seconds=1.0, priority_aging=1.0)
+    wd = str(tmp_path / "aging")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=3)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res = run.results()
+
+    # rounds 1 and 2 each fetch exactly one h0 URL, and it must be one
+    # of the waiting seeds (fresh links have aging 0)
+    for r in (1, 2):
+        got = [
+            row["url"]
+            for row in res.filter(
+                (F.col("round") == r)
+                & (F.col("host") == "h0.example.com")
+                & (F.col("fetch_status") == "fetched")
+            ).collect()
+        ]
+        assert len(got) == 1, f"round {r}: h0 budget is 1"
+        assert got[0] in seeds, f"round {r}: aged seed must win the slot"
+
+    # stored priorities stay at their unboosted values
+    fr = spark.read.parquet(os.path.join(wd, "frontier"))
+    assert fr.filter(F.col("priority") != 0.0).count() == 0
