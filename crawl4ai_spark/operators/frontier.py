@@ -231,8 +231,10 @@ class CrawlRun:
             )
 
         blocked = frontier.filter(~F.col("robots_allowed"))
+        # robots_crawl_delay rides through to the budget split: a
+        # host's robots.txt Crawl-delay floors its effective delay
         candidate = frontier.filter(F.col("robots_allowed")).drop(
-            "robots_allowed", "robots_crawl_delay"
+            "robots_allowed"
         )
         # effective priority for THIS round's orderings: aging boosts by
         # rounds-waited (from the admitted-round lineage) without ever
@@ -277,15 +279,18 @@ class CrawlRun:
         budgeted = select_within_budget(
             pool, state, round_seconds=cfg.round_seconds,
             order_cols=("_prio_eff", "url"),
+            robots_delay_col="robots_crawl_delay",
         )
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
-            "_selected", "_dropped"
+            "_selected", "_dropped", "robots_crawl_delay"
         )
         deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
-            "_selected", "_dropped"
+            "_selected", "_dropped", "robots_crawl_delay"
         )
         if pool_rest is not None:
-            deferred = deferred.unionByName(pool_rest)
+            deferred = deferred.unionByName(
+                pool_rest.drop("robots_crawl_delay")
+            )
 
         # salted fetch layout: hot hosts spread over `salt` slices, each
         # slice in (priority desc, url) order; partition id = lineage

@@ -45,6 +45,7 @@ def select_within_budget(
     round_seconds: float = 16.0,
     host_col: str = "host",
     order_cols: tuple = ("priority", "url"),
+    robots_delay_col: str | None = None,
 ) -> DataFrame:
     """Split a frontier into (selected, deferred, abandoned) by budget.
 
@@ -52,7 +53,9 @@ def select_within_budget(
     columns. Budget = floor(round_seconds / current_delay), min 1; hosts
     absent from the state table get the base delay. Hosts that exceeded
     MAX_RETRIES are dropped entirely (reference: domain dropped after 3
-    retries).
+    retries). When ``robots_delay_col`` is given, a host's robots.txt
+    Crawl-delay FLOORS the effective delay — the backoff state can slow
+    a host further, never below what its robots.txt demands.
     """
     n_state = state.count() if state is not None else 0
     if n_state:
@@ -66,6 +69,10 @@ def select_within_budget(
         ).withColumn("fail_count", F.lit(None).cast("int"))
 
     delay = F.coalesce(F.col("current_delay"), F.lit(BASE_DELAY))
+    if robots_delay_col is not None:
+        delay = F.greatest(
+            delay, F.coalesce(F.col(robots_delay_col), F.lit(0.0))
+        )
     budget = F.greatest(F.floor(F.lit(round_seconds) / delay), F.lit(1))
     dropped = F.coalesce(F.col("fail_count"), F.lit(0)) > MAX_RETRIES
 

@@ -262,3 +262,19 @@ def test_priority_aging_prevents_starvation(spark, corpus, tmp_path):
     # stored priorities stay at their unboosted values
     fr = spark.read.parquet(os.path.join(wd, "frontier"))
     assert fr.filter(F.col("priority") != 0.0).count() == 0
+
+
+def test_robots_crawl_delay_floors_budget(spark, corpus, tmp_path):
+    """A robots.txt Crawl-delay must floor the per-host budget:
+    h0's delay 8s with round_seconds=16 allows 2 fetches/round even
+    though the backoff state would allow 16."""
+    pages, langs = corpus
+    bodies = {"h0.example.com": "User-agent: *\nCrawl-delay: 8"}
+    rules = rules_table(spark, bodies)
+    h0_docs = [i for i in range(N_DOCS) if page_host(i) == "h0"][:6]
+    seeds = [page_url(i, langs[i]) for i in h0_docs]
+    cfg = CrawlConfig(max_depth=0, round_seconds=16.0, robots_rules=rules)
+    wd = str(tmp_path / "rdelay")
+    ms = run_crawl(spark, pages, seeds, wd, cfg, max_rounds=1)
+    assert ms[0]["selected"] == 2      # floor(16 / 8)
+    assert ms[0]["deferred"] == 4      # the rest wait, not dropped
