@@ -287,6 +287,12 @@ class CrawlRun:
         deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped", "robots_crawl_delay"
         )
+        # hosts past MAX_RETRIES: their remaining frontier rows surface
+        # as observable 'abandoned' results instead of vanishing
+        # (reference: domain dropped after 3 retries)
+        abandoned = budgeted.filter(F.col("_dropped")).drop(
+            "_selected", "_dropped", "robots_crawl_delay"
+        )
         if pool_rest is not None:
             deferred = deferred.unionByName(
                 pool_rest.drop("robots_crawl_delay")
@@ -346,7 +352,25 @@ class CrawlRun:
             F.lit(None).cast(LINKS_TYPE).alias("links"),
         )
 
-        all_results = results.unionByName(blocked_results)
+        abandoned_results = abandoned.select(
+            "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
+            "dfs_key",
+            F.lit(-3).alias("partition_id"),
+            F.lit("abandoned").alias("fetch_status"),
+            F.lit(False).alias("success"),
+            *[F.lit(None).cast("string").alias(c) for c in (
+                "title", "headings")],
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            *[F.lit(None).cast("string").alias(c) for c in (
+                "text_extracted", "raw_markdown",
+                "markdown_with_citations", "references_markdown")],
+            F.lit(0).alias("n_links"),
+            F.lit(None).cast(LINKS_TYPE).alias("links"),
+        )
+
+        all_results = results.unionByName(blocked_results).unionByName(
+            abandoned_results
+        )
         if hits is not None:
             hit_results = hits.select(
                 "url", "url_hash", "host", "depth", "priority",
@@ -478,7 +502,11 @@ class CrawlRun:
 
         # politeness fold
         new_state = update_state(
-            state, persisted.filter(F.col("fetch_status") != "robots_blocked"), r
+            state,
+            persisted.filter(
+                ~F.col("fetch_status").isin("robots_blocked", "abandoned")
+            ),
+            r,
         )
         self.politeness.save(new_state, r + 1)
 
@@ -488,6 +516,7 @@ class CrawlRun:
         rs = self.spark.read.parquet(self._metrics_path(r)).agg(
             F.sum("n_urls").alias("n"),
             F.sum(F.when(F.col("partition_id") == -1, F.col("n_urls"))).alias("blk"),
+            F.sum(F.when(F.col("partition_id") == -3, F.col("n_urls"))).alias("aband"),
             F.sum("n_ok").alias("ok"),
         ).first()
         # ONE aggregation over the just-written next-frontier parquet
@@ -504,7 +533,8 @@ class CrawlRun:
             "round": r,
             "frontier": frontier_count,
             "blocked": int(rs["blk"] or 0),
-            "selected": int(rs["n"]) - int(rs["blk"] or 0),
+            "abandoned": int(rs["aband"] or 0),
+            "selected": int(rs["n"]) - int(rs["blk"] or 0) - int(rs["aband"] or 0),
             "fetched_ok": int(rs["ok"] or 0),
             "deferred": deferred_count,
             "new_links": new_links,

@@ -278,3 +278,26 @@ def test_robots_crawl_delay_floors_budget(spark, corpus, tmp_path):
     ms = run_crawl(spark, pages, seeds, wd, cfg, max_rounds=1)
     assert ms[0]["selected"] == 2      # floor(16 / 8)
     assert ms[0]["deferred"] == 4      # the rest wait, not dropped
+
+
+def test_abandoned_host_rows_are_observable(spark, corpus, tmp_path):
+    """URLs still queued for a host that exceeded MAX_RETRIES surface as
+    fetch_status='abandoned' results (not silent disappearance)."""
+    pages, langs = corpus
+    # 6 urls on a host that has no pages at all -> every fetch misses
+    fake = [f"https://deadhost.example.com/p{i}.html" for i in range(6)]
+    cfg = CrawlConfig(max_depth=0, round_seconds=1.0)  # budget 1/round
+    wd = str(tmp_path / "abandon")
+    ms = run_crawl(spark, pages, fake, wd, cfg, max_rounds=8)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res = run.results()
+    statuses = {
+        r["fetch_status"]: r["cnt"]
+        for r in res.groupBy("fetch_status").agg(F.count("*").alias("cnt")).collect()
+    }
+    # 1 miss per round until fail_count exceeds MAX_RETRIES (4 failed
+    # rounds), then the remaining 2 queued urls are abandoned
+    assert statuses.get("miss") == 4
+    assert statuses.get("abandoned") == 2
+    assert sum(m.get("abandoned", 0) for m in ms) == 2
+    assert res.count() == 6  # every seeded url is accounted for
