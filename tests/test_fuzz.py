@@ -72,3 +72,56 @@ def test_canonicalize_never_raises(href, base):
 def test_scrape_binary_garbage(b):
     r = scrape_one(b, "https://x.com/p")
     assert r["success"] in (True, False)
+
+
+@given(any_text)
+@settings(max_examples=300, deadline=None)
+def test_stemmer_never_raises(word):
+    from crawl4ai_spark.functions.stemmer import stem_word
+
+    out = stem_word(word)
+    assert isinstance(out, str)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_pdf_parser_never_raises(blob):
+    from crawl4ai_spark.functions.pdf import parse_pdf
+
+    res = parse_pdf(b"%PDF-1.4\n" + blob)
+    assert isinstance(res["pages"], list)
+    assert parse_pdf(blob)["metadata"]["n_pages"] >= 0
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_der_parser_never_raises(blob):
+    from crawl4ai_spark.functions.ssl_cert import parse_certificate
+
+    res = parse_certificate(b"\x30" + blob)
+    assert res is None or isinstance(res, dict)
+
+
+@given(fuzzy_html, st.text(alphabet=list("/@=[]'\"abcp*(). 0123"), max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_xpath_engine_rejects_or_evaluates(html, expr):
+    """Any expression either evaluates or raises ValueError at compile
+    time — never an unhandled crash mid-DOM."""
+    from crawl4ai_spark.functions.schema_extract import xpath_select
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(html)
+    try:
+        out = xpath_select(root, expr)
+    except ValueError:
+        return
+    assert isinstance(out, list)
+
+
+@given(fuzzy_html)
+@settings(max_examples=150, deadline=None)
+def test_schema_infer_never_raises(html):
+    from crawl4ai_spark.functions.schema_infer import infer_schema
+
+    schema = infer_schema(html)
+    assert schema is None or "baseSelector" in schema
