@@ -230,9 +230,18 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         # 80k URLs so each point runs long enough to amortize fixed
         # overheads (worker pools, Arrow init) — the pair the BASELINE
-        # methodology documents
-        lo = bench_extract(LOW_CPUS, replicate=16)
-        hi4 = bench_extract(HIGH_CPUS, replicate=16)
+        # methodology documents. Each point is best-of-N: the ratio is
+        # a CAPABILITY measurement, and a transient stall on either
+        # point (GC, host contention) otherwise corrupts it in either
+        # direction.
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIALS", "3"))
+
+        def best_of(cpus: int) -> dict:
+            runs = [bench_extract(cpus, replicate=16) for _ in range(trials)]
+            return max(runs, key=lambda r: r["urls_per_sec"])
+
+        lo = best_of(LOW_CPUS)
+        hi4 = best_of(HIGH_CPUS)
         ratio = (
             hi4["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
         )
