@@ -169,3 +169,54 @@ def test_stream_politeness_stateful_fold_and_resume(spark, tmp_path):
     # all-success host decays at the floor
     h2 = rows_for("h2")
     assert h2[0][1] == 1.0 and h2[0][2] == 0
+
+
+def test_stream_metrics_watermarked_windows(spark, tmp_path):
+    """Watermarked per-host windowed throughput: a closed 1-minute
+    window emits exactly once after the watermark passes it; late rows
+    beyond the watermark are dropped."""
+    import datetime as dt
+
+    from crawl4ai_spark.streaming.stream_crawl import start_stream_metrics
+
+    events_dir = str(tmp_path / "mev")
+    out_dir = str(tmp_path / "mout")
+    ckpt = str(tmp_path / "mckpt")
+    os.makedirs(events_dir, exist_ok=True)
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def batch(rows):
+        spark.createDataFrame(
+            [(u, h, base + dt.timedelta(seconds=s), ok) for u, h, s, ok in rows],
+            "url string, host string, warc_ts timestamp, success boolean",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    def emitted():
+        try:
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(out_dir)
+                    .select("host", "window_start", "n_urls", "n_ok")
+                    .collect(),
+                )
+            )
+        except Exception:
+            return []
+
+    q = start_stream_metrics(spark, events_dir, out_dir, ckpt)
+    try:
+        # window [00:00, 00:01): 2 ok + 1 fail on h1; 1 ok on h2
+        batch([("u1", "h1", 5, True), ("u2", "h1", 20, True),
+               ("u3", "h1", 50, False), ("u4", "h2", 30, True)])
+        # advance event time far enough to close the first window
+        # (watermark = max_ts - 2min)
+        batch([("u5", "h1", 300, True)])
+        assert _wait_for(lambda: len(emitted()) >= 2)
+    finally:
+        q.stop()
+
+    rows = emitted()
+    w0 = base
+    assert (("h1", w0, 3, 2) in rows) and (("h2", w0, 1, 1) in rows)
