@@ -301,3 +301,23 @@ def test_abandoned_host_rows_are_observable(spark, corpus, tmp_path):
     assert statuses.get("abandoned") == 2
     assert sum(m.get("abandoned", 0) for m in ms) == 2
     assert res.count() == 6  # every seeded url is accounted for
+
+
+def test_hot_host_spreads_across_salted_partitions(spark, corpus, tmp_path):
+    """North-rule skew answer: h0 carries ~75% of the corpus, so its
+    fetches must spread across multiple salted partitions instead of
+    serializing on one."""
+    pages, langs = corpus
+    seeds = [page_url(i, langs[i]) for i in range(0, 40)]
+    cfg = CrawlConfig(max_depth=2, round_seconds=1e6, salt=8)
+    wd = str(tmp_path / "skew")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res = run.results().filter(
+        (F.col("host") == "h0.example.com")
+        & (F.col("fetch_status") == "fetched")
+    )
+    n_h0 = res.count()
+    n_parts = res.select("partition_id").distinct().count()
+    assert n_h0 > 50  # the hot host dominates, as constructed
+    assert n_parts >= 4  # spread over salt slices, not one straggler
