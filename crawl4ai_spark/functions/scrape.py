@@ -51,12 +51,31 @@ class _Node:
 
 
 class _DomBuilder(HTMLParser):
-    """Minimal tolerant DOM builder (stdlib-only)."""
+    """Minimal tolerant DOM builder (stdlib-only).
+
+    Malformed-markup tolerance mirrors the reference's recovering lxml
+    parser (content_scraping_strategy.py:1055-1087): the stdlib
+    ``_markupbase`` machinery raises a raw ``AssertionError`` on garbage
+    marked sections such as ``'<![<'``; we degrade those to a skipped
+    span instead of letting the exception kill the Arrow batch.
+    """
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root")
         self.stack = [self.root]
+
+    def parse_marked_section(self, i, report=1):
+        try:
+            return super().parse_marked_section(i, report)
+        except Exception:
+            # malformed <![ ... — consume to the closing ]> (or to EOF)
+            rawdata = self.rawdata
+            j = rawdata.find("]>", i)
+            return len(rawdata) if j < 0 else j + 2
+
+    def unknown_decl(self, data):
+        pass
 
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs))
@@ -80,10 +99,27 @@ class _DomBuilder(HTMLParser):
 
 
 def parse_dom(html: str) -> _Node:
+    """Parse markup into a tolerant DOM; never raises.
+
+    On a catastrophic parser failure the returned root carries
+    ``attrs["parse_error"]`` and holds only an error ``<div>``, mirroring
+    the reference's ``crawl4ai_error_message`` fallback
+    (content_scraping_strategy.py:1828-1864) — downstream extraction
+    sees an empty-but-valid DOM instead of an exception.
+    """
     b = _DomBuilder()
-    b.feed(html or "")
-    b.close()
-    return b.root
+    try:
+        b.feed(html or "")
+        b.close()
+        return b.root
+    except Exception as exc:  # incl. AssertionError from _markupbase
+        root = _Node("#root", {"parse_error": "1"})
+        div = _Node("div", {"class": "crawl4ai-error"})
+        div.children.append(
+            _Node("", {"text": f"Parse error: {type(exc).__name__}"})
+        )
+        root.children.append(div)
+        return root
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +262,20 @@ def scrape_one(
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     root = parse_dom(html)
+    if root.attrs.get("parse_error"):
+        # unrecoverable markup: error-fallback row (reference
+        # content_scraping_strategy.py:1828-1864 returns success=False
+        # with the crawl4ai_error_message div)
+        return {
+            "success": False,
+            "title": None,
+            "headings": None,
+            "meta": {},
+            "links": [],
+            "images": [],
+            "cleaned_html": None,
+            "text": None,
+        }
     meta = extract_metadata(root)
     heads: list[str] = []
     for n in _walk(root):

@@ -117,3 +117,54 @@ def test_scrape_stage_single_python_eval(spark, sf_dir):
     # one eval for the scrape stage ("process"), one for the synth
     # renderer ("render") — the scrape stage must not be duplicated
     assert plan.count("MapInPandas process") == 1
+
+
+POISON_PAGES = [
+    "<![<",                      # stdlib _markupbase AssertionError trigger
+    "<p>ok</p><![<tail",         # garbage after recoverable content
+    "<!DOCTYPE h <![CDATA[x",    # unterminated marked section
+    "<a href='x' <b>><![[",      # attribute soup + marked garbage
+]
+
+
+def test_scrape_one_poisoned_pages_never_raise():
+    """Malformed marked sections must degrade, not crash (reference
+    recovers via lxml's recovering parser,
+    content_scraping_strategy.py:1055-1087)."""
+    for html in POISON_PAGES:
+        r = scrape_one(html, "http://h0.example.com/p0.html")
+        assert isinstance(r, dict) and "success" in r
+    # recoverable content around the garbage survives
+    r = scrape_one("<p>ok</p><![<tail", "http://h0.example.com/p0.html")
+    assert r["success"] and r["text"] == "ok"
+
+
+def test_scrape_one_catastrophic_parse_gives_error_row(monkeypatch):
+    """If the parser fails outright, scrape_one emits a success=False
+    row (the reference's crawl4ai_error_message fallback,
+    content_scraping_strategy.py:1828-1864) instead of raising."""
+    from crawl4ai_spark.functions import scrape as scrape_mod
+
+    def boom(self, data):
+        raise AssertionError("simulated _markupbase failure")
+
+    monkeypatch.setattr(scrape_mod._DomBuilder, "feed", boom)
+    r = scrape_one("<p>fine</p>", "http://h0.example.com/p0.html")
+    assert r["success"] is False
+    assert r["links"] == [] and r["text"] is None
+
+
+def test_scrape_stage_survives_poisoned_batch(spark, sf_dir):
+    """One bad page must not kill its Arrow batch: N pages in, N rows
+    out, with the healthy pages fully scraped."""
+    pages = generate_pages(spark, sf_dir).limit(8).select("url", "html")
+    poisoned = spark.createDataFrame(
+        [("http://h0.example.com/poison%d.html" % i, p)
+         for i, p in enumerate(POISON_PAGES)],
+        "url string, html string",
+    ).coalesce(1)
+    mixed = pages.union(poisoned).coalesce(1)  # force one batch
+    out = scrape_stage(mixed, "html", "url").collect()
+    assert len(out) == 12
+    healthy = [r for r in out if "poison" not in r["url"]]
+    assert len(healthy) == 8 and all(r["success"] for r in healthy)
