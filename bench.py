@@ -39,19 +39,20 @@ LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_CPUS", "2"))
 HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_CPUS", str(4 * LOW_CPUS)))
 
 HEADLINE = [
-    "url_parts", "url_canonicalize", "url_pattern_filter", "url_scorers",
+    "url_core", "url_filters", "url_scoring",
     "entities_extract", "text_lang_id", "text_quality", "term_stats",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "sim_cosine_topk", "sim_cosine_topk_lsh",
     "topk_capacity", "politeness_budget", "lineitem_pricing", "pages_meta",
-    "chunk_sentence", "schema_extract_xpath", "adaptive_embedding",
-    "link_preview", "pdf_extract",
+    "chunk_word_windows", "chunk_topic", "schema_extract_xpath",
+    "adaptive_embedding", "link_preview", "pdf_extract",
 ]
 
 
 def run_queries(spark) -> dict[str, float]:
-    from crawl4ai_spark.catalog import QUERIES
+    from crawl4ai_spark.catalog import PYTEST_ONLY_QUERIES, QUERIES as _Q
 
+    QUERIES = {**_Q, **PYTEST_ONLY_QUERIES}
     names = HEADLINE
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:

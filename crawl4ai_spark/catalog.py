@@ -141,34 +141,17 @@ def _sw_hits_sql(lang: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_url_parts(spark, sf_dir):
+# The URL scalar layer is checked through three composites so the whole
+# catalog fits the driver's 50-entry CORRECTNESS window (r2 verdict):
+# url_core = the former url_parts + url_canonicalize entries,
+# url_filters = url_pattern_filter + url_content_type_filter +
+# url_domain_filter, url_scoring = url_scorers + url_freshness +
+# url_seo_quality. Same operators, same oracles — one row each.
+
+
+def q_url_core(spark, sf_dir):
+    """URL decomposition (F12/F13) + canonicalization (F11)."""
     df = _docs(spark, sf_dir).withColumn("url", _url1())
-    return df.select(
-        "doc_id",
-        "url",
-        host("url").alias("host"),
-        base_domain("url").alias("bdom"),
-        path_depth("url").alias("depth"),
-        extension("url").alias("ext"),
-        is_external("url", F.lit("example.com")).alias("is_ext"),
-    )
-
-
-ORACLE_URL_PARTS = f"""
-SELECT doc_id,
-       {_URL1_SQL} AS url,
-       {_SUB_SQL} || source || '.example.' || {_TLD_SQL} AS host,
-       CASE WHEN doc_id % 7 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS bdom,
-       CAST(doc_id % 3 + 2 AS INT) AS depth,
-       CASE doc_id % 5 WHEN 0 THEN 'html' WHEN 1 THEN 'php'
-            WHEN 2 THEN 'pdf' WHEN 3 THEN '' ELSE 'jpg' END AS ext,
-       doc_id % 7 = 0 AS is_ext
-FROM documents
-"""
-
-
-def q_url_canonicalize(spark, sf_dir):
-    df = _docs(spark, sf_dir)
     href = F.concat(
         F.lit("/A B/"),
         _name(),
@@ -178,87 +161,94 @@ def q_url_canonicalize(spark, sf_dir):
     )
     base = F.concat(F.lit("https://"), _sub(), F.col("source"), F.lit(".Example.com/base/x"))
     return df.select(
-        "doc_id", canonicalize_udf(href, base).alias("canon_url")
+        "doc_id",
+        "url",
+        host("url").alias("host"),
+        base_domain("url").alias("bdom"),
+        path_depth("url").alias("depth"),
+        extension("url").alias("ext"),
+        is_external("url", F.lit("example.com")).alias("is_ext"),
+        canonicalize_udf(href, base).alias("canon_url"),
     )
 
 
-ORACLE_URL_CANONICALIZE = f"""
+ORACLE_URL_CORE = f"""
 SELECT doc_id,
+       {_URL1_SQL} AS url,
+       {_SUB_SQL} || source || '.example.' || {_TLD_SQL} AS host,
+       CASE WHEN doc_id % 7 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS bdom,
+       CAST(doc_id % 3 + 2 AS INT) AS depth,
+       CASE doc_id % 5 WHEN 0 THEN 'html' WHEN 1 THEN 'php'
+            WHEN 2 THEN 'pdf' WHEN 3 THEN '' ELSE 'jpg' END AS ext,
+       doc_id % 7 = 0 AS is_ext,
        'https://' || {_SUB_SQL} || source || '.example.com/A%20B/' || {_NAME_SQL}
         || '?a=1&b=2' AS canon_url
 FROM documents
 """
 
 
-def q_url_pattern_filter(spark, sf_dir):
+def q_url_filters(spark, sf_dir):
+    """URLPatternFilter (F2) + ContentTypeFilter (F3) + DomainFilter (F4)."""
     df = _docs(spark, sf_dir).withColumn("url", _url1())
     return df.select(
         "doc_id",
         url_pattern_filter("url", ["*.html"]).alias("f_html"),
         url_pattern_filter("url", ["^https://www\\."]).alias("f_www"),
         url_pattern_filter("url", ["*.html"], reverse=True).alias("f_not_html"),
-    )
-
-
-ORACLE_URL_PATTERN_FILTER = """
-SELECT doc_id,
-       doc_id % 5 = 0 AS f_html,
-       doc_id % 3 = 0 AS f_www,
-       doc_id % 5 <> 0 AS f_not_html
-FROM documents
-"""
-
-
-def q_url_content_type_filter(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumn("url", _url1())
-    return df.select(
-        "doc_id",
         content_type_filter("url", ["text"]).alias("f_text"),
         content_type_filter("url", ["image"]).alias("f_image"),
-    )
-
-
-ORACLE_URL_CONTENT_TYPE_FILTER = """
-SELECT doc_id,
-       doc_id % 5 IN (0, 3) AS f_text,
-       doc_id % 5 IN (3, 4) AS f_image
-FROM documents
-"""
-
-
-def q_url_domain_filter(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumn("url", _url1())
-    return df.select(
-        "doc_id",
         domain_filter(
             "url", allowed_domains=["example.com"], blocked_domains=["src0.example.com"]
         ).alias("f_dom"),
     )
 
 
-ORACLE_URL_DOMAIN_FILTER = """
+ORACLE_URL_FILTERS = """
 SELECT doc_id,
+       doc_id % 5 = 0 AS f_html,
+       doc_id % 3 = 0 AS f_www,
+       doc_id % 5 <> 0 AS f_not_html,
+       doc_id % 5 IN (0, 3) AS f_text,
+       doc_id % 5 IN (3, 4) AS f_image,
        (doc_id % 7 <> 0) AND source <> 'src0' AS f_dom
 FROM documents
 """
 
 
-def q_url_scorers(spark, sf_dir):
+def q_url_scoring(spark, sf_dir):
+    """Keyword/depth/authority/composite scorers + freshness + SEO-URL
+    quality (the reference's url scorer suite)."""
     df = _docs(spark, sf_dir).withColumn("url", _url1())
     kw = keyword_relevance_score("url", ["www", "html", "pdf"])
     pd_ = path_depth_score("url", optimal_depth=3)
     auth = domain_authority_score("url", {"src1.example.com": 0.9}, default_weight=0.5)
     comp = composite_score([kw, pd_, auth])
+    url2 = F.concat(
+        F.lit("https://news.example.com/blog/"),
+        (F.lit(2018) + _d() % 9).cast("string"),
+        F.lit("/"),
+        _name(),
+    )
+    url3 = F.concat(
+        F.lit("https://example.com/section"),
+        F.when(_d() % 2 == 0, "_sub").otherwise(""),
+        F.lit("/item"),
+        F.when(_d() % 3 == 0, "2021").otherwise(""),
+        F.when(_d() % 5 == 0, F.expr("repeat('/padpad', 20)")).otherwise(F.lit("")),
+        F.when(_d() % 4 == 0, "?id=9").otherwise(""),
+    )
     return df.select(
         "doc_id",
         F.round(kw, 6).alias("kw_score"),
         F.round(pd_, 6).alias("pd_score"),
         F.round(auth, 6).alias("auth_score"),
         F.round(comp, 6).alias("comp_score"),
+        F.round(freshness_score(url2, current_year=2024), 6).alias("fresh_score"),
+        F.round(seo_url_quality_score(url3), 6).alias("seo_score"),
     )
 
 
-ORACLE_URL_SCORERS = """
+ORACLE_URL_SCORING = """
 WITH raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
@@ -272,55 +262,17 @@ SELECT doc_id,
        round(kw, 6) AS kw_score,
        round(pd, 6) AS pd_score,
        round(auth, 6) AS auth_score,
-       round((kw + pd + auth) / 3.0, 6) AS comp_score
-FROM raw
-"""
-
-
-def q_url_freshness(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    url2 = F.concat(
-        F.lit("https://news.example.com/blog/"),
-        (F.lit(2018) + _d() % 9).cast("string"),
-        F.lit("/"),
-        _name(),
-    )
-    return df.select(
-        "doc_id", F.round(freshness_score(url2, current_year=2024), 6).alias("fresh_score")
-    )
-
-
-ORACLE_URL_FRESHNESS = """
-SELECT doc_id,
+       round((kw + pd + auth) / 3.0, 6) AS comp_score,
        CASE doc_id % 9
          WHEN 0 THEN 0.4 WHEN 1 THEN 0.5 WHEN 2 THEN 0.6 WHEN 3 THEN 0.7
          WHEN 4 THEN 0.8 WHEN 5 THEN 0.9 WHEN 6 THEN 1.0 ELSE 0.5
-       END AS fresh_score
-FROM documents
-"""
-
-
-def q_url_seo_quality(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    url3 = F.concat(
-        F.lit("https://example.com/section"),
-        F.when(_d() % 2 == 0, "_sub").otherwise(""),
-        F.lit("/item"),
-        F.when(_d() % 3 == 0, "2021").otherwise(""),
-        F.when(_d() % 5 == 0, F.expr("repeat('/padpad', 20)")).otherwise(F.lit("")),
-        F.when(_d() % 4 == 0, "?id=9").otherwise(""),
-    )
-    return df.select("doc_id", F.round(seo_url_quality_score(url3), 6).alias("seo_score"))
-
-
-ORACLE_URL_SEO_QUALITY = """
-SELECT doc_id,
+       END AS fresh_score,
        round(1.0
          * CASE WHEN doc_id % 5 = 0 THEN 0.7 ELSE 1.0 END
          * CASE WHEN doc_id % 3 = 0 THEN 0.8 ELSE 1.0 END
          * CASE WHEN doc_id % 4 = 0 THEN 0.6 ELSE 1.0 END
          * CASE WHEN doc_id % 2 = 0 THEN 0.9 ELSE 1.0 END, 6) AS seo_score
-FROM documents
+FROM raw
 """
 
 
@@ -814,14 +766,9 @@ LIMIT 20
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "url_parts": q_url_parts,
-    "url_canonicalize": q_url_canonicalize,
-    "url_pattern_filter": q_url_pattern_filter,
-    "url_content_type_filter": q_url_content_type_filter,
-    "url_domain_filter": q_url_domain_filter,
-    "url_scorers": q_url_scorers,
-    "url_freshness": q_url_freshness,
-    "url_seo_quality": q_url_seo_quality,
+    "url_core": q_url_core,
+    "url_filters": q_url_filters,
+    "url_scoring": q_url_scoring,
     "entities_extract": q_entities_extract,
     "text_lang_id": q_text_lang_id,
     "text_token_count": q_text_token_count,
@@ -834,15 +781,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "lineitem_pricing": q_lineitem_pricing,
-    # rows-only BY DESIGN: the production minhash/simhash entries hash
-    # shingles with xxhash64, which no SQL engine reproduces — but the
-    # IDENTICAL pipelines are oracle-checked through the
-    # dedup_minhash_portable / dedup_simhash_portable twins (md5-based
-    # shingle hash, same permutations/banding/votes/verify), and
-    # exact-copy/recall semantics are pinned by
-    # tests/test_dedup_similarity.py.
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_prefix": q_dedup_ngram_prefix,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_simhash_portable": q_dedup_simhash_portable,
@@ -851,15 +789,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
 }
 
+# Checked by tests/test_catalog.py but kept OUT of the driver catalog so
+# every driver entry fits the 50-row CORRECTNESS window: the production
+# minhash/simhash entries hash shingles with xxhash64, which no SQL
+# engine reproduces — the IDENTICAL pipelines are oracle-checked through
+# the dedup_minhash_portable / dedup_simhash_portable twins (md5-based
+# shingle hash, same permutations/banding/votes/verify); the stemmed
+# BM25 fit variant differs from the oracle-checked
+# content_fit_bm25_nostem twin only in the Porter2 stemmer (pinned by
+# tests/test_stemmer.py against the published spec's worked examples).
+PYTEST_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
 ORACLES: dict[str, str] = {
-    "url_parts": ORACLE_URL_PARTS,
-    "url_canonicalize": ORACLE_URL_CANONICALIZE,
-    "url_pattern_filter": ORACLE_URL_PATTERN_FILTER,
-    "url_content_type_filter": ORACLE_URL_CONTENT_TYPE_FILTER,
-    "url_domain_filter": ORACLE_URL_DOMAIN_FILTER,
-    "url_scorers": ORACLE_URL_SCORERS,
-    "url_freshness": ORACLE_URL_FRESHNESS,
-    "url_seo_quality": ORACLE_URL_SEO_QUALITY,
+    "url_core": ORACLE_URL_CORE,
+    "url_filters": ORACLE_URL_FILTERS,
+    "url_scoring": ORACLE_URL_SCORING,
     "entities_extract": ORACLE_ENTITIES_EXTRACT,
     "text_lang_id": _oracle_lang_id(),
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
@@ -1103,6 +1050,90 @@ FROM documents
 """
 
 
+def q_chunk_topic(spark, sf_dir):
+    """TextTiling-style topic segmentation (X5's last chunker; reference
+    chunking_strategy.py:112-161). Integer-arithmetic scoring makes the
+    whole pipeline — pseudo-sentences, block-overlap similarity, depth
+    scores, mean-threshold boundaries — replayable in SQL."""
+    from .functions.chunking import chunk_table, topic_chunks
+
+    df = _docs(spark, sf_dir)
+    return chunk_table(df, "text", topic_chunks("text", w=20, k=2), ["doc_id"])
+
+
+ORACLE_CHUNK_TOPIC = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws, len(ws) AS n,
+             CAST(ceil(len(ws) / 20.0) AS BIGINT) AS m FROM w),
+g AS (SELECT doc_id, ws, n, m, unnest(generate_series(0, m - 2)) AS i
+      FROM p WHERE m >= 2),
+s AS (SELECT doc_id, n, i,
+             len(list_intersect(
+               ws[greatest(i - 1, 0) * 20 + 1 : (i + 1) * 20],
+               ws[(i + 1) * 20 + 1 : (i + 3) * 20])) AS sim
+      FROM g),
+d AS (SELECT doc_id, n, i,
+             greatest(coalesce(lag(sim) OVER win, sim) - sim, 0)
+             + greatest(coalesce(lead(sim) OVER win, sim) - sim, 0) AS depth
+      FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+t AS (SELECT doc_id, n, i, depth,
+             sum(depth) OVER (PARTITION BY doc_id) AS total,
+             count(*) OVER (PARTITION BY doc_id) AS gcnt
+      FROM d),
+b AS (SELECT doc_id, (i + 1) * 20 AS off FROM t WHERE depth * gcnt > total),
+bagg AS (SELECT doc_id, list(off ORDER BY off) AS bs FROM b GROUP BY doc_id),
+st AS (SELECT p.doc_id, p.ws, p.n,
+              list_prepend(CAST(0 AS BIGINT),
+                           coalesce(bagg.bs, CAST([] AS BIGINT[]))) AS starts,
+              list_append(coalesce(bagg.bs, CAST([] AS BIGINT[])),
+                          CAST(p.n AS BIGINT)) AS ends
+       FROM p LEFT JOIN bagg USING (doc_id)),
+u AS (SELECT doc_id, ws,
+             unnest(starts) AS cs, unnest(ends) AS ce,
+             generate_subscripts(starts, 1) - 1 AS idx
+      FROM st)
+SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+       array_to_string(ws[cs + 1 : ce], ' ') AS chunk
+FROM u WHERE ce > cs
+"""
+
+
+# Chunkers are gate-checked as two tagged unions (+ chunk_topic) so the
+# catalog fits the driver's 50-entry window; the component entries keep
+# their own oracles inside the union.
+
+
+def q_chunk_word_windows(spark, sf_dir):
+    """FixedLengthWord + SlidingWindow + (regex-)NlpSentence chunkers."""
+    tag = lambda df, t: df.select(F.lit(t).alias("strategy"), "*")  # noqa: E731
+    return (
+        tag(q_chunk_fixed(spark, sf_dir), "fixed")
+        .unionByName(tag(q_chunk_sliding(spark, sf_dir), "sliding"))
+        .unionByName(tag(q_chunk_sentence(spark, sf_dir), "sentence"))
+    )
+
+
+ORACLE_CHUNK_WORD_WINDOWS = f"""
+SELECT 'fixed' AS strategy, * FROM ({ORACLE_CHUNK_FIXED})
+UNION ALL SELECT 'sliding', * FROM ({ORACLE_CHUNK_SLIDING})
+UNION ALL SELECT 'sentence', * FROM ({ORACLE_CHUNK_SENTENCE})
+"""
+
+
+def q_chunk_boundaries(spark, sf_dir):
+    """OverlappingWindow + Regex chunkers."""
+    tag = lambda df, t: df.select(F.lit(t).alias("strategy"), "*")  # noqa: E731
+    return tag(q_chunk_overlap(spark, sf_dir), "overlap").unionByName(
+        tag(q_chunk_regex(spark, sf_dir), "regex")
+    )
+
+
+ORACLE_CHUNK_BOUNDARIES = f"""
+SELECT 'overlap' AS strategy, * FROM ({ORACLE_CHUNK_OVERLAP})
+UNION ALL SELECT 'regex', * FROM ({ORACLE_CHUNK_REGEX})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Head-section analytics (F5/F6/F8)
 # ---------------------------------------------------------------------------
@@ -1252,6 +1283,44 @@ SELECT doc_id, round(0.0 + {expr}, 6) AS relevance FROM p
 """
 
 
+def q_head_analysis(spark, sf_dir):
+    """HeadPeekr composite (F5 ContentRelevance + F6 SEOFilter + F8
+    head-section parse), the former head_meta/head_seo/head_relevance
+    entries folded into one driver-gate row — one head parse, all three
+    analytics."""
+    from .functions.headpeek import (
+        content_relevance_score,
+        head_section,
+        head_title,
+        meta_value,
+        seo_score,
+    )
+
+    df = _docs(spark, sf_dir).withColumn("_head", head_section(_head_col()))
+    url = F.expr("'https://example.com/p' || CAST(doc_id AS STRING)")
+    return df.select(
+        "doc_id",
+        head_title("_head").alias("title"),
+        meta_value("_head", "description").alias("description"),
+        meta_value("_head", "robots").alias("robots"),
+        meta_value("_head", "canonical").alias("canonical"),
+        F.round(seo_score("_head", url, keywords=["data", "spark"]), 6).alias("seo"),
+        F.round(content_relevance_score("_head", "spark data table"), 6).alias(
+            "relevance"
+        ),
+    )
+
+
+def _oracle_head_analysis() -> str:
+    return f"""
+WITH hm AS ({ORACLE_HEAD_META}),
+hs AS ({ORACLE_HEAD_SEO}),
+hr AS ({_oracle_head_relevance()})
+SELECT hm.*, hs.seo, hr.relevance
+FROM hm JOIN hs USING (doc_id) JOIN hr USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus BM25 + adaptive aggregates (A4-A8)
 # ---------------------------------------------------------------------------
@@ -1262,7 +1331,17 @@ def q_bm25_corpus(spark, sf_dir):
 
     df = _docs(spark, sf_dir)
     out = bm25_scores(df, "text", "doc_id", "spark data batch window")
-    return out.select("doc_id", F.round("bm25_score", 6).alias("bm25_score"))
+    # integer micro-units with a boundary guard: float aggregation order
+    # differs across engines/environments, and a score landing exactly on
+    # a 6th-decimal rounding boundary flips the value hash (r2 gate
+    # regression). 1e-9 is far above ulp noise (~1e-10 at this scale) and
+    # far below the 0.5 micro-unit boundary, so both sides round alike.
+    return out.select(
+        "doc_id",
+        F.round(F.col("bm25_score") * F.lit(1e6) + F.lit(1e-9), 0)
+        .cast("long")
+        .alias("bm25_score_u"),
+    )
 
 
 def _oracle_bm25_corpus() -> str:
@@ -1289,10 +1368,11 @@ vf AS (SELECT t, CASE WHEN idf_raw < 0 THEN (SELECT fl FROM e) ELSE idf_raw END 
 raw AS (SELECT doc_id, 0.0 + {tf_scores} AS sc FROM p),
 mm AS (SELECT min(sc) AS mn, max(sc) AS mx FROM raw)
 SELECT doc_id,
-       round(CASE WHEN (SELECT mx FROM mm) = (SELECT mn FROM mm) THEN 0.5
-                  ELSE (sc - (SELECT mn FROM mm))
-                       / ((SELECT mx FROM mm) - (SELECT mn FROM mm)) END, 6)
-         AS bm25_score
+       CAST(round((CASE WHEN (SELECT mx FROM mm) = (SELECT mn FROM mm) THEN 0.5
+                        ELSE (sc - (SELECT mn FROM mm))
+                             / ((SELECT mx FROM mm) - (SELECT mn FROM mm)) END)
+                  * 1e6 + 1e-9) AS BIGINT)
+         AS bm25_score_u
 FROM raw
 """
 
@@ -1413,14 +1493,10 @@ FROM per JOIN ov ON per.link_id = ov.link_id
 QUERIES.update(
     {
         "adaptive_embedding": q_adaptive_embedding,
-        "chunk_fixed": q_chunk_fixed,
-        "chunk_sliding": q_chunk_sliding,
-        "chunk_overlap": q_chunk_overlap,
-        "chunk_regex": q_chunk_regex,
-        "chunk_sentence": q_chunk_sentence,
-        "head_meta": q_head_meta,
-        "head_seo": q_head_seo,
-        "head_relevance": q_head_relevance,
+        "chunk_word_windows": q_chunk_word_windows,
+        "chunk_boundaries": q_chunk_boundaries,
+        "chunk_topic": q_chunk_topic,
+        "head_analysis": q_head_analysis,
         "bm25_corpus": q_bm25_corpus,
         "adaptive_metrics": q_adaptive_metrics,
     }
@@ -1428,14 +1504,10 @@ QUERIES.update(
 ORACLES.update(
     {
         "adaptive_embedding": ORACLE_ADAPTIVE_EMBEDDING,
-        "chunk_fixed": ORACLE_CHUNK_FIXED,
-        "chunk_sliding": ORACLE_CHUNK_SLIDING,
-        "chunk_overlap": ORACLE_CHUNK_OVERLAP,
-        "chunk_regex": ORACLE_CHUNK_REGEX,
-        "chunk_sentence": ORACLE_CHUNK_SENTENCE,
-        "head_meta": ORACLE_HEAD_META,
-        "head_seo": ORACLE_HEAD_SEO,
-        "head_relevance": _oracle_head_relevance(),
+        "chunk_word_windows": ORACLE_CHUNK_WORD_WINDOWS,
+        "chunk_boundaries": ORACLE_CHUNK_BOUNDARIES,
+        "chunk_topic": ORACLE_CHUNK_TOPIC,
+        "head_analysis": _oracle_head_analysis(),
         "bm25_corpus": _oracle_bm25_corpus(),
         "adaptive_metrics": _oracle_adaptive_metrics(),
     }
@@ -1724,13 +1796,13 @@ QUERIES.update(
         "schema_extract_xpath": q_schema_extract_xpath,
         "content_fit_bm25_nostem": q_content_fit_bm25_nostem,
         "content_fit_pruning": q_content_fit_pruning,
-        # content_fit_bm25 stays rows-only BY DESIGN: its selection
-        # depends on per-page BM25 idf statistics over the block-walk
-        # chunks — mirrorable in SQL only by restating the whole scoring
-        # engine, which the ported reference tests already pin.
-        "content_fit_bm25": q_content_fit_bm25,
     }
 )
+# content_fit_bm25 (stemming on, the production default) is pytest-only:
+# Porter2 isn't SQL-expressible; the rest of its pipeline is fully
+# oracle-checked through content_fit_bm25_nostem above and the stemmer
+# itself by tests/test_stemmer.py against the spec's worked examples.
+PYTEST_ONLY_QUERIES["content_fit_bm25"] = q_content_fit_bm25
 ORACLES["schema_extract_pages"] = ORACLE_SCHEMA_EXTRACT_PAGES
 ORACLES["schema_extract_xpath"] = ORACLE_SCHEMA_EXTRACT_XPATH
 ORACLES["content_fit_bm25_nostem"] = _oracle_content_fit_bm25_nostem()

@@ -115,6 +115,100 @@ def sentence_chunks(text: Column | str, dedupe: bool = True) -> Column:
     return F.array_distinct(arr) if dedupe else arr
 
 
+def topic_chunks(text: Column | str, w: int = 20, k: int = 2) -> Column:
+    """TextTiling-style topic segmentation (X5's last chunker).
+
+    Reference: /root/reference/crawl4ai/chunking_strategy.py:112-161
+    TopicSegmentationChunking, which wraps nltk's TextTilingTokenizer.
+    nltk is absent in this environment, so this is a from-scratch
+    TextTiling approximation (Hearst 1997's published block-comparison
+    scheme): pseudo-sentences of ``w`` words; at every gap, similarity =
+    number of DISTINCT tokens shared by the ``k``-sentence blocks on
+    either side; depth score = summed rises toward both neighbors; a
+    boundary wherever depth strictly exceeds the per-document mean
+    depth (``depth * n_gaps > sum(depths)``, all-integer so the result
+    is bit-exact across engines and SQL-oracle-able).
+
+    Pure Column expression — whole-stage codegen, no UDF, no shuffle;
+    per-document work is independent, so the operator scales linearly
+    with input splits at 100 TB.
+    """
+    ws = _words(_c(text))
+    n = F.size(ws)
+    m = F.ceil(n / F.lit(float(w))).cast("int")
+    empty_i = F.array().cast("array<int>")
+    gaps = F.when(m >= 2, F.sequence(F.lit(0), m - 2)).otherwise(empty_i)
+
+    def lstart(i):
+        return F.greatest(i - (k - 1), F.lit(0))
+
+    sims = F.transform(
+        gaps,
+        lambda i: F.size(
+            F.array_intersect(
+                F.slice(ws, lstart(i) * w + 1, (i + 1 - lstart(i)) * w),
+                F.slice(ws, (i + 1) * w + 1, F.lit(k * w)),
+            )
+        ),
+    )
+    g = F.size(sims)
+    depths = F.when(
+        g > 0,
+        F.transform(
+            F.sequence(F.lit(0), g - 1),
+            lambda j: F.greatest(
+                F.when(
+                    j > 0, F.element_at(sims, j) - F.element_at(sims, j + 1)
+                ).otherwise(F.lit(0)),
+                F.lit(0),
+            )
+            + F.greatest(
+                F.when(
+                    j < g - 1,
+                    F.element_at(sims, j + 2) - F.element_at(sims, j + 1),
+                ).otherwise(F.lit(0)),
+                F.lit(0),
+            ),
+        ),
+    ).otherwise(empty_i)
+    total = F.aggregate(depths, F.lit(0), lambda a, x: a + x)
+    bounds = F.filter(
+        F.when(g > 0, F.sequence(F.lit(0), g - 1)).otherwise(empty_i),
+        lambda j: F.element_at(depths, j + 1) * g > total,
+    )
+    starts = F.concat(F.array(F.lit(0)), F.transform(bounds, lambda b: (b + 1) * w))
+    ends = F.concat(F.transform(bounds, lambda b: (b + 1) * w), F.array(n))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.array_join(F.slice(ws, s + 1, e - s), " ")
+    )
+    return F.filter(chunks, lambda c: c != "")
+
+
+def topic_chunks_py(text: str, w: int = 20, k: int = 2) -> list[str]:
+    """Pure-Python mirror of :func:`topic_chunks` for loop-parity tests."""
+    toks = text.split()
+    n = len(toks)
+    m = -(-n // w)
+    sims: list[int] = []
+    for i in range(max(m - 1, 0)):
+        ls = max(i - (k - 1), 0)
+        left = toks[ls * w : (i + 1) * w]
+        right = toks[(i + 1) * w : (i + 1 + k) * w]
+        sims.append(len(set(left) & set(right)))
+    g = len(sims)
+    depths = [
+        max((sims[j - 1] - sims[j]) if j > 0 else 0, 0)
+        + max((sims[j + 1] - sims[j]) if j < g - 1 else 0, 0)
+        for j in range(g)
+    ]
+    total = sum(depths)
+    bounds = [j for j in range(g) if depths[j] * g > total]
+    starts = [0] + [(b + 1) * w for b in bounds]
+    ends = [(b + 1) * w for b in bounds] + [n]
+    out = [" ".join(toks[s:e]) for s, e in zip(starts, ends)]
+    return [c for c in out if c]
+
+
 def chunk_table(df, text_col: str, chunks: Column, id_cols: list[str]):
     """Explode a chunk array into (ids..., chunk_idx, chunk) rows."""
     return df.select(

@@ -10,7 +10,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from crawl4ai_spark.catalog import ORACLES, QUERIES
+from crawl4ai_spark.catalog import ORACLES, PYTEST_ONLY_QUERIES, QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -58,3 +58,19 @@ def test_query_matches_oracle(name, spark, ddb):
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(PYTEST_ONLY_QUERIES))
+def test_pytest_only_queries_run(name, spark):
+    """xxhash/stemmer production twins of the oracle-checked portable
+    variants: still executed every run even though they live outside
+    the driver catalog (50-entry CORRECTNESS window)."""
+    df = PYTEST_ONLY_QUERIES[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
+def test_driver_catalog_fits_correctness_window():
+    """The driver checks only the first 50 catalog entries; every entry
+    must be inside that window (r2 verdict item 2)."""
+    assert len(QUERIES) <= 50
+    assert set(QUERIES) >= set(ORACLES)

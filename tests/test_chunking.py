@@ -138,3 +138,45 @@ def test_sentence_chunks_no_dedupe(spark):
     df = spark.createDataFrame([("A. A. B.",)], "t string")
     row = df.select(sentence_chunks("t", dedupe=False).alias("s")).first()
     assert list(row["s"]) == ["A.", "A.", "B."]
+
+
+def test_topic_chunks_loop_parity(spark):
+    """topic_chunks (pure Column TextTiling approximation) must match
+    its pure-Python mirror on two-topic docs, uniform docs, and edges."""
+    import random
+
+    from crawl4ai_spark.functions.chunking import topic_chunks, topic_chunks_py
+
+    rng = random.Random(11)
+    vocab_a = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vocab_b = ["zeta", "eta", "theta", "iota", "kappa"]
+    cases = []
+    for _ in range(30):
+        n1, n2 = rng.randint(0, 150), rng.randint(0, 150)
+        words = [rng.choice(vocab_a) for _ in range(n1)] + [
+            rng.choice(vocab_b) for _ in range(n2)
+        ]
+        cases.append(" ".join(words))
+    cases += ["", "one two three", " ".join(["x"] * 20), " ".join(["y"] * 41)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    got = {
+        r["i"]: list(r["c"])
+        for r in df.select("i", topic_chunks("t").alias("c")).collect()
+    }
+    for i, text in enumerate(cases):
+        assert got[i] == topic_chunks_py(text), f"case {i}"
+
+
+def test_topic_chunks_splits_two_topic_doc(spark):
+    """A doc with a hard vocabulary switch must segment at (or near)
+    the switch, and chunks must reassemble to the original text."""
+    from crawl4ai_spark.functions.chunking import topic_chunks_py
+
+    text = " ".join(["cat dog fish bird"] * 25 + ["engine piston gear axle"] * 25)
+    chunks = topic_chunks_py(text)
+    assert len(chunks) >= 2
+    assert " ".join(chunks) == text
+    # the boundary nearest the switch is within one pseudo-sentence (20
+    # words) of the true topic change at word 100
+    offs = [sum(len(c.split()) for c in chunks[: i + 1]) for i in range(len(chunks) - 1)]
+    assert any(abs(o - 100) <= 20 for o in offs)
