@@ -556,10 +556,15 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    import pyarrow.parquet as pq
+
     df = _docs(spark, sf_dir).select("doc_id", "text")
     near = df.withColumn("doc_id", _d() + 100000)
+    # parquet footer count — the auto strategy pick needs no count job
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     out = ngram_jaccard_pairs(
-        df.unionByName(near), "text", "doc_id", shingle_k=3, threshold=0.9
+        df.unionByName(near), "text", "doc_id", shingle_k=3, threshold=0.9,
+        approx_count=2 * n_docs,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1683,9 +1688,7 @@ def q_content_fit_bm25_nostem(spark, sf_dir):
 def _oracle_content_fit_bm25_nostem() -> str:
     from .functions.content_filter import NOISE, STOP_WORDS
 
-    stop = sorted(
-        w for w in (STOP_WORDS | NOISE) if "'" not in w or True
-    )
+    stop = sorted(STOP_WORDS | NOISE)
     stop_sql = ", ".join("'" + w.replace("'", "''") + "'" for w in stop)
     keep = (
         "list_filter(str_split_regex(lower({t}), '\\s+'), "

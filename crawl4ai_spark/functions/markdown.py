@@ -1,11 +1,15 @@
-"""HTML -> Markdown conversion + link-citation rewrite, from scratch.
+"""HTML -> Markdown conversion + link-citation rewrite.
 
-Behavioral parity target: the reference's markdown stage
+Re-derived to byte parity from the observable semantics of the
+reference's markdown stage
 (/root/reference/crawl4ai/markdown_generation_strategy.py:148-250 with
 its CustomHTML2Text defaults: body_width=0, single_line_break=True,
 mark_code=True, escape_snob=False, ignore_mailto_links=True,
 inline_links=True) — byte-identical on the engine's page corpus,
 verified by golden differential tests in tests/test_markdown_golden.py.
+Byte parity pins the converter state machine's shape (and some of its
+state vocabulary) to html2text's published design; the implementation
+here is condensed to a different emit architecture in ~520 lines.
 
 Implementation: a single-pass stdlib ``html.parser.HTMLParser`` state
 machine (no external deps). Spark surface: an Arrow-batched pandas UDF

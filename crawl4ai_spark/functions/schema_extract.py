@@ -431,8 +431,42 @@ def _extract_field(element: _Node, field: dict, engine: str = "css"):
         return field.get("default")
 
 
+def validate_schema(schema: dict, selector_type: str = "css") -> None:
+    """Eagerly compile every selector in a {baseSelector, fields} schema.
+
+    The reference accepts arbitrary lxml XPath
+    (extraction_strategy.py:1612-1674); this engine covers the practical
+    subset, so users porting schemas with unsupported axes/functions
+    (``ancestor::``, ``contains()``, unions, …) must get an immediate
+    ValueError — NOT silent empty output. Without this, the per-field
+    runtime try/except (which mirrors the reference's per-field error
+    fallback) would swallow the syntax error on every row.
+
+    Called driver-side by :func:`schema_extract_stage` (fail fast before
+    any executor work) and once per page by the scalar entry points.
+    """
+    def check(sel: str) -> None:
+        if selector_type == "xpath" and "/" in sel:
+            _xp_parse(sel)
+        else:
+            compile_selector(sel)
+
+    def walk_fields(fields: list[dict]) -> None:
+        for f in fields:
+            sel = f.get("selector")
+            if sel:
+                check(sel)
+            if f.get("fields"):
+                walk_fields(f["fields"])
+
+    check(schema["baseSelector"])
+    walk_fields(schema.get("fields", []))
+    walk_fields(schema.get("baseFields", []))
+
+
 def _json_schema_extract(html: str | bytes | None, schema: dict,
                          engine: str) -> list[dict]:
+    validate_schema(schema, engine)
     if html is None:
         return []
     if isinstance(html, (bytes, bytearray)):
@@ -470,6 +504,7 @@ def schema_extract_stage(df, html_col: str, schema: dict,
     ``selector_type``: 'css' or 'xpath'."""
     if selector_type not in _ENGINES:
         raise ValueError(f"unknown selector_type {selector_type!r}")
+    validate_schema(schema, selector_type)  # fail fast, on the driver
     in_schema = df.schema
     out_ddl = ", ".join(
         f.name + " " + f.dataType.simpleString() for f in in_schema.fields

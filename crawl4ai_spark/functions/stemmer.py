@@ -109,13 +109,16 @@ def stem_word(word: str) -> str:
         word = word[1:]
     if word in _EXCEPTIONS:
         return _EXCEPTIONS[word]
-    # mark consonant-y as Y
-    if word and word[0] == "y":
-        word = "Y" + word[1:]
-    word = "".join(
-        "Y" if c == "y" and i > 0 and _is_vowel(word, i - 1) else c
-        for i, c in enumerate(word)
-    )
+    # mark consonant-y as Y, left-to-right against the POST-marking
+    # previous char: in 'sayyes' the first y becomes Y (after vowel a),
+    # so the second y follows consonant Y and must stay a vowel y
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
     r1, r2 = _regions(word)
 
     # Step 0: 's' / 's / '

@@ -42,6 +42,39 @@ def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+_SIDE_TABLES: list = []
+
+
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Row count from optimizer statistics (free — no job). Defined for
+    parquet scans with footer counts / CBO stats; None otherwise."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(rc.get().longValue()) if rc.isDefined() else None
+    except Exception:
+        return None
+
+
+def _cache_side_table(df: DataFrame) -> DataFrame:
+    """Persist an intra-call side table, evicting the previous call's.
+
+    The minhash/prefix pipelines persist a table that is read twice
+    within one returned plan; the persist must outlive this function
+    (the result is lazy), so it can't be unpersisted here. Evicting on
+    the NEXT dedup call bounds cached blocks to one call's worth in a
+    long-lived session, and eviction is always safe — a still-referenced
+    plan just recomputes.
+    """
+    while _SIDE_TABLES:
+        try:
+            _SIDE_TABLES.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _SIDE_TABLES.append(df)
+    return df
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition the input before the narrow hashing stages: parquet
     scans often arrive in a handful of partitions (file-sized), which
@@ -152,9 +185,9 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed, hash_fn)
-    with_sig = _spread(df).select(
-        F.col(id_col).alias("_id"), sig.alias("_sig")
-    ).persist()
+    with_sig = _cache_side_table(
+        _spread(df).select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    )
 
     band_arr = F.array(
         *[
@@ -328,6 +361,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
     algorithm: str = "auto",
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold.
 
@@ -347,7 +381,11 @@ def ngram_jaccard_pairs(
       More passes, but the only shape that survives web-scale corpora.
 
     ``auto`` picks inverted below ~100k docs and prefix above — the
-    crossover where the prefix pipeline's extra passes amortize.
+    crossover where the prefix pipeline's extra passes amortize. The
+    row count comes from ``approx_count`` when the caller knows it,
+    else from optimizer plan statistics, and only as a last resort from
+    a ``count()`` action (which re-executes the upstream plan — pass
+    ``approx_count`` or a concrete ``algorithm`` on hot paths).
     The hot-shingle DF cap applies in both (removing boilerplate
     shingles from the sets themselves).
 
@@ -357,7 +395,10 @@ def ngram_jaccard_pairs(
     most 1/|union|).
     """
     if algorithm == "auto":
-        algorithm = "inverted" if df.count() <= 100_000 else "prefix"
+        n_rows = approx_count if approx_count is not None else _plan_row_count(df)
+        if n_rows is None:
+            n_rows = df.count()
+        algorithm = "inverted" if n_rows <= 100_000 else "prefix"
 
     ex = _spread(df).select(
         F.col(id_col).alias("_id"),
@@ -406,7 +447,8 @@ def ngram_jaccard_pairs(
         )
 
     # -- prefix-filtered path ------------------------------------------------
-    ex = ex.persist()  # one shingle-hash pass feeds DF counts AND sets
+    # one shingle-hash pass feeds DF counts AND sets
+    ex = _cache_side_table(ex)
     dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
     exd = ex.join(dfreq, "_sh")
     if max_shingle_df is not None:

@@ -280,6 +280,8 @@ class CrawlRun:
             pool, state, round_seconds=cfg.round_seconds,
             order_cols=("_prio_eff", "url"),
             robots_delay_col="robots_crawl_delay",
+            salt=cfg.salt,
+            state_rows=self.politeness.count_rows(r) if state is not None else 0,
         )
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped", "robots_crawl_delay"

@@ -46,6 +46,8 @@ def select_within_budget(
     host_col: str = "host",
     order_cols: tuple = ("priority", "url"),
     robots_delay_col: str | None = None,
+    salt: int = 16,
+    state_rows: int | None = None,
 ) -> DataFrame:
     """Split a frontier into (selected, deferred, abandoned) by budget.
 
@@ -56,9 +58,28 @@ def select_within_budget(
     retries). When ``robots_delay_col`` is given, a host's robots.txt
     Crawl-delay FLOORS the effective delay — the backoff state can slow
     a host further, never below what its robots.txt demands.
+
+    Skew shape: budgets are tiny ks, so the top-k per host is computed
+    in TWO phases — a partial ``row_number`` inside each of ``salt``
+    hash slices of the host's rows, keeping at most ``budget`` rows per
+    slice, then the exact rank over those ≤ salt x budget survivors.
+    No single task ever materializes a hot host's full frontier (a
+    web-scale host can hold most of the corpus; the one-phase
+    ``partition by host`` window was the first shuffle to fall over at
+    100x scale). The survivor set provably contains the global top-k:
+    any row in the per-host top-``budget`` is also within the
+    top-``budget`` of its own slice, so phase 2 returns exactly the
+    rows the one-phase window would.
+
+    ``state_rows`` lets the caller pass a known state-table size (e.g.
+    from parquet footer metadata) so no count job runs here.
     """
-    n_state = state.count() if state is not None else 0
-    if n_state:
+    n_state = (
+        state_rows
+        if state_rows is not None
+        else (state.count() if state is not None else 0)
+    )
+    if state is not None and n_state:
         st = _sized(state.withColumnRenamed("host", "__st_host"), n_state)
         frontier = frontier.join(
             st, frontier[host_col] == F.col("__st_host"), "left_outer"
@@ -76,14 +97,24 @@ def select_within_budget(
     budget = F.greatest(F.floor(F.lit(round_seconds) / delay), F.lit(1))
     dropped = F.coalesce(F.col("fail_count"), F.lit(0)) > MAX_RETRIES
 
-    w = Window.partitionBy(host_col).orderBy(
-        F.desc(order_cols[0]), F.asc(order_cols[1])
-    )
-    return (
-        frontier.withColumn("_rn", F.row_number().over(w))
+    order = (F.desc(order_cols[0]), F.asc(order_cols[1]))
+    salt_expr = F.pmod(F.xxhash64(F.col(order_cols[1])), F.lit(salt))
+    w_partial = Window.partitionBy(F.col(host_col), salt_expr).orderBy(*order)
+    pre = (
+        frontier.withColumn("_budget", budget)
         .withColumn("_dropped", dropped)
-        .withColumn("_selected", (~dropped) & (F.col("_rn") <= budget))
-        .drop("_rn", "current_delay", "fail_count")
+        .withColumn("_prn", F.row_number().over(w_partial))
+    )
+    cand = pre.filter(F.col("_prn") <= F.col("_budget"))
+    rest = pre.filter(F.col("_prn") > F.col("_budget")).withColumn(
+        "_selected", F.lit(False)
+    )
+    w_exact = Window.partitionBy(host_col).orderBy(*order)
+    cand = cand.withColumn("_rn", F.row_number().over(w_exact)).withColumn(
+        "_selected", (~F.col("_dropped")) & (F.col("_rn") <= F.col("_budget"))
+    ).drop("_rn")
+    return cand.unionByName(rest).drop(
+        "_prn", "_budget", "current_delay", "fail_count"
     )
 
 
@@ -110,8 +141,9 @@ def update_state(
         )
         .withColumnRenamed(host_col, "_rh")
     )
-    n_state = state.count() if state is not None else 0
-    if n_state:
+    # no count job: a full_outer join against an EMPTY state table is
+    # equivalent to the no-state branch, so presence is all that matters
+    if state is not None:
         st = (
             state.withColumnRenamed("host", "_sh")
             .withColumnRenamed("current_delay", "_delay")
@@ -168,6 +200,18 @@ class PolitenessState:
         if not os.path.exists(p):
             return None
         return self.spark.read.schema(STATE_SCHEMA).parquet(p)
+
+    def count_rows(self, round_no: int) -> int:
+        """Row count from parquet footer metadata — no Spark job (the
+        per-round ``state.count()`` was one fixed job per crawl round)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(self._path(round_no), "*.parquet"))
+        )
 
     def save(self, df: DataFrame, round_no: int) -> None:
         df.coalesce(1).sortWithinPartitions("host").write.mode("overwrite").parquet(

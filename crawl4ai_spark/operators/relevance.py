@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -83,13 +83,18 @@ def bm25_scores(
     out = docs.select(F.col("_id").alias(id_col), score.alias("bm25_score"))
     if not normalize:
         return out
-    # seeder min-max normalization (:1410-1420); all-equal -> 0.5
-    w = Window.partitionBy()
-    mn, mx = F.min("bm25_score").over(w), F.max("bm25_score").over(w)
-    norm = F.when(mx == mn, 0.5).otherwise(
-        (F.col("bm25_score") - mn) / (mx - mn)
+    # seeder min-max normalization (:1410-1420); all-equal -> 0.5.
+    # Two scalars via agg + broadcast cross-join — an unpartitioned
+    # window here would funnel every row through one task.
+    mm = out.agg(
+        F.min("bm25_score").alias("_mn"), F.max("bm25_score").alias("_mx")
     )
-    return out.select(id_col, norm.alias("bm25_score"))
+    norm = F.when(F.col("_mx") == F.col("_mn"), 0.5).otherwise(
+        (F.col("bm25_score") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+    )
+    return out.crossJoin(F.broadcast(mm)).select(
+        id_col, norm.alias("bm25_score")
+    )
 
 
 def coverage(df: DataFrame, text_col: str, id_col: str, query: str) -> DataFrame:

@@ -321,3 +321,70 @@ def test_hot_host_spreads_across_salted_partitions(spark, corpus, tmp_path):
     n_parts = res.select("partition_id").distinct().count()
     assert n_h0 > 50  # the hot host dominates, as constructed
     assert n_parts >= 4  # spread over salt slices, not one straggler
+
+
+def test_budget_split_two_phase_parity(spark):
+    """The salted two-phase budget top-k must select exactly the rows
+    the one-phase per-host window would — including on a hot host
+    carrying most of the frontier and on priority ties."""
+    from crawl4ai_spark.operators.politeness import select_within_budget
+
+    rows = []
+    # h0 = hot host with 600 rows, many tied priorities
+    for i in range(600):
+        rows.append(("h0.example.com", f"https://h0.example.com/p{i:04d}", float(i % 7)))
+    for h in range(1, 20):
+        for i in range(10):
+            rows.append((f"h{h}.example.com", f"https://h{h}.example.com/p{i}", float(i)))
+    fr = spark.createDataFrame(rows, "host string, url string, priority double")
+    state = spark.createDataFrame(
+        [("h0.example.com", 2.0, 0), ("h1.example.com", 8.0, 0),
+         ("h2.example.com", 1.0, 99)],
+        "host string, current_delay double, fail_count int",
+    )
+    out = select_within_budget(
+        fr, state, round_seconds=16.0, salt=8
+    ).toPandas()
+
+    # reference: exact one-phase top-k in pandas
+    import math
+
+    delays = {"h0.example.com": 2.0, "h1.example.com": 8.0, "h2.example.com": 1.0}
+    want_sel = set()
+    df = out.sort_values(["host", "priority", "url"], ascending=[True, False, True])
+    for host, grp in df.groupby("host"):
+        budget = max(math.floor(16.0 / delays.get(host, 1.0)), 1)
+        if host == "h2.example.com":  # fail_count 99 > MAX_RETRIES
+            continue
+        want_sel |= set(grp["url"].head(budget))
+    got_sel = set(out[out["_selected"]]["url"])
+    assert got_sel == want_sel
+    assert set(out[out["_dropped"]]["host"]) == {"h2.example.com"}
+    assert len(out) == len(rows)  # every frontier row accounted for
+
+
+def test_budget_split_no_unsalted_full_window(spark):
+    """Scale shape: the window that sees the FULL frontier must be
+    salt-partitioned; the exact host-only window may only consume the
+    pre-filtered candidates (<= salt x budget rows per host)."""
+    from crawl4ai_spark.operators.politeness import select_within_budget
+
+    fr = spark.createDataFrame(
+        [("h0", f"u{i}", 1.0) for i in range(50)],
+        "host string, url string, priority double",
+    )
+    out = select_within_budget(fr, None, round_seconds=16.0, salt=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # both phases present: a salted partial window and an exact window
+    assert "pmod(xxhash64" in plan
+    # the host-only window's subtree must contain the partial-rank
+    # filter, i.e. it never consumes the raw frontier
+    import re
+
+    host_only = [
+        m.start() for m in re.finditer(r"windowspecdefinition\(host#", plan)
+        if "pmod" not in plan[m.start():m.start() + 120]
+    ]
+    assert host_only, "exact per-host window missing"
+    tail = plan[host_only[0]:]
+    assert "_prn" in tail  # (the literal budget constant-folds away)

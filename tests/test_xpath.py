@@ -118,3 +118,45 @@ def test_xpath_text_is_joined_raw_then_stripped():
     from crawl4ai_spark.functions.schema_extract import _xpath_text
 
     assert _xpath_text(node) == "a b c"
+
+
+def test_unsupported_xpath_raises_not_empty():
+    """Users porting lxml XPath schemas with unsupported axes/functions
+    must get an explicit error, never silent empty extraction."""
+    import pytest
+
+    from crawl4ai_spark.functions.schema_extract import (
+        json_xpath_extract,
+        validate_schema,
+    )
+
+    html = "<div><a href='x.html'>link</a></div>"
+    for bad in ["//div/ancestor::body", "//a[contains(@href, 'x')]",
+                "//a/following-sibling::a", "//a[last()]", "//a | //div"]:
+        schema = {"baseSelector": "//div",
+                  "fields": [{"name": "v", "selector": bad, "type": "text"}]}
+        with pytest.raises(ValueError):
+            validate_schema(schema, "xpath")
+        with pytest.raises(ValueError):
+            json_xpath_extract(html, schema)
+    # and an unsupported baseSelector fails too
+    with pytest.raises(ValueError):
+        json_xpath_extract(html, {"baseSelector": "//div/ancestor::body",
+                                  "fields": []})
+
+
+def test_validate_schema_walks_nested_fields():
+    import pytest
+
+    from crawl4ai_spark.functions.schema_extract import validate_schema
+
+    schema = {
+        "baseSelector": "//div",
+        "fields": [{
+            "name": "inner", "selector": "//ul", "type": "nested",
+            "fields": [{"name": "bad", "selector": "//li[position()=2]",
+                        "type": "text"}],
+        }],
+    }
+    with pytest.raises(ValueError):
+        validate_schema(schema, "xpath")
