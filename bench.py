@@ -57,6 +57,16 @@ def run_queries(spark) -> dict[str, float]:
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:
         names = [n.strip() for n in override.split(",") if n.strip()]
+    # untimed warmup: absorbs JVM/codegen/Arrow/Python-worker startup so
+    # the first timed query measures its plan, not session spin-up
+    try:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id"
+        ).limit(64).mapInPandas(
+            lambda it: it, "doc_id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES.get(name)

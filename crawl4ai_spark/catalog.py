@@ -1060,10 +1060,10 @@ def q_chunk_topic(spark, sf_dir):
     chunking_strategy.py:112-161). Integer-arithmetic scoring makes the
     whole pipeline — pseudo-sentences, block-overlap similarity, depth
     scores, mean-threshold boundaries — replayable in SQL."""
-    from .functions.chunking import chunk_table, topic_chunks
+    from .functions.chunking import topic_chunk_table
 
     df = _docs(spark, sf_dir)
-    return chunk_table(df, "text", topic_chunks("text", w=20, k=2), ["doc_id"])
+    return topic_chunk_table(df, "text", ["doc_id"], w=20, k=2)
 
 
 ORACLE_CHUNK_TOPIC = """

@@ -129,9 +129,10 @@ def topic_chunks(text: Column | str, w: int = 20, k: int = 2) -> Column:
     depth (``depth * n_gaps > sum(depths)``, all-integer so the result
     is bit-exact across engines and SQL-oracle-able).
 
-    Pure Column expression — whole-stage codegen, no UDF, no shuffle;
-    per-document work is independent, so the operator scales linearly
-    with input splits at 100 TB.
+    Pure Column expression form — correct everywhere, but only suitable
+    for small inputs: Catalyst re-expands the chained intermediates at
+    every reference (see :func:`topic_chunk_table`, the Arrow-batched
+    production form, for the measured blowup and the scale story).
     """
     ws = _words(_c(text))
     n = F.size(ws)
@@ -182,6 +183,56 @@ def topic_chunks(text: Column | str, w: int = 20, k: int = 2) -> Column:
         starts, ends, lambda s, e: F.array_join(F.slice(ws, s + 1, e - s), " ")
     )
     return F.filter(chunks, lambda c: c != "")
+
+
+def topic_chunk_table(
+    df,
+    text_col: str,
+    id_cols: list[str],
+    w: int = 20,
+    k: int = 2,
+    spread: bool = True,
+):
+    """:func:`topic_chunks` as an Arrow-batched mapInPandas stage ->
+    (ids..., chunk_idx, chunk) rows. Identical output to the Column
+    form; this is the one to use on real data.
+
+    Why not the pure Column expression: the algorithm's intermediates
+    chain (tokens -> gap sims -> depths -> total -> boundaries ->
+    spans) and each later stage references earlier ones several times.
+    Catalyst re-inlines non-trivial subexpressions at every reference
+    (measured: 277 copies of the tokenizing split in the optimized
+    plan, ~50x per-row cost), staged ``withColumn`` projections get
+    collapsed right back, and let-binding through
+    ``transform(array(e), x -> body)`` sends the optimizer itself
+    superlinear. A per-row dependency CHAIN like this is the documented
+    boundary where built-in operators stop being expressible
+    efficiently — so the kernel runs as vectorized Python over Arrow
+    batches (~us/row), preserving narrowness: no shuffle, partitioning
+    carried through. ``spread`` repartitions first because parquet
+    scans arrive in file-sized partitions that would serialize the
+    stage onto a few cores.
+    """
+    if spread:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n_part)
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_ddl = ", ".join(
+        [f"{c} {in_fields[c]}" for c in id_cols] + ["chunk_idx int", "chunk string"]
+    )
+
+    def process(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf[[*id_cols, text_col]].itertuples(index=False):
+                *ids, text = tup
+                for idx, chunk in enumerate(topic_chunks_py(text or "", w, k)):
+                    rows.append((*ids, idx, chunk))
+            yield pd.DataFrame(rows, columns=[*id_cols, "chunk_idx", "chunk"])
+
+    return df.mapInPandas(process, schema=out_ddl)
 
 
 def topic_chunks_py(text: str, w: int = 20, k: int = 2) -> list[str]:

@@ -282,7 +282,9 @@ class CrawlRun:
             robots_delay_col="robots_crawl_delay",
             salt=cfg.salt,
             state_rows=self.politeness.count_rows(r) if state is not None else 0,
-        )
+        ).persist()  # consumed by the results write AND the next-frontier
+        # write; one persist beats re-running the joins + two-phase
+        # windows in each job (bounded: this round's candidate pool)
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped", "robots_crawl_delay"
         )
@@ -499,6 +501,7 @@ class CrawlRun:
             self._frontier_path(r + 1)
         )
         self.seen.add(self.seen.anti_join(frontier_next), r + 1)
+        budgeted.unpersist(blocking=False)
         if cfg.seen_bloom:
             deduped.unpersist(blocking=False)
 

@@ -38,6 +38,22 @@ def _sized(state: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(state) if n_rows <= BROADCAST_MAX_HOSTS else state
 
 
+_PRE_SPLIT_CACHE: list = []
+
+
+def _cache_pre_split(df: DataFrame) -> DataFrame:
+    """Persist the phase-1 ranked frontier, evicting the previous
+    round's (same bounded-registry pattern as operators.dedup)."""
+    while _PRE_SPLIT_CACHE:
+        try:
+            _PRE_SPLIT_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PRE_SPLIT_CACHE.append(df)
+    return df
+
+
 def select_within_budget(
     frontier: DataFrame,
     state: DataFrame | None,
@@ -105,6 +121,11 @@ def select_within_budget(
         .withColumn("_dropped", dropped)
         .withColumn("_prn", F.row_number().over(w_partial))
     )
+    # both union branches below read `pre`; without a cache the whole
+    # upstream frontier plan (joins, filters) executes twice per
+    # downstream consumer. Bounded registry: evicted on the next call
+    # (one crawl round per call), eviction is recompute-safe.
+    pre = _cache_pre_split(pre)
     cand = pre.filter(F.col("_prn") <= F.col("_budget"))
     rest = pre.filter(F.col("_prn") > F.col("_budget")).withColumn(
         "_selected", F.lit(False)
