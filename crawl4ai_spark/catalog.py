@@ -1580,13 +1580,24 @@ def q_schema_extract_xpath(spark, sf_dir):
              "type": "text"},
             {"name": "img_alt", "selector": ".//img", "type": "attribute",
              "attribute": "alt"},
+            # r3 extended grammar: contains(.), starts-with, sibling
+            # axis + positional, union
+            {"name": "ext", "selector": ".//p[contains(., 'External')]/a",
+             "type": "text"},
+            {"name": "item0",
+             "selector": ".//li/a[starts-with(@title, 'target 0')]",
+             "type": "text"},
+            {"name": "after_list",
+             "selector": ".//ul/following-sibling::p[1]", "type": "text"},
+            {"name": "heading", "selector": ".//h2 | .//h1", "type": "text"},
         ],
     }
     pages = generate_pages(spark, sf_dir)
     out = schema_extract_stage(pages, "html", schema, selector_type="xpath")
     items = F.from_json(
         "extracted_content",
-        "array<struct<h1:string,nav2:string,titled:string,img_alt:string>>",
+        "array<struct<h1:string,nav2:string,titled:string,img_alt:string,"
+        "ext:string,item0:string,after_list:string,heading:string>>",
     )
     first = items[0]
     return out.select(
@@ -1595,6 +1606,10 @@ def q_schema_extract_xpath(spark, sf_dir):
         first["nav2"].alias("nav2"),
         first["titled"].alias("titled"),
         first["img_alt"].alias("img_alt"),
+        first["ext"].alias("ext"),
+        first["item0"].alias("item0"),
+        first["after_list"].alias("after_list"),
+        first["heading"].alias("heading"),
     )
 
 
@@ -1604,7 +1619,12 @@ SELECT {_PAGE_URL_SQL} AS url,
          array_to_string((str_split(text, ' '))[1:3], ' ') AS h1,
        'link 1' AS nav2,
        'item 1' AS titled,
-       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt
+       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt,
+       'partner ' || CAST(doc_id % 5 AS VARCHAR) AS ext,
+       'item 0' AS item0,
+       'External: partner ' || CAST(doc_id % 5 AS VARCHAR) AS after_list,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+         array_to_string((str_split(text, ' '))[1:3], ' ') AS heading
 FROM documents
 """
 

@@ -156,20 +156,82 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
 # XPath engine (subset)
 # ---------------------------------------------------------------------------
 
+_XP_AXES = ("ancestor", "parent", "following-sibling", "preceding-sibling")
 _XP_STEP_RX = re.compile(
-    r"(//|/)"                                   # axis
-    r"(\*|text\(\)|@[\w-]+|[a-zA-Z][\w-]*)"     # node test
+    r"(//|/)"                                   # separator
+    r"(?:(ancestor|parent|following-sibling|preceding-sibling)::)?"
+    r"(\*|\.\.|text\(\)|@[\w-]+|[a-zA-Z][\w-]*)"  # node test
     r"((?:\[[^\]]*\])*)"                        # predicates
 )
 _XP_PRED_RX = re.compile(
-    r"\[(?:"
-    r"(?P<pos>\d+)"
-    r"|@(?P<attr>[\w-]+)(?:=(?P<q>[\"'])(?P<val>.*?)(?P=q))?"
-    r")\]"
+    r"""\[(?:
+    (?P<pos>\d+)
+    |(?P<last>last\(\))
+    |position\(\)\s*(?P<pcmp>=|<=|>=|<|>)\s*(?P<pnum>\d+)
+    |contains\(\s*@(?P<cattr>[\w-]+)\s*,\s*(?P<cq>["'])(?P<cval>.*?)(?P=cq)\s*\)
+    |starts-with\(\s*@(?P<sattr>[\w-]+)\s*,\s*(?P<sq>["'])(?P<sval>.*?)(?P=sq)\s*\)
+    |contains\(\s*(?:text\(\)|\.)\s*,\s*(?P<tq>["'])(?P<tval>.*?)(?P=tq)\s*\)
+    |not\(\s*@(?P<nattr>[\w-]+)\s*\)
+    |@(?P<attr>[\w-]+)\s*(?:(?P<aop>!?=)\s*(?P<q>["'])(?P<val>.*?)(?P=q))?
+    |(?P<child>[a-zA-Z][\w-]*)
+    )\]""",
+    re.X,
 )
 
 
-def _xp_parse(expr: str) -> list[tuple[str, str, list]]:
+def _xp_split_union(expr: str) -> list[str]:
+    """Split a top-level ``a | b`` union (quote- and bracket-aware)."""
+    parts, depth, q, start = [], 0, None, 0
+    for i, ch in enumerate(expr):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(expr[start:i])
+            start = i + 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts]
+
+
+def _xp_parse_pred(pm: "re.Match") -> tuple:
+    if pm.group("pos"):
+        return ("pos", int(pm.group("pos")))
+    if pm.group("last"):
+        return ("pos_last",)
+    if pm.group("pcmp"):
+        return ("pos_cmp", pm.group("pcmp"), int(pm.group("pnum")))
+    if pm.group("cattr"):
+        return ("attr_contains", pm.group("cattr"), pm.group("cval"))
+    if pm.group("sattr"):
+        return ("attr_starts", pm.group("sattr"), pm.group("sval"))
+    if pm.group("tval") is not None:
+        return ("text_contains", pm.group("tval"))
+    if pm.group("nattr"):
+        return ("attr_not", pm.group("nattr"))
+    if pm.group("child"):
+        return ("has_child", pm.group("child"))
+    if pm.group("val") is not None:
+        op = "attr_ne" if pm.group("aop") == "!=" else "attr_eq"
+        return (op, pm.group("attr"), pm.group("val"))
+    return ("attr", pm.group("attr"))
+
+
+def _xp_parse(expr: str) -> list[tuple[str, str, str | None, list]]:
+    """Parse ONE union branch into (sep, name, named_axis, preds) steps.
+
+    Raises ValueError on anything outside the supported grammar — a
+    silent empty match on unsupported syntax is the failure mode users
+    porting lxml schemas actually hit.
+    """
+    branches = _xp_split_union(expr)
+    if len(branches) > 1:
+        raise ValueError(f"_xp_parse takes one union branch, got {expr!r}")
     e = expr.strip()
     if e.startswith("."):
         e = e[1:]
@@ -180,23 +242,26 @@ def _xp_parse(expr: str) -> list[tuple[str, str, list]]:
         m = _XP_STEP_RX.match(e, pos)
         if not m:
             raise ValueError(f"unsupported xpath syntax at {e[pos:]!r} in {expr!r}")
-        axis, name, raw_preds = m.group(1), m.group(2), m.group(3)
+        sep, named_axis, name, raw_preds = m.groups()
+        if name == "..":
+            named_axis, name = "parent", "*"
         preds = []
         ppos = 0
         while ppos < len(raw_preds):
             pm = _XP_PRED_RX.match(raw_preds, ppos)
             if not pm:
                 raise ValueError(f"unsupported predicate {raw_preds!r} in {expr!r}")
-            if pm.group("pos"):
-                preds.append(("pos", int(pm.group("pos"))))
-            elif pm.group("val") is not None:
-                preds.append(("attr_eq", pm.group("attr"), pm.group("val")))
-            else:
-                preds.append(("attr", pm.group("attr")))
+            preds.append(_xp_parse_pred(pm))
             ppos = pm.end()
-        steps.append((axis, name, preds))
+        steps.append((sep, name, named_axis, preds))
         pos = m.end()
     return steps
+
+
+def _xp_validate(expr: str) -> None:
+    """Compile-check every union branch of an XPath expression."""
+    for branch in _xp_split_union(expr):
+        _xp_parse(branch)
 
 
 def _xp_name_match(node: _Node, name: str) -> bool:
@@ -211,16 +276,103 @@ def _xp_text_nodes(node: _Node, deep: bool):
             yield from _xp_text_nodes(c, True)
 
 
+_XP_CMP = {
+    "=": lambda a, b: a == b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
 def _xp_apply_preds(group: list[_Node], preds: list) -> list[_Node]:
     out = group
     for p in preds:
-        if p[0] == "pos":
+        kind = p[0]
+        if kind == "pos":
             out = [out[p[1] - 1]] if len(out) >= p[1] else []
-        elif p[0] == "attr_eq":
+        elif kind == "pos_last":
+            out = out[-1:]
+        elif kind == "pos_cmp":
+            cmp = _XP_CMP[p[1]]
+            out = [n for i, n in enumerate(out, 1) if cmp(i, p[2])]
+        elif kind == "attr_eq":
             out = [n for n in out if n.attrs.get(p[1]) == p[2]]
-        else:
+        elif kind == "attr_ne":
+            # XPath @a != 'v': attribute exists AND differs
+            out = [
+                n for n in out
+                if n.attrs.get(p[1]) is not None and n.attrs[p[1]] != p[2]
+            ]
+        elif kind == "attr_contains":
+            out = [
+                n for n in out
+                if n.attrs.get(p[1]) is not None and p[2] in n.attrs[p[1]]
+            ]
+        elif kind == "attr_starts":
+            out = [
+                n for n in out
+                if n.attrs.get(p[1]) is not None
+                and n.attrs[p[1]].startswith(p[2])
+            ]
+        elif kind == "text_contains":
+            # string-value of the node (all descendant text)
+            out = [n for n in out if p[1] in _xpath_text(n)]
+        elif kind == "attr_not":
+            out = [n for n in out if p[1] not in n.attrs]
+        elif kind == "has_child":
+            out = [
+                n for n in out if any(c.tag == p[1] for c in n.children)
+            ]
+        else:  # "attr" existence
             out = [n for n in out if p[1] in n.attrs]
     return out
+
+
+def _xp_parent_map(root: _Node) -> dict[int, _Node]:
+    pm: dict[int, _Node] = {}
+
+    def walk(n: _Node):
+        for c in n.children:
+            pm[id(c)] = n
+            walk(c)
+
+    walk(root)
+    return pm
+
+
+def _xp_axis_group(
+    node: _Node, axis: str, name: str, pmap: dict[int, _Node]
+) -> list[_Node]:
+    """Nodes on a named axis of `node`, in axis-native order (reverse
+    axes nearest-first, so positional predicates count XPath-style:
+    ``ancestor::*[1]`` is the nearest ancestor). Axes are scoped to the
+    DOM handed to xpath_select — ancestors above an extraction base
+    element are not visible (documented divergence from lxml, which
+    sees the whole document)."""
+    if axis == "parent":
+        p = pmap.get(id(node))
+        return [p] if p is not None and _xp_name_match(p, name) else []
+    if axis == "ancestor":
+        out = []
+        p = pmap.get(id(node))
+        while p is not None:
+            if _xp_name_match(p, name):
+                out.append(p)
+            p = pmap.get(id(p))
+        return out  # nearest-first
+    # sibling axes
+    parent = pmap.get(id(node))
+    if parent is None:
+        return []
+    sibs = [c for c in parent.children if c.tag != ""]
+    idx = next((i for i, c in enumerate(sibs) if c is node), None)
+    if idx is None:
+        return []
+    if axis == "following-sibling":
+        return [c for c in sibs[idx + 1:] if _xp_name_match(c, name)]
+    # preceding-sibling: nearest-first (reverse document order)
+    return [c for c in reversed(sibs[:idx]) if _xp_name_match(c, name)]
 
 
 def xpath_select(root: _Node, expr: str):
@@ -229,21 +381,51 @@ def xpath_select(root: _Node, expr: str):
     Returns a list of _Node, or a list of str when the final step is
     ``text()`` or ``@attr``. Positional predicates index within the
     per-parent sibling group (lxml/XPath semantics: ``//div/p[1]`` is
-    the first p under EACH div).
+    the first p under EACH div). Supported beyond the r2 subset
+    (reference accepts arbitrary lxml XPath,
+    extraction_strategy.py:1612-1674): ``last()``, ``position() op n``,
+    ``contains()``/``starts-with()`` on attributes, ``contains()`` on
+    the node string-value, ``not(@a)``, ``[@a!='v']``, child-existence
+    ``[name]`` predicates, ``parent::``/``..``, ``ancestor::``,
+    ``following-sibling::``/``preceding-sibling::`` axes and top-level
+    ``|`` unions (union results are first-seen deduped in branch
+    order, not global document order — documented divergence).
+    Everything else raises ValueError at compile time.
     """
+    branches = _xp_split_union(expr)
+    if len(branches) > 1:
+        results = [xpath_select(root, b) for b in branches]
+        kinds = {bool(r and not isinstance(r[0], _Node)) for r in results if r}
+        if len(kinds) > 1:
+            raise ValueError(f"union mixes node and text results: {expr!r}")
+        out: list = []
+        seen_ids: set[int] = set()
+        for r in results:
+            for item in r:
+                if isinstance(item, _Node):
+                    if id(item) not in seen_ids:
+                        seen_ids.add(id(item))
+                        out.append(item)
+                else:
+                    out.append(item)
+        return out
+
     steps = _xp_parse(expr)
+    pmap: dict[int, _Node] | None = None
+    if any(s[2] is not None for s in steps):
+        pmap = _xp_parent_map(root)
     ctx: list[_Node] = [root]
-    for i, (axis, name, preds) in enumerate(steps):
+    for i, (sep, name, named_axis, preds) in enumerate(steps):
         last = i == len(steps) - 1
         if name == "text()":
-            if not last or preds:
+            if not last or preds or named_axis:
                 raise ValueError(f"text() must be the final step: {expr!r}")
-            out: list[str] = []
+            out_s: list[str] = []
             for node in ctx:
-                out.extend(_xp_text_nodes(node, deep=axis == "//"))
-            return out
+                out_s.extend(_xp_text_nodes(node, deep=sep == "//"))
+            return out_s
         if name.startswith("@"):
-            if not last or preds:
+            if not last or preds or named_axis:
                 raise ValueError(f"@attr must be the final step: {expr!r}")
             attr = name[1:]
             vals = []
@@ -251,7 +433,7 @@ def xpath_select(root: _Node, expr: str):
                 # '/@attr' reads the context element's own attribute;
                 # '//@attr' is descendant-or-self (includes the context)
                 pool = (
-                    [node, *_descendants(node)] if axis == "//" else [node]
+                    [node, *_descendants(node)] if sep == "//" else [node]
                 )
                 for n in pool:
                     if attr in n.attrs and n.attrs[attr] is not None:
@@ -260,7 +442,9 @@ def xpath_select(root: _Node, expr: str):
         new_ctx: list[_Node] = []
         seen: set[int] = set()
         for node in ctx:
-            if axis == "/":
+            if named_axis is not None:
+                groups = [_xp_axis_group(node, named_axis, name, pmap)]
+            elif sep == "/":
                 groups = [[c for c in node.children if _xp_name_match(c, name)]]
             else:
                 # descendant axis: positional predicates index within
@@ -447,7 +631,7 @@ def validate_schema(schema: dict, selector_type: str = "css") -> None:
     """
     def check(sel: str) -> None:
         if selector_type == "xpath" and "/" in sel:
-            _xp_parse(sel)
+            _xp_validate(sel)
         else:
             compile_selector(sel)
 

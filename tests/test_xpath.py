@@ -83,7 +83,8 @@ def test_relative_prefix(root):
 
 def test_unsupported_syntax_raises():
     root = parse_dom("<p>x</p>")
-    for bad in ["p", "//p[last()]", "//p/following-sibling::p"]:
+    for bad in ["p", "//p[string-length(.)>2]", "//p/ancestor-or-self::p",
+                "//p[count(a)=1]", "//p[text()='x']"]:
         with pytest.raises(ValueError):
             xpath_select(root, bad)
 
@@ -131,8 +132,8 @@ def test_unsupported_xpath_raises_not_empty():
     )
 
     html = "<div><a href='x.html'>link</a></div>"
-    for bad in ["//div/ancestor::body", "//a[contains(@href, 'x')]",
-                "//a/following-sibling::a", "//a[last()]", "//a | //div"]:
+    for bad in ["//div/ancestor-or-self::body", "//a[count(b)=1]",
+                "//a[string-length(@href)>3]", "//a[normalize-space(.)='x']"]:
         schema = {"baseSelector": "//div",
                   "fields": [{"name": "v", "selector": bad, "type": "text"}]}
         with pytest.raises(ValueError):
@@ -141,7 +142,7 @@ def test_unsupported_xpath_raises_not_empty():
             json_xpath_extract(html, schema)
     # and an unsupported baseSelector fails too
     with pytest.raises(ValueError):
-        json_xpath_extract(html, {"baseSelector": "//div/ancestor::body",
+        json_xpath_extract(html, {"baseSelector": "//div/ancestor-or-self::b",
                                   "fields": []})
 
 
@@ -154,9 +155,89 @@ def test_validate_schema_walks_nested_fields():
         "baseSelector": "//div",
         "fields": [{
             "name": "inner", "selector": "//ul", "type": "nested",
-            "fields": [{"name": "bad", "selector": "//li[position()=2]",
+            "fields": [{"name": "bad", "selector": "//li[count(a)=1]",
                         "type": "text"}],
         }],
     }
     with pytest.raises(ValueError):
         validate_schema(schema, "xpath")
+
+
+HTML_GRAMMAR = """
+<body><div id='main'>
+  <ul><li><a href='/a1.html' title='t1'>A1</a></li>
+      <li><a href='https://x.com/a2.pdf'>A2</a></li>
+      <li class='last'><a href='/a3.html'>A3</a></li></ul>
+  <p>first</p><p>middle key</p><p>last one</p>
+  <section><h2>head</h2><p>sec p</p></section>
+</div></body>"""
+
+
+def _sel_texts(root, expr):
+    from crawl4ai_spark.functions.schema_extract import _xpath_text, xpath_select
+
+    out = xpath_select(root, expr)
+    return [n if isinstance(n, str) else _xpath_text(n) for n in out]
+
+
+def test_xpath_extended_grammar():
+    """r3 grammar extension: last()/position(), contains/starts-with,
+    not(), !=, child-existence predicates, parent/ancestor/sibling
+    axes, .., unions (reference accepts arbitrary lxml XPath;
+    extraction_strategy.py:1612-1674)."""
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(HTML_GRAMMAR)
+    cases = [
+        ("//p[last()]", ["last one", "sec p"]),  # last() per sibling group
+        ("//p[position()<=2]", ["first", "middle key", "sec p"]),
+        ("//p[position()>1]", ["middle key", "last one"]),
+        ("//a[contains(@href, '.pdf')]", ["A2"]),
+        ("//a[starts-with(@href, '/a')]", ["A1", "A3"]),
+        ("//p[contains(., 'key')]", ["middle key"]),
+        ("//li[not(@class)]/a", ["A1", "A2"]),
+        ("//a[@title!='t9']", ["A1"]),  # != requires the attr to exist
+        ("//li[a]", ["A1", "A2", "A3"]),
+        ("//h2/parent::section/p", ["sec p"]),
+        ("//p[1]/following-sibling::p", ["middle key", "last one"]),
+        # reverse axes count nearest-first
+        ("//p[contains(., 'last')]/preceding-sibling::p[1]", ["middle key"]),
+        ("//h2 | //p[1]", ["head", "first", "sec p"]),
+        ("//section/h2/text() | //p[1]/text()", ["head", "first", "sec p"]),
+    ]
+    for expr, want in cases:
+        assert _sel_texts(root, expr) == want, expr
+    # .. == parent::*
+    from crawl4ai_spark.functions.schema_extract import xpath_select
+
+    assert [n.tag for n in xpath_select(root, "//h2/..")] == ["section"]
+    assert [n.tag for n in xpath_select(root, "//a/ancestor::ul")] == ["ul"]
+
+
+def test_xpath_extended_grammar_in_schema():
+    """The extended grammar works through the schema-extraction stage
+    (validate_schema accepts it; extraction applies it per field)."""
+    from crawl4ai_spark.functions.schema_extract import json_xpath_extract
+
+    schema = {
+        "baseSelector": "//div[@id='main']",
+        "fields": [
+            {"name": "pdf", "selector": ".//a[contains(@href, '.pdf')]",
+             "type": "text"},
+            {"name": "last_p", "selector": ".//ul/following-sibling::p[last()]",
+             "type": "text"},
+        ],
+    }
+    out = json_xpath_extract(HTML_GRAMMAR, schema)
+    assert out == [{"pdf": "A2", "last_p": "last one"}]
+
+
+def test_xpath_union_mixing_types_raises():
+    import pytest
+
+    from crawl4ai_spark.functions.scrape import parse_dom
+    from crawl4ai_spark.functions.schema_extract import xpath_select
+
+    root = parse_dom(HTML_GRAMMAR)
+    with pytest.raises(ValueError):
+        xpath_select(root, "//h2 | //p/text()")
