@@ -107,6 +107,76 @@ class CrawlConfig:
         }
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Spark job)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def _deferred_count(
+    path: str, next_round: int, max_bytes: int = 256 << 20
+) -> int | None:
+    """Count rows whose `round` != next_round via a row-group-statistic-
+    pruned pyarrow read of that single column. Row groups whose
+    min==max==next_round (the common case — deferred rows are the
+    exception) are skipped without reading. Returns None when the
+    groups that WOULD need reading exceed ``max_bytes`` compressed —
+    the caller must then use a distributed aggregation instead.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    to_read: list[tuple] = []
+    budget = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        ci = names.index("round")
+        for g in range(pf.num_row_groups):
+            col = pf.metadata.row_group(g).column(ci)
+            st = col.statistics
+            if (
+                st is not None
+                and st.has_min_max
+                and st.min == next_round
+                and st.max == next_round
+            ):
+                continue
+            budget += col.total_compressed_size
+            if budget > max_bytes:
+                return None
+            to_read.append((pf, g))
+    for pf, g in to_read:
+        vals = pf.read_row_group(g, columns=["round"]).column(0)
+        n += sum(1 for v in vals.to_pylist() if v != next_round)
+    return n
+
+
+def _parquet_table(path: str, columns: list[str]):
+    """Column-pruned driver-side read of a SMALL just-written parquet
+    directory via pyarrow — replaces a tiny Spark aggregation job.
+    Only for bounded tables (per-partition metrics, manifest counters)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    tables = [
+        pq.read_table(f, columns=columns)
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    import pyarrow as pa
+
+    return pa.concat_tables(tables) if tables else None
+
+
 RESULT_COLS = [
     "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
     "dfs_key", "partition_id", "fetch_status", "success", "title",
@@ -206,8 +276,8 @@ class CrawlRun:
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(r)
         )
-        # metadata-only count on the parquet scan (no plan re-execution)
-        frontier_count = frontier.count()
+        # footer-metadata count — not even a metadata-only Spark job
+        frontier_count = _parquet_rows(self._frontier_path(r))
 
         # cumulative admitted count (= seen-set size) carried through the
         # manifests: at 10^10 URLs a per-round seen.count() full scan is
@@ -515,32 +585,38 @@ class CrawlRun:
         )
         self.politeness.save(new_state, r + 1)
 
-        # one aggregate job per table for the manifest counters
-        # result counters come from the 32-row metrics table (blocked
-        # rows carry partition_id -1), not another scan of the results
-        rs = self.spark.read.parquet(self._metrics_path(r)).agg(
-            F.sum("n_urls").alias("n"),
-            F.sum(F.when(F.col("partition_id") == -1, F.col("n_urls"))).alias("blk"),
-            F.sum(F.when(F.col("partition_id") == -3, F.col("n_urls"))).alias("aband"),
-            F.sum("n_ok").alias("ok"),
-        ).first()
-        # ONE aggregation over the just-written next-frontier parquet
-        # replaces the former three per-round count jobs (frontier /
-        # next / deferred each re-executed their full plans)
-        fs = frontier_next.agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("round") != r + 1).cast("int")).alias("defer"),
-        ).first()
-        next_count = int(fs["n"])
-        deferred_count = int(fs["defer"] or 0)
+        # manifest counters WITHOUT Spark jobs: the metrics table is
+        # bounded (one row per partition id) so a pyarrow driver read
+        # replaces the aggregation job; the next-frontier counters come
+        # from parquet footers + a row-group-stat-pruned read of the
+        # single `round` column, falling back to a Spark agg when the
+        # table is too big to touch driver-side (web scale).
+        mt = _parquet_table(self._metrics_path(r), ["partition_id", "n_urls", "n_ok"])
+        pid = mt.column("partition_id").to_pylist()
+        nu = mt.column("n_urls").to_pylist()
+        nok = mt.column("n_ok").to_pylist()
+        rs = {
+            "n": sum(nu),
+            "blk": sum(u for p, u in zip(pid, nu) if p == -1),
+            "aband": sum(u for p, u in zip(pid, nu) if p == -3),
+            "ok": sum(x or 0 for x in nok),
+        }
+        next_count = _parquet_rows(self._frontier_path(r + 1))
+        deferred_count = _deferred_count(
+            self._frontier_path(r + 1), r + 1
+        )
+        if deferred_count is None:  # too large for a driver-side read
+            deferred_count = int(
+                frontier_next.filter(F.col("round") != r + 1).count()
+            )
         new_links = next_count - deferred_count
         counts = {
             "round": r,
             "frontier": frontier_count,
-            "blocked": int(rs["blk"] or 0),
-            "abandoned": int(rs["aband"] or 0),
-            "selected": int(rs["n"]) - int(rs["blk"] or 0) - int(rs["aband"] or 0),
-            "fetched_ok": int(rs["ok"] or 0),
+            "blocked": int(rs["blk"]),
+            "abandoned": int(rs["aband"]),
+            "selected": int(rs["n"]) - int(rs["blk"]) - int(rs["aband"]),
+            "fetched_ok": int(rs["ok"]),
             "deferred": deferred_count,
             "new_links": new_links,
             "next_frontier": next_count,
