@@ -720,6 +720,48 @@ FROM w
 """
 
 
+def q_sim_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k (the partition-pruning scale path): coarse
+    quantizer = deterministic corpus sample (vec_id < 16), 6-decimal
+    quantized assignment with centroid-id tie-break — the whole
+    assignment/probe/rerank pipeline replays in SQL."""
+    from .operators.similarity import cosine_topk_ivf
+
+    df = _emb(spark, sf_dir)
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_ivf(
+        df, "embedding", qvec, k=20, n_centroids=16, nprobe=4, id_col="vec_id"
+    )
+
+
+ORACLE_SIM_COSINE_TOPK_IVF = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+sims AS (SELECT e.vec_id, c.cid,
+                round(list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))), 6) AS s
+         FROM e, c),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cid ASC) AS rn
+             FROM sims) WHERE rn = 1),
+qprobe AS (SELECT cid FROM sims WHERE vec_id = 0
+           ORDER BY s DESC, cid ASC LIMIT 4),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM e JOIN assign USING (vec_id), q
+WHERE assign.cid IN (SELECT cid FROM qprobe)
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
 def q_sim_cosine_topk_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN top-k. The planes are deterministic
     (RandomState(42)), so the oracle embeds them as literals and
@@ -792,6 +834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
 }
 
 # Checked by tests/test_catalog.py but kept OUT of the driver catalog so
@@ -830,6 +873,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "sim_cosine_topk_lsh": _oracle_sim_cosine_topk_lsh(),
+    "sim_cosine_topk_ivf": ORACLE_SIM_COSINE_TOPK_IVF,
 }
 
 

@@ -122,6 +122,83 @@ def cosine_topk_lsh(
     return cosine_topk(cand.drop("_bucket"), vec_col, query_vec, k, id_cols)
 
 
+def cosine_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer.
+
+    The scale path complementing :func:`cosine_topk_lsh`: every vector
+    is assigned to its nearest of ``n_centroids`` coarse centroids; a
+    query probes only the ``nprobe`` nearest inverted lists and reranks
+    those candidates exactly. At 100 TB the assignment is a one-off
+    narrow pass whose result is a partition column — probing becomes
+    partition pruning reading ~nprobe/n_centroids of the corpus.
+
+    Determinism (and the SQL oracle) comes from two choices: centroids
+    default to a coarse SAMPLE of the corpus — the rows with
+    ``id_col < n_centroids`` — rather than Lloyd-iterated means (a
+    k-means refinement would converge engine-dependently; the sampled
+    quantizer is the classic IVF-flat baseline), and every similarity
+    used for a decision is quantized to 6 decimals with ties broken by
+    centroid id, so assignment and probe sets are bit-stable across
+    engines.
+    """
+    if centroids is None:
+        crows = (
+            df.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in crows
+        )
+    if not centroids:
+        raise ValueError("no centroid rows found")
+
+    v = F.col(vec_col).cast("array<double>")
+    vn = l2_norm(v)
+    sims = F.array(
+        *[
+            F.round(
+                dot(v, _vec_lit(c))
+                / (vn * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6,
+            )
+            for _, c in centroids
+        ]
+    )
+    # first max = lowest centroid id on 6-decimal ties (both engines)
+    assign_idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    assign_cid = F.element_at(cid_arr, assign_idx)
+
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+    qsims = []
+    for cid, c in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        s = sum(a * float(b) for a, b in zip(qv, c)) / (qn * cn)
+        qsims.append((round(s, 6), cid))
+    probe = [cid for s, cid in sorted(qsims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+    sim = F.round(dot(v, _vec_lit(qv)) / (vn * F.lit(qn)), 6)
+    return (
+        df.withColumn("_ivf_list", assign_cid)
+        .filter(F.col("_ivf_list").isin(probe))
+        .select(id_col, sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -154,3 +154,30 @@ def test_ngram_jaccard_algorithms_agree(spark, sf_dir):
             )
         assert got["inverted"] == got["prefix"], f"threshold {t}"
         assert len(got["inverted"]) >= 200  # the exact-copy pairs at least
+
+
+def test_ivf_topk_recall_and_pruning(spark, sf_dir):
+    """IVF ANN: probing nprobe/n_centroids of the corpus must still
+    recover most of the exact brute-force top-k, and the candidate set
+    must actually be pruned."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(df, "embedding", qvec, k=10,
+                                              id_cols=["vec_id"]).collect()}
+    approx_df = cosine_topk_ivf(df, "embedding", qvec, k=10,
+                                n_centroids=16, nprobe=4)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    assert len(approx) == 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert 0 in approx  # the query vector itself is its own best match
+
+    # full probe = exact: with nprobe == n_centroids nothing is pruned
+    full = {r["vec_id"] for r in cosine_topk_ivf(df, "embedding", qvec, k=10,
+                                                 n_centroids=16,
+                                                 nprobe=16).collect()}
+    assert full == exact
