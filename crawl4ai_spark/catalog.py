@@ -65,6 +65,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_PAGES_CACHE: dict[str, DataFrame] = {}
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic rendered pages corpus, persisted once per
+    (session, sf_dir). Eleven catalog queries consume the corpus, and
+    several consume it in TWO plan branches (scrape + head peek) — an
+    uncached handle re-runs the Arrow render UDF per branch per query.
+    Production inputs are parquet scans, so this cache only models
+    what storage would provide anyway."""
+
+    from .synth import generate_pages
+
+    # applicationId is unique per context; id(spark) could alias a new
+    # session allocated at a dead one's address
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    df = _PAGES_CACHE.get(key)
+    if df is None:
+        df = generate_pages(spark, sf_dir).persist()
+        _PAGES_CACHE[key] = df
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -886,9 +909,8 @@ def q_pages_meta(spark, sf_dir):
     """The synthetic pages table minus the rendered html — URL/host/
     timestamp derivation is SQL-expressible, so the corpus layer itself
     gets an oracle."""
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     return pages.select("url", "warc_ts", "text", "lang")
 
 
@@ -917,9 +939,8 @@ def q_crawl_bfs(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from .operators.frontier import CrawlConfig, CrawlRun, run_crawl
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()]
     wd = tempfile.mkdtemp(prefix="crawl_q_")
     cfg = CrawlConfig(max_depth=2, round_seconds=16.0)
@@ -1572,7 +1593,6 @@ def q_schema_extract_pages(spark, sf_dir):
     """JSON-CSS extraction over the synthetic pages corpus; the h1/img
     construction is analytic, so the oracle rebuilds it in SQL."""
     from .functions.schema_extract import schema_extract_stage
-    from .synth import generate_pages
 
     schema = {
         "baseSelector": "body",
@@ -1582,7 +1602,7 @@ def q_schema_extract_pages(spark, sf_dir):
              "attribute": "alt"},
         ],
     }
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = schema_extract_stage(pages, "html", schema)
     return out.select(
         "url",
@@ -1613,7 +1633,6 @@ def q_schema_extract_xpath(spark, sf_dir):
     pages: child/descendant axes, per-parent positional indexing and an
     attribute predicate, all analytic in doc_id."""
     from .functions.schema_extract import schema_extract_stage
-    from .synth import generate_pages
 
     schema = {
         "baseSelector": "//body",
@@ -1636,7 +1655,7 @@ def q_schema_extract_xpath(spark, sf_dir):
             {"name": "heading", "selector": ".//h2 | .//h1", "type": "text"},
         ],
     }
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = schema_extract_stage(pages, "html", schema, selector_type="xpath")
     items = F.from_json(
         "extracted_content",
@@ -1686,9 +1705,8 @@ def q_content_fit_pruning(spark, sf_dir):
     output is pinned separately by the ported reference tests and the
     markdown goldens."""
     from .functions.content_filter import fit_markdown_stage
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = fit_markdown_stage(pages, html_col="html", url_col="url")
     # one "<div>" wrapper per surviving block (block bodies never emit
     # a div; splitting on newline would miscount multi-line <pre>)
@@ -1715,9 +1733,8 @@ FROM documents
 
 def q_content_fit_bm25(spark, sf_dir):
     from .functions.content_filter import fit_markdown_stage
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = fit_markdown_stage(
         pages, html_col="html", url_col="url", filter_type="bm25",
         bm25_threshold=0.5,
@@ -1738,9 +1755,8 @@ def q_content_fit_bm25_nostem(spark, sf_dir):
     stays rows-only (Porter2 isn't SQL-expressible) and is pinned by
     the ported reference tests + tests/test_stemmer.py."""
     from .functions.content_filter import fit_markdown_stage
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = fit_markdown_stage(
         pages, html_col="html", url_col="url", filter_type="bm25",
         bm25_threshold=0.5, use_stemming=False,
@@ -2074,9 +2090,8 @@ def q_link_preview(spark, sf_dir):
     from .functions.headpeek import head_section
     from .functions.scrape import scrape_stage
     from .operators.link_preview import LinkPreviewConfig, link_preview_stage
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     results = scrape_stage(pages, "html", "url", markdown=False).select(
         "url", "links"
     )
@@ -2167,9 +2182,8 @@ def q_schema_infer(spark, sf_dir):
     the outlink arithmetic."""
     from .functions.schema_extract import json_css_extract
     from .functions.schema_infer import infer_schema
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir).select("url", "html")
+    pages = _pages(spark, sf_dir).select("url", "html")
 
     def proc(batches):
         import pandas as pd
@@ -2364,9 +2378,8 @@ def q_robots_decision(spark, sf_dir):
         synthetic_robots,
         with_robots_decision,
     )
-    from .synth import generate_pages
 
-    frontier = generate_pages(spark, sf_dir).select(
+    frontier = _pages(spark, sf_dir).select(
         "url", host("url").alias("host")
     )
     rules = rules_table(spark, synthetic_robots([f"h{i}" for i in range(32)]))
@@ -2460,9 +2473,8 @@ def q_tables_extract(spark, sf_dir):
     with doc_id %% 5 == 0 embed a 2-col k/v table whose contents are
     analytic in doc_id/lang."""
     from .functions.tables import tables_stage
-    from .synth import generate_pages
 
-    pages = generate_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     out = tables_stage(pages, "html", score_threshold=7.0)
     t = F.element_at("tables", 1)
     return out.filter(F.size("tables") > 0).select(
