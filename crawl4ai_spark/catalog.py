@@ -2391,7 +2391,12 @@ _HOSTNUM_SQL = "(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END)"
 
 ORACLE_ROBOTS_DECISION = f"""
 SELECT {_PAGE_URL_SQL} AS url,
-       NOT ({_HOSTNUM_SQL} % 4 = 1 AND lang = 'de') AS robots_allowed,
+       NOT ({_HOSTNUM_SQL} % 4 = 1 AND lang = 'de')
+       AND NOT ({_HOSTNUM_SQL} % 8 = 4
+                AND CAST(doc_id AS VARCHAR) LIKE '1%'
+                AND NOT CAST(doc_id AS VARCHAR) LIKE '13%')
+       AND NOT ({_HOSTNUM_SQL} % 8 = 0 AND {_HOSTNUM_SQL} > 0
+                AND lang = 'de' AND doc_id % 10 = 2) AS robots_allowed,
        CASE WHEN {_HOSTNUM_SQL} = 0 THEN 0.5 END AS robots_crawl_delay
 FROM documents
 """

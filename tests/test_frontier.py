@@ -185,10 +185,16 @@ def test_robots_blocking(spark, corpus, tmp_path):
         x["url"]
         for x in res.filter("fetch_status = 'robots_blocked'").select("url").collect()
     }
-    want_blocked = {
-        u for u in seeds
-        if "/de/" in u and int(u.split("//h", 1)[1].split(".")[0]) % 4 == 1
-    }
+    want_blocked = set()
+    for u in seeds:
+        hn = int(u.split("//h", 1)[1].split(".")[0])
+        doc = u.rsplit("/p", 1)[1].removesuffix(".html")
+        if "/de/" in u and hn % 4 == 1:
+            want_blocked.add(u)  # plain prefix rule
+        if hn % 8 == 4 and doc.startswith("1") and not doc.startswith("13"):
+            want_blocked.add(u)  # wildcard disallow minus allow override
+        if hn % 8 == 0 and hn > 0 and "/de/" in u and doc.endswith("2"):
+            want_blocked.add(u)  # end-anchored wildcard
     assert blocked == want_blocked
     # blocked urls must not contribute links or success rows
     assert res.filter(
@@ -388,3 +394,77 @@ def test_budget_split_no_unsalted_full_window(spark):
     assert host_only, "exact per-host window missing"
     tail = plan[host_only[0]:]
     assert "_prn" in tail  # (the literal budget constant-folds away)
+
+
+def test_robots_wildcard_rules_unit(spark):
+    """Wildcard/anchor rule matching parity with the reference's
+    patched robotparser semantics (utils.py:53-73)."""
+    from crawl4ai_spark.operators.robots import rules_table, with_robots_decision
+
+    body = "\n".join([
+        "User-agent: *",
+        "Disallow: /*.pdf$",
+        "Disallow: /tmp*",
+        "Disallow: /a/*/c",
+        "Allow: /tmp/keep",
+    ])
+    rules = rules_table(spark, {"x.com": body})
+    cases = [
+        ("https://x.com/doc.pdf", False),       # anchored match
+        ("https://x.com/doc.pdfx", True),       # anchor rejects suffix
+        ("https://x.com/doc.pdf.html", True),
+        ("https://x.com/tmp/file", False),      # wildcard prefix
+        ("https://x.com/tmpfoo", False),
+        ("https://x.com/tmp/keep/it", True),    # allow more specific
+        ("https://x.com/a/b/c", False),         # inner wildcard
+        ("https://x.com/a/b/x", True),
+        ("https://x.com/ok.html", True),
+    ]
+    df = spark.createDataFrame(
+        [(u, "x.com") for u, _ in cases], "url string, host string"
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in with_robots_decision(df, rules).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, u
+
+    # parity against the stdlib robotparser WITH the reference's patch
+    # (utils.py:59-71 verbatim: stdlib quotes '*' to %2A at RuleLine
+    # construction, so both spellings count)
+    import re
+    import urllib.robotparser as rp
+
+    orig = rp.RuleLine.applies_to
+    def patched(self, filename):
+        if "*" in self.path or "%2A" in self.path or self.path in ("*", "%2A"):
+            pattern = self.path.replace("%2A", "*")
+            pattern = re.escape(pattern).replace("\\*", ".*")
+            pattern = "^" + pattern
+            if pattern.endswith("\\$"):
+                pattern = pattern[:-2] + "$"
+            return bool(re.match(pattern, filename))
+        return orig(self, filename)
+    rp.RuleLine.applies_to = patched
+    try:
+        p = rp.RobotFileParser()
+        p.parse(body.splitlines())
+        for u, want in cases:
+            if ".pdf" in u or "/tmp/keep" in u:
+                continue  # documented divergences asserted below
+            assert p.can_fetch("*", u) == want, f"reference parity: {u}"
+        # DOCUMENTED DIVERGENCE 1: stdlib RuleLine also quotes '$' to
+        # %24, which the reference's patch does NOT undo — so the
+        # reference silently ignores every '$'-anchored rule
+        # ('/*.pdf$' blocks nothing there). This engine honors the
+        # anchor per RFC 9309. Prove the reference really drops it:
+        assert p.can_fetch("*", "https://x.com/doc.pdf") is True
+        # DOCUMENTED DIVERGENCE 2: urllib resolves rules FIRST-MATCH in
+        # file order, so 'Disallow: /tmp*' shadows the later, more
+        # specific 'Allow: /tmp/keep'. RFC 9309 says the most specific
+        # (longest) rule wins — this engine allows /tmp/keep/it, the
+        # reference blocks it:
+        assert p.can_fetch("*", "https://x.com/tmp/keep/it") is False
+    finally:
+        rp.RuleLine.applies_to = orig
