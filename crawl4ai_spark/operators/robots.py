@@ -48,17 +48,24 @@ def _compile_rule(rule: str) -> tuple[str, str | None, int]:
     length, the longest-match-wins weight.
     """
     import re as _re
+    from urllib.parse import quote
 
-    if "*" in rule or rule.endswith("$"):
-        pat = rule
+    # normalize to percent-encoded form so rules written with raw
+    # reserved chars match canonicalized (%-encoded) URL paths — the
+    # reference gets this via robotparser's quote() of both sides;
+    # '%' stays safe so already-encoded rules aren't double-encoded,
+    # '*'/'$' keep their wildcard/anchor roles
+    norm = "*".join(quote(part, safe="/%$") for part in rule.split("*"))
+    if "*" in norm or norm.endswith("$"):
+        pat = norm
         anchored = pat.endswith("$")
         if anchored:
             pat = pat[:-1]
         rx = "^" + ".*".join(_re.escape(part) for part in pat.split("*"))
         if anchored:
             rx += "$"
-        return (rule, rx, len(rule))
-    return (rule, None, len(rule))
+        return (norm, rx, len(rule))
+    return (norm, None, len(rule))
 
 
 def parse_robots_txt(text: str) -> dict:

@@ -468,3 +468,31 @@ def test_robots_wildcard_rules_unit(spark):
         assert p.can_fetch("*", "https://x.com/tmp/keep/it") is False
     finally:
         rp.RuleLine.applies_to = orig
+
+
+def test_robots_rules_percent_encoding_normalized(spark):
+    """Rules written with raw reserved chars must match canonicalized
+    (%-encoded) URL paths — both sides normalize to percent-encoded
+    form, mirroring the reference's robotparser quote() of rule and
+    path alike."""
+    from crawl4ai_spark.operators.robots import rules_table, with_robots_decision
+
+    body = "\n".join([
+        "User-agent: *",
+        "Disallow: /a{b*",       # raw reserved char
+        "Disallow: /c%7Dd/",     # already-encoded rule stays as-is
+        "Allow: /a{b/keep*",
+    ])
+    rules = rules_table(spark, {"x.com": body})
+    cases = [
+        ("https://x.com/a%7Bb/c", False),
+        ("https://x.com/a%7Bb/keep/me", True),
+        ("https://x.com/c%7Dd/e", False),
+        ("https://x.com/plain", True),
+    ]
+    df = spark.createDataFrame([(u, "x.com") for u, _ in cases],
+                               "url string, host string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in with_robots_decision(df, rules).collect()}
+    for u, want in cases:
+        assert got[u] == want, u

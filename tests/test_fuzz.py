@@ -102,8 +102,8 @@ def test_der_parser_never_raises(blob):
     assert res is None or isinstance(res, dict)
 
 
-@given(fuzzy_html, st.text(alphabet=list("/@=[]'\"abcp*(). 0123"), max_size=40))
-@settings(max_examples=200, deadline=None)
+@given(fuzzy_html, st.text(alphabet=list("/@=[]'\"abcp*(). 0123|:-!<>$"), max_size=60))
+@settings(max_examples=300, deadline=None)
 def test_xpath_engine_rejects_or_evaluates(html, expr):
     """Any expression either evaluates or raises ValueError at compile
     time — never an unhandled crash mid-DOM."""
@@ -125,3 +125,65 @@ def test_schema_infer_never_raises(html):
 
     schema = infer_schema(html)
     assert schema is None or "baseSelector" in schema
+
+
+_XP_PIECES = st.sampled_from([
+    "//", "/", "..", "p", "a", "*", "text()", "@href",
+    "[1]", "[last()]", "[position()<=2]", "[@a]", "[@a='v']", "[@a!='v']",
+    "[contains(@a, 'x')]", "[starts-with(@a, 'x')]", "[contains(., 'x')]",
+    "[not(@a)]", "[p]", "parent::", "ancestor::", "following-sibling::",
+    "preceding-sibling::", " | ",
+])
+
+
+@given(fuzzy_html, st.lists(_XP_PIECES, min_size=1, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_xpath_grammar_pieces_reject_or_evaluate(html, pieces):
+    """Random concatenations of VALID grammar fragments — many are
+    syntactically broken; all must compile-error or evaluate."""
+    from crawl4ai_spark.functions.schema_extract import xpath_select
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    expr = "".join(pieces)
+    root = parse_dom(html)
+    try:
+        out = xpath_select(root, expr)
+    except ValueError:
+        return
+    assert isinstance(out, list)
+
+
+@given(st.text(alphabet=list("abcdef ghij"), max_size=600),
+       st.integers(min_value=2, max_value=40))
+@settings(max_examples=200, deadline=None)
+def test_topic_chunks_py_partition_property(text, w):
+    """Topic chunks are a PARTITION of the token stream: rejoining
+    them reproduces ' '.join(tokens), chunk boundaries sit on
+    pseudo-sentence edges, and no chunk is empty."""
+    from crawl4ai_spark.functions.chunking import topic_chunks_py
+
+    chunks = topic_chunks_py(text, w=w)
+    toks = text.split()
+    assert " ".join(chunks) == " ".join(toks)
+    assert all(c for c in chunks)
+    acc = 0
+    for c in chunks[:-1]:
+        acc += len(c.split())
+        assert acc % w == 0, "boundary off a pseudo-sentence edge"
+
+
+@given(st.text(alphabet=list("Ua*$%/#:.-\n ex�😀DisalowCrw"), max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_robots_parser_never_raises(body):
+    """parse_robots_txt + rule compilation accept arbitrary garbage."""
+    from crawl4ai_spark.operators.robots import _compile_rule, parse_robots_txt
+
+    r = parse_robots_txt(body)
+    assert isinstance(r["disallow"], list) and isinstance(r["allow"], list)
+    for rule in r["disallow"] + r["allow"]:
+        p, rx, ln = _compile_rule(rule)
+        assert ln == len(rule)
+        if rx is not None:
+            import re as _re
+
+            _re.compile(rx)  # every compiled pattern must be valid
