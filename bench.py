@@ -231,10 +231,21 @@ def main() -> None:
         finally:
             spark.stop()
 
-    crawl = bench_crawl(CPUS)
+    # best-of-N for the two headline sections too: host-level VM noise
+    # on this box swings identical code by up to 40% run-to-run (see
+    # BASELINE.md methodology) — a capability number needs the min-wall
+    # run, same rationale as the scaling points below
+    head_trials = int(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_TRIALS", "2"))
+    crawl = min(
+        (bench_crawl(CPUS) for _ in range(head_trials)),
+        key=lambda r: r["wall_sec"],
+    )
     timings["crawl_3rounds"] = crawl["wall_sec"]
 
-    hi = bench_extract(CPUS)
+    hi = min(
+        (bench_extract(CPUS) for _ in range(head_trials)),
+        key=lambda r: r["wall_sec"],
+    )
     timings["extract_pass"] = hi["wall_sec"]
 
     scaling = {}
