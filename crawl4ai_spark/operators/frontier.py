@@ -457,11 +457,18 @@ class CrawlRun:
                 "n_links", "links",
             )
             all_results = all_results.unionByName(hit_results)
-        all_results.select(*RESULT_COLS).repartition(
-            max(n_part // 4, 1), "url_hash"
-        ).sortWithinPartitions("url_hash").write.mode("overwrite").parquet(
-            self._results_path(r)
-        )
+        # narrow write: the scraped payloads (markdown/text/links) are
+        # the round's heaviest columns — the old repartition(url_hash)
+        # re-shuffled the whole round's output for nothing but file
+        # hygiene (no consumer joins on the results layout; the cache's
+        # anti-join shuffles its own projection either way). coalesce
+        # merges the union's branch partitions (fetched + blocked +
+        # abandoned + hits) back to the round's width WITHOUT moving
+        # rows between executors, and the salted fetch layout keeps
+        # partition_id lineage within each file.
+        all_results.select(*RESULT_COLS).coalesce(n_part).write.mode(
+            "overwrite"
+        ).parquet(self._results_path(r))
 
         # re-read results: breaks lineage — the scrape UDF ran exactly
         # once (during the write above); link discovery reads parquet
