@@ -496,3 +496,28 @@ def test_robots_rules_percent_encoding_normalized(spark):
            for r in with_robots_decision(df, rules).collect()}
     for u, want in cases:
         assert got[u] == want, u
+
+
+def test_crawl_invariant_to_salt_and_partitions(spark, corpus, tmp_path):
+    """North rule: partitioning knobs (salt slices, shuffle width) must
+    change the PHYSICAL layout only — the crawl ordering, URL-seen set
+    and extracted results must be identical."""
+    pages, langs = corpus
+    seeds = [page_url(d, langs[d]) for d in range(12)]
+
+    def run_with(salt, parts, name):
+        cfg = CrawlConfig(max_depth=2, round_seconds=6.0, salt=salt,
+                          shuffle_partitions=parts)
+        wd = str(tmp_path / name)
+        run_crawl(spark, pages, seeds, wd, cfg, max_rounds=3)
+        run = CrawlRun(spark, pages, wd, cfg)
+        rows = sorted(map(tuple, run.results().select(
+            "url", "round", "depth", "success", "raw_markdown"
+        ).collect()))
+        seen = {x["url"] for x in run.seen.load().collect()}
+        return rows, seen
+
+    a = run_with(4, 8, "salt4")
+    b = run_with(16, 32, "salt16")
+    assert a[0] == b[0]
+    assert a[1] == b[1]
