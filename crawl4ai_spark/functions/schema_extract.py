@@ -39,12 +39,34 @@ _SIMPLE_RX = re.compile(
     r"^(?P<tag>\*|[a-zA-Z][\w-]*)?"
     r"(?P<classes>(?:\.[\w-]+)*)"
     r"(?P<id>#[\w-]+)?"
-    r"(?P<attr>\[[\w-]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\])?$"
+    r"(?P<attrs>(?:\[[^\]]*\])*)"
+    r"(?P<pseudos>(?::[\w-]+(?:\(\d+\))?)*)$"
+)
+_ATTR_RX = re.compile(
+    r"\[([\w-]+)(?:([~^$*|]?=)(\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
+)
+_PSEUDO_RX = re.compile(r":([\w-]+)(?:\((\d+)\))?")
+
+# pseudo-classes with positional semantics; anything else raises at
+# compile time (silent empty extraction is the failure mode to avoid)
+_POSITIONAL_PSEUDOS = frozenset(
+    {
+        "first-child", "last-child", "only-child", "nth-child",
+        "first-of-type", "last-of-type", "only-of-type", "nth-of-type",
+    }
 )
 
 
 class SimpleSelector:
-    __slots__ = ("tag", "classes", "id", "attr_key", "attr_val")
+    """One compound selector: tag.classes#id[attr op v]...:pseudo.
+
+    r3 widened toward the reference's soupsieve surface: multiple
+    attribute selectors with the =, ~=, ^=, $=, *=, |= operators and
+    the positional pseudo-classes (:first/last/only-child,
+    :nth-child(n), and their -of-type twins). Unsupported pseudos or
+    malformed tokens raise ValueError when the schema compiles."""
+
+    __slots__ = ("tag", "classes", "id", "attrs", "pseudos")
 
     def __init__(self, token: str):
         m = _SIMPLE_RX.match(token)
@@ -53,16 +75,74 @@ class SimpleSelector:
         self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
         self.classes = [c for c in (m.group("classes") or "").split(".") if c]
         self.id = m.group("id")[1:] if m.group("id") else None
-        self.attr_key = self.attr_val = None
-        if m.group("attr"):
-            inner = m.group("attr")[1:-1]
-            if "=" in inner:
-                k, _, v = inner.partition("=")
-                self.attr_key, self.attr_val = k, v.strip("\"'")
+        self.attrs: list[tuple[str, str | None, str | None]] = []
+        for k, op, v in _ATTR_RX.findall(m.group("attrs") or ""):
+            if op:
+                self.attrs.append((k, op, (v or "").strip("\"'")))
             else:
-                self.attr_key = inner
+                self.attrs.append((k, None, None))
+        self.pseudos: list[tuple[str, int | None]] = []
+        for name, num in _PSEUDO_RX.findall(m.group("pseudos") or ""):
+            if name not in _POSITIONAL_PSEUDOS:
+                raise ValueError(f"unsupported pseudo-class :{name} in {token!r}")
+            if name.startswith("nth-") and not num:
+                raise ValueError(f":{name} needs an index in {token!r}")
+            self.pseudos.append((name, int(num) if num else None))
 
-    def matches(self, node: _Node) -> bool:
+    def _attr_ok(self, node: _Node) -> bool:
+        for k, op, v in self.attrs:
+            val = node.attrs.get(k)
+            if val is None:
+                return False
+            if op is None:
+                continue
+            if op == "=":
+                ok = val == v
+            elif op == "~=":
+                ok = v in val.split()
+            elif op == "^=":
+                ok = bool(v) and val.startswith(v)
+            elif op == "$=":
+                ok = bool(v) and val.endswith(v)
+            elif op == "*=":
+                ok = bool(v) and v in val
+            else:  # |=
+                ok = val == v or val.startswith(v + "-")
+            if not ok:
+                return False
+        return True
+
+    def _pseudo_ok(self, node: _Node, parent: _Node | None) -> bool:
+        for name, num in self.pseudos:
+            if parent is None:
+                return False
+            sibs = [c for c in parent.children if c.tag != ""]
+            idx = next((i for i, c in enumerate(sibs) if c is node), None)
+            if idx is None:
+                return False
+            if name.endswith("-of-type"):
+                typed = [c for c in sibs if c.tag == node.tag]
+                tix = next(i for i, c in enumerate(typed) if c is node)
+                if name == "first-of-type" and tix != 0:
+                    return False
+                if name == "last-of-type" and tix != len(typed) - 1:
+                    return False
+                if name == "only-of-type" and len(typed) != 1:
+                    return False
+                if name == "nth-of-type" and tix + 1 != num:
+                    return False
+            else:
+                if name == "first-child" and idx != 0:
+                    return False
+                if name == "last-child" and idx != len(sibs) - 1:
+                    return False
+                if name == "only-child" and len(sibs) != 1:
+                    return False
+                if name == "nth-child" and idx + 1 != num:
+                    return False
+        return True
+
+    def matches(self, node: _Node, parent: _Node | None = None) -> bool:
         if node.tag in ("", "#root"):
             return False
         if self.tag and node.tag != self.tag:
@@ -73,30 +153,76 @@ class SimpleSelector:
             node_classes = (node.attrs.get("class") or "").split()
             if any(c not in node_classes for c in self.classes):
                 return False
-        if self.attr_key is not None:
-            if self.attr_key not in node.attrs:
-                return False
-            if self.attr_val is not None and node.attrs[self.attr_key] != self.attr_val:
-                return False
+        if self.attrs and not self._attr_ok(node):
+            return False
+        if self.pseudos and not self._pseudo_ok(node, parent):
+            return False
         return True
+
+
+_COMBINATORS = {">": "child", "+": "adjacent", "~": "sibling"}
+
+
+def _tokenize_group(group: str) -> list[str]:
+    """Split one selector group into compound tokens + combinators,
+    quote- and bracket-aware: whitespace and '~' inside
+    ``[title^='target 0']`` belong to the token, not the grammar."""
+    tokens: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in group:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch == "[":
+            depth += 1
+            buf.append(ch)
+        elif ch == "]":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in ">+~":
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            tokens.append(ch)
+        elif depth == 0 and ch.isspace():
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
 
 
 def compile_selector(selector: str) -> list[list[tuple[str, SimpleSelector]]]:
     """-> groups of [(combinator, simple)] with combinator in
-    {'descendant', 'child'}; first entry's combinator is 'descendant'."""
+    {'descendant', 'child', 'adjacent', 'sibling'}; the first entry's
+    combinator is 'descendant'."""
     groups = []
     for group in selector.split(","):
-        tokens = group.replace(">", " > ").split()
+        tokens = _tokenize_group(group)
         seq: list[tuple[str, SimpleSelector]] = []
         comb = "descendant"
         for tok in tokens:
-            if tok == ">":
-                comb = "child"
+            if tok in _COMBINATORS:
+                if comb != "descendant":
+                    raise ValueError(f"dangling combinator in {selector!r}")
+                comb = _COMBINATORS[tok]
                 continue
             seq.append((comb, SimpleSelector(tok)))
             comb = "descendant"
         if not seq:
             raise ValueError(f"empty selector group in {selector!r}")
+        if comb != "descendant":
+            raise ValueError(f"trailing combinator in {selector!r}")
+        if seq[0][0] != "descendant":
+            raise ValueError(f"leading combinator in {selector!r}")
         groups.append(seq)
     return groups
 
@@ -115,9 +241,17 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
     matched: list[_Node] = []
     seen: set[int] = set()
 
+    def _elder_siblings(node: _Node) -> list[_Node]:
+        parent = _parents.get(id(node))
+        if parent is None:
+            return []
+        sibs = [c for c in parent.children if c.tag != ""]
+        idx = next((i for i, c in enumerate(sibs) if c is node), None)
+        return sibs[:idx] if idx is not None else []
+
     def match_seq(node: _Node, seq) -> bool:
         comb, simple = seq[-1]
-        if not simple.matches(node):
+        if not simple.matches(node, _parents.get(id(node))):
             return False
         if len(seq) == 1:
             return True
@@ -125,6 +259,11 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
         if comb == "child":
             parent = _parents.get(id(node))
             return parent is not None and match_seq(parent, rest)
+        if comb == "adjacent":
+            elders = _elder_siblings(node)
+            return bool(elders) and match_seq(elders[-1], rest)
+        if comb == "sibling":
+            return any(match_seq(s, rest) for s in _elder_siblings(node))
         anc = _parents.get(id(node))
         while anc is not None:
             if match_seq(anc, rest):
@@ -135,10 +274,14 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
     _parents: dict[int, _Node | None] = {}
 
     def index_parents(n: _Node, parent: _Node | None):
+        # record the REAL parent (incl. #root): position pseudos and
+        # sibling combinators need the container's child list even for
+        # fragment top-level elements; #root itself can never match a
+        # selector, so ancestor/child matching is unaffected
         _parents[id(n)] = parent
         for c in n.children:
             if c.tag != "":
-                index_parents(c, n if n.tag not in ("#root",) else None)
+                index_parents(c, n)
 
     index_parents(root, None)
 

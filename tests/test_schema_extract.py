@@ -116,3 +116,98 @@ def test_schema_extract_stage_spark(spark):
         .collect()
     )
     assert parsed[0]["items"][0]["name"] == "WidgetOne"
+
+
+CSS_EXT_HTML = """
+<div id='top'>
+  <a href='/a.pdf' title='doc one'>A</a>
+  <a href='page.html' class='nav link'>B</a>
+  <a href='https://x.com/c' lang='en-US'>C</a>
+  <p>p1</p><p>p2</p><p>p3</p>
+  <span>s1</span>
+</div>
+<ul><li>i1</li><li>i2</li><li>i3</li></ul>"""
+
+
+def test_css_attribute_operators_and_pseudos():
+    """r3 CSS widening toward the reference's soupsieve surface:
+    attribute operators, multiple attrs, positional pseudo-classes,
+    adjacent/general sibling combinators."""
+    from crawl4ai_spark.functions.schema_extract import select_all
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(CSS_EXT_HTML)
+
+    def texts(sel):
+        return [
+            "".join(t.attrs.get("text", "") for t in n.children)
+            for n in select_all(root, sel)
+        ]
+
+    cases = [
+        ("a[href$='.pdf']", ["A"]),
+        ("a[href^='https://']", ["C"]),
+        ("a[title*='one']", ["A"]),
+        ("a[class~='nav']", ["B"]),
+        ("a[lang|='en']", ["C"]),
+        ("a[href][title]", ["A"]),
+        ("a:first-child", ["A"]),
+        ("p:nth-child(5)", ["p2"]),
+        ("li:nth-child(2)", ["i2"]),
+        ("li:last-child", ["i3"]),
+        ("p:first-of-type", ["p1"]),
+        ("p:nth-of-type(2)", ["p2"]),
+        ("span:only-of-type", ["s1"]),
+        ("a + a", ["B", "C"]),
+        ("a + p", ["p1"]),
+        ("a ~ span", ["s1"]),
+        ("p ~ p", ["p2", "p3"]),
+        ("div > a.nav + a", ["C"]),
+        # groups return document order across the whole selector
+        ("ul > li:nth-child(2) , span", ["s1", "i2"]),
+    ]
+    for sel, want in cases:
+        assert texts(sel) == want, sel
+
+
+def test_css_unsupported_pseudo_raises():
+    import pytest
+
+    from crawl4ai_spark.functions.schema_extract import compile_selector
+
+    for bad in ["a:hover", "p:nth-child(odd)", "a:not(.x)", "p:nth-child",
+                "a >", "+ a"]:
+        with pytest.raises(ValueError):
+            compile_selector(bad)
+
+
+def test_css_fragment_top_level_pseudos():
+    """Position pseudos work on fragment top-level elements (the #root
+    container provides the sibling list)."""
+    from crawl4ai_spark.functions.schema_extract import select_all
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom("<li>a</li><li>b</li><li>c</li>")
+    got = [
+        n.children[0].attrs["text"]
+        for n in select_all(root, "li:nth-child(2)")
+    ]
+    assert got == ["b"]
+
+
+def test_css_quoted_values_with_spaces_and_combinator_chars():
+    """Tokenization must keep whitespace and '~'/'>' INSIDE quoted
+    attribute values out of the combinator grammar."""
+    from crawl4ai_spark.functions.schema_extract import select_all
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(
+        "<a title='target 0'>T0</a><a title='a > b ~ c'>W</a>"
+        "<a title='plain'>P</a>"
+    )
+    def texts(sel):
+        return [n.children[0].attrs["text"] for n in select_all(root, sel)]
+
+    assert texts("a[title^='target 0']") == ["T0"]
+    assert texts("a[title='a > b ~ c']") == ["W"]
+    assert texts("a[title*=' > ']") == ["W"]
