@@ -1600,6 +1600,13 @@ def q_schema_extract_pages(spark, sf_dir):
             {"name": "h1", "selector": "h1", "type": "text"},
             {"name": "img_alt", "selector": "img", "type": "attribute",
              "attribute": "alt"},
+            # r3 extended CSS grammar at the gate: positional pseudo,
+            # adjacent-sibling combinator, ^= attribute operator
+            {"name": "nav_last", "selector": "nav > a:last-child",
+             "type": "text"},
+            {"name": "after_nav", "selector": "nav + h1", "type": "text"},
+            {"name": "item0", "selector": "li > a[title^='target 0']",
+             "type": "text"},
         ],
     }
     pages = _pages(spark, sf_dir)
@@ -1607,12 +1614,17 @@ def q_schema_extract_pages(spark, sf_dir):
     return out.select(
         "url",
         F.from_json(
-            "extracted_content", "array<struct<h1:string,img_alt:string>>"
+            "extracted_content",
+            "array<struct<h1:string,img_alt:string,nav_last:string,"
+            "after_nav:string,item0:string>>",
         ).alias("_items"),
     ).select(
         "url",
         F.col("_items")[0]["h1"].alias("h1"),
         F.col("_items")[0]["img_alt"].alias("img_alt"),
+        F.col("_items")[0]["nav_last"].alias("nav_last"),
+        F.col("_items")[0]["after_nav"].alias("after_nav"),
+        F.col("_items")[0]["item0"].alias("item0"),
     )
 
 
@@ -1623,7 +1635,11 @@ SELECT 'https://h' ||
          AS url,
        'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
          array_to_string((str_split(text, ' '))[1:3], ' ') AS h1,
-       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt
+       'figure ' || CAST(doc_id % 7 AS VARCHAR) AS img_alt,
+       'link 2' AS nav_last,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+         array_to_string((str_split(text, ' '))[1:3], ' ') AS after_nav,
+       'item 0' AS item0
 FROM documents
 """
 
