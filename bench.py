@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_ngram_jaccard", "sim_cosine_topk", "sim_cosine_topk_lsh",
     "topk_capacity", "politeness_budget", "lineitem_pricing", "pages_meta",
     "chunk_word_windows", "chunk_topic", "schema_extract_xpath",
+    "schema_extract_pages", "sim_cosine_topk_ivf", "head_analysis",
     "adaptive_embedding", "link_preview", "pdf_extract",
 ]
 
