@@ -1669,6 +1669,18 @@ def q_schema_extract_xpath(spark, sf_dir):
             {"name": "after_list",
              "selector": ".//ul/following-sibling::p[1]", "type": "text"},
             {"name": "heading", "selector": ".//h2 | .//h1", "type": "text"},
+            # r3b extended grammar: count(), boolean and + position(),
+            # position()=last(), normalize-space(@attr)
+            {"name": "row_id", "selector": ".//table[count(tr)=3]/tr[2]/td[2]",
+             "type": "text"},
+            {"name": "strong_key",
+             "selector": ".//p[count(strong)=1 and position()>1]/strong",
+             "type": "text"},
+            {"name": "nav_last",
+             "selector": ".//nav/a[position()=last()]", "type": "text"},
+            {"name": "norm2",
+             "selector": ".//li/a[normalize-space(@title)='target 2']",
+             "type": "text"},
         ],
     }
     pages = _pages(spark, sf_dir)
@@ -1676,7 +1688,8 @@ def q_schema_extract_xpath(spark, sf_dir):
     items = F.from_json(
         "extracted_content",
         "array<struct<h1:string,nav2:string,titled:string,img_alt:string,"
-        "ext:string,item0:string,after_list:string,heading:string>>",
+        "ext:string,item0:string,after_list:string,heading:string,"
+        "row_id:string,strong_key:string,nav_last:string,norm2:string>>",
     )
     first = items[0]
     return out.select(
@@ -1689,6 +1702,10 @@ def q_schema_extract_xpath(spark, sf_dir):
         first["item0"].alias("item0"),
         first["after_list"].alias("after_list"),
         first["heading"].alias("heading"),
+        first["row_id"].alias("row_id"),
+        first["strong_key"].alias("strong_key"),
+        first["nav_last"].alias("nav_last"),
+        first["norm2"].alias("norm2"),
     )
 
 
@@ -1703,7 +1720,11 @@ SELECT {_PAGE_URL_SQL} AS url,
        'item 0' AS item0,
        'External: partner ' || CAST(doc_id % 5 AS VARCHAR) AS after_list,
        'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
-         array_to_string((str_split(text, ' '))[1:3], ' ') AS heading
+         array_to_string((str_split(text, ' '))[1:3], ' ') AS heading,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS VARCHAR) END AS row_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'key' END AS strong_key,
+       'link 2' AS nav_last,
+       'item 2' AS norm2
 FROM documents
 """
 

@@ -299,27 +299,71 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
 # XPath engine (subset)
 # ---------------------------------------------------------------------------
 
-_XP_AXES = ("ancestor", "parent", "following-sibling", "preceding-sibling")
+_XP_AXES = (
+    "ancestor-or-self", "ancestor", "descendant-or-self", "descendant",
+    "following-sibling", "preceding-sibling", "parent", "child", "self",
+)
 _XP_STEP_RX = re.compile(
     r"(//|/)"                                   # separator
-    r"(?:(ancestor|parent|following-sibling|preceding-sibling)::)?"
+    r"(?:(" + "|".join(_XP_AXES) + r")::)?"     # named axis (longest-first)
     r"(\*|\.\.|text\(\)|@[\w-]+|[a-zA-Z][\w-]*)"  # node test
     r"((?:\[[^\]]*\])*)"                        # predicates
 )
-_XP_PRED_RX = re.compile(
-    r"""\[(?:
+# One boolean ATOM inside a predicate (the [..] brackets are stripped and
+# and/or/not() structure is handled by _xp_parse_pred_body above this).
+_XP_ATOM_RX = re.compile(
+    r"""(?:
     (?P<pos>\d+)
-    |(?P<last>last\(\))
-    |position\(\)\s*(?P<pcmp>=|<=|>=|<|>)\s*(?P<pnum>\d+)
+    |(?P<last>last\(\))(?:\s*-\s*(?P<lastoff>\d+))?
+    |position\(\)\s*(?P<plop>!?=)\s*last\(\)(?:\s*-\s*(?P<ploff>\d+))?
+    |position\(\)\s*(?P<pcmp>!=|=|<=|>=|<|>)\s*(?P<pnum>\d+)
+    |count\(\s*(?P<cnt>\*|[a-zA-Z][\w-]*)\s*\)\s*(?P<ccmp>!=|=|<=|>=|<|>)\s*(?P<cnum>\d+)
+    |string-length\(\s*(?:@(?P<slattr>[\w-]+)|\.)?\s*\)\s*(?P<slcmp>!=|=|<=|>=|<|>)\s*(?P<slnum>\d+)
+    |normalize-space\(\s*(?:@(?P<nsattr>[\w-]+)|\.)?\s*\)\s*(?P<nsop>!?=)\s*(?P<nsq>["'])(?P<nsval>.*?)(?P=nsq)
     |contains\(\s*@(?P<cattr>[\w-]+)\s*,\s*(?P<cq>["'])(?P<cval>.*?)(?P=cq)\s*\)
     |starts-with\(\s*@(?P<sattr>[\w-]+)\s*,\s*(?P<sq>["'])(?P<sval>.*?)(?P=sq)\s*\)
     |contains\(\s*(?:text\(\)|\.)\s*,\s*(?P<tq>["'])(?P<tval>.*?)(?P=tq)\s*\)
-    |not\(\s*@(?P<nattr>[\w-]+)\s*\)
+    |starts-with\(\s*(?:text\(\)|\.)\s*,\s*(?P<stq>["'])(?P<stval>.*?)(?P=stq)\s*\)
+    |text\(\)\s*(?P<txop>!?=)\s*(?P<txq>["'])(?P<txval>.*?)(?P=txq)
+    |\.\s*(?P<dotop>!?=)\s*(?P<dotq>["'])(?P<dotval>.*?)(?P=dotq)
     |@(?P<attr>[\w-]+)\s*(?:(?P<aop>!?=)\s*(?P<q>["'])(?P<val>.*?)(?P=q))?
     |(?P<child>[a-zA-Z][\w-]*)
-    )\]""",
+    )""",
     re.X,
 )
+_XP_BRACKET_RX = re.compile(r"\[([^\]]*)\]")
+
+
+def _xp_split_bool(body: str, kw: str) -> list[str]:
+    """Split a predicate body on top-level ``and``/``or`` keywords
+    (quote- and paren-aware)."""
+    parts, depth, q, start, i = [], 0, None, 0, 0
+    n = len(body)
+    klen = len(kw)
+    while i < n:
+        ch = body[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and body.startswith(kw, i)
+            and i > 0 and body[i - 1].isspace()
+            and i + klen < n and body[i + klen].isspace()
+        ):
+            parts.append(body[start:i])
+            start = i + klen
+            i += klen
+            continue
+        i += 1
+    parts.append(body[start:])
+    return parts
 
 
 def _xp_split_union(expr: str) -> list[str]:
@@ -342,27 +386,74 @@ def _xp_split_union(expr: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
-def _xp_parse_pred(pm: "re.Match") -> tuple:
+def _xp_parse_atom(pm: "re.Match") -> tuple:
     if pm.group("pos"):
         return ("pos", int(pm.group("pos")))
     if pm.group("last"):
-        return ("pos_last",)
+        return ("pos_last", int(pm.group("lastoff") or 0))
+    if pm.group("plop"):
+        return ("pos_last_cmp", pm.group("plop"),
+                int(pm.group("ploff") or 0))
     if pm.group("pcmp"):
         return ("pos_cmp", pm.group("pcmp"), int(pm.group("pnum")))
+    if pm.group("cnt"):
+        return ("count_cmp", pm.group("cnt"), pm.group("ccmp"),
+                int(pm.group("cnum")))
+    if pm.group("slcmp"):
+        return ("strlen_cmp", pm.group("slattr"), pm.group("slcmp"),
+                int(pm.group("slnum")))
+    if pm.group("nsval") is not None:
+        return ("normspace", pm.group("nsattr"), pm.group("nsop"),
+                pm.group("nsval"))
     if pm.group("cattr"):
         return ("attr_contains", pm.group("cattr"), pm.group("cval"))
     if pm.group("sattr"):
         return ("attr_starts", pm.group("sattr"), pm.group("sval"))
     if pm.group("tval") is not None:
         return ("text_contains", pm.group("tval"))
-    if pm.group("nattr"):
-        return ("attr_not", pm.group("nattr"))
+    if pm.group("stval") is not None:
+        return ("text_starts", pm.group("stval"))
+    if pm.group("txval") is not None:
+        return ("textnode_cmp", pm.group("txop"), pm.group("txval"))
+    if pm.group("dotval") is not None:
+        return ("strval_cmp", pm.group("dotop"), pm.group("dotval"))
     if pm.group("child"):
         return ("has_child", pm.group("child"))
     if pm.group("val") is not None:
         op = "attr_ne" if pm.group("aop") == "!=" else "attr_eq"
         return (op, pm.group("attr"), pm.group("val"))
     return ("attr", pm.group("attr"))
+
+
+def _xp_parse_pred_body(body: str, expr: str) -> tuple:
+    """Parse one bracket-group body into a boolean tree:
+    ``or`` > ``and`` > ``not(...)`` > atom (XPath precedence)."""
+    parts = _xp_split_bool(body, "or")
+    if len(parts) > 1:
+        return ("or", [_xp_parse_pred_body(p, expr) for p in parts])
+    parts = _xp_split_bool(body, "and")
+    if len(parts) > 1:
+        return ("and", [_xp_parse_pred_body(p, expr) for p in parts])
+    b = body.strip()
+    if b.startswith("not(") and b.endswith(")"):
+        inner = b[4:-1]
+        # only treat as not(...) if the parens actually balance at -1
+        # (guards against `not(@a) and contains(...)` mis-slicing —
+        # that case is already split by the and-splitter above)
+        depth = 0
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+        if depth >= 0:
+            return ("not", _xp_parse_pred_body(inner, expr))
+    m = _XP_ATOM_RX.match(b)
+    if not m or m.end() != len(b):
+        raise ValueError(f"unsupported predicate {body!r} in {expr!r}")
+    return _xp_parse_atom(m)
 
 
 def _xp_parse(expr: str) -> list[tuple[str, str, str | None, list]]:
@@ -391,11 +482,12 @@ def _xp_parse(expr: str) -> list[tuple[str, str, str | None, list]]:
         preds = []
         ppos = 0
         while ppos < len(raw_preds):
-            pm = _XP_PRED_RX.match(raw_preds, ppos)
-            if not pm:
-                raise ValueError(f"unsupported predicate {raw_preds!r} in {expr!r}")
-            preds.append(_xp_parse_pred(pm))
-            ppos = pm.end()
+            bm = _XP_BRACKET_RX.match(raw_preds, ppos)
+            if not bm:
+                raise ValueError(
+                    f"unsupported predicate {raw_preds!r} in {expr!r}")
+            preds.append(_xp_parse_pred_body(bm.group(1), expr))
+            ppos = bm.end()
         steps.append((sep, name, named_axis, preds))
         pos = m.end()
     return steps
@@ -421,6 +513,7 @@ def _xp_text_nodes(node: _Node, deep: bool):
 
 _XP_CMP = {
     "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b,
@@ -428,47 +521,94 @@ _XP_CMP = {
 }
 
 
+def _xp_normspace(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _xp_eval_pred(p: tuple, node: _Node, idx: int, size: int) -> bool:
+    """Evaluate one predicate tree against a node at 1-based position
+    `idx` in an axis group of `size` nodes."""
+    kind = p[0]
+    if kind == "or":
+        return any(_xp_eval_pred(c, node, idx, size) for c in p[1])
+    if kind == "and":
+        return all(_xp_eval_pred(c, node, idx, size) for c in p[1])
+    if kind == "not":
+        return not _xp_eval_pred(p[1], node, idx, size)
+    if kind == "pos":
+        return idx == p[1]
+    if kind == "pos_last":
+        return idx == size - p[1]
+    if kind == "pos_last_cmp":
+        eq = idx == size - p[2]
+        return eq if p[1] == "=" else not eq
+    if kind == "pos_cmp":
+        return _XP_CMP[p[1]](idx, p[2])
+    if kind == "count_cmp":
+        cnt = sum(
+            1 for c in node.children
+            if c.tag not in ("", "#root") and (p[1] == "*" or c.tag == p[1])
+        )
+        return _XP_CMP[p[2]](cnt, p[3])
+    if kind == "strlen_cmp":
+        if p[1] is not None:
+            v = node.attrs.get(p[1])
+            if v is None:
+                return False
+        else:
+            v = _xpath_text(node)
+        return _XP_CMP[p[2]](len(v), p[3])
+    if kind == "normspace":
+        if p[1] is not None:
+            v = node.attrs.get(p[1])
+            if v is None:
+                return False
+        else:
+            v = _xpath_text(node)
+        eq = _xp_normspace(v) == p[3]
+        return eq if p[2] == "=" else not eq
+    if kind == "attr_eq":
+        return node.attrs.get(p[1]) == p[2]
+    if kind == "attr_ne":
+        # XPath @a != 'v': attribute exists AND differs
+        a = node.attrs.get(p[1])
+        return a is not None and a != p[2]
+    if kind == "attr_contains":
+        a = node.attrs.get(p[1])
+        return a is not None and p[2] in a
+    if kind == "attr_starts":
+        a = node.attrs.get(p[1])
+        return a is not None and a.startswith(p[2])
+    if kind == "text_contains":
+        # string-value of the node (all descendant text)
+        return p[1] in _xpath_text(node)
+    if kind == "text_starts":
+        return _xpath_text(node).startswith(p[1])
+    if kind == "textnode_cmp":
+        # node-set comparison: true if ANY direct text node satisfies it
+        texts = [t for t in _xp_text_nodes(node, deep=False)]
+        if p[1] == "=":
+            return any(t == p[2] for t in texts)
+        return any(t != p[2] for t in texts)
+    if kind == "strval_cmp":
+        eq = _xpath_text(node) == p[2]
+        return eq if p[1] == "=" else not eq
+    if kind == "has_child":
+        return any(c.tag == p[1] for c in node.children)
+    # "attr" existence
+    return p[1] in node.attrs
+
+
 def _xp_apply_preds(group: list[_Node], preds: list) -> list[_Node]:
+    """Apply bracket groups sequentially; each group re-indexes the
+    survivors of the previous one (XPath: //a[@x][2] is the 2nd a
+    *among those with @x*)."""
     out = group
     for p in preds:
-        kind = p[0]
-        if kind == "pos":
-            out = [out[p[1] - 1]] if len(out) >= p[1] else []
-        elif kind == "pos_last":
-            out = out[-1:]
-        elif kind == "pos_cmp":
-            cmp = _XP_CMP[p[1]]
-            out = [n for i, n in enumerate(out, 1) if cmp(i, p[2])]
-        elif kind == "attr_eq":
-            out = [n for n in out if n.attrs.get(p[1]) == p[2]]
-        elif kind == "attr_ne":
-            # XPath @a != 'v': attribute exists AND differs
-            out = [
-                n for n in out
-                if n.attrs.get(p[1]) is not None and n.attrs[p[1]] != p[2]
-            ]
-        elif kind == "attr_contains":
-            out = [
-                n for n in out
-                if n.attrs.get(p[1]) is not None and p[2] in n.attrs[p[1]]
-            ]
-        elif kind == "attr_starts":
-            out = [
-                n for n in out
-                if n.attrs.get(p[1]) is not None
-                and n.attrs[p[1]].startswith(p[2])
-            ]
-        elif kind == "text_contains":
-            # string-value of the node (all descendant text)
-            out = [n for n in out if p[1] in _xpath_text(n)]
-        elif kind == "attr_not":
-            out = [n for n in out if p[1] not in n.attrs]
-        elif kind == "has_child":
-            out = [
-                n for n in out if any(c.tag == p[1] for c in n.children)
-            ]
-        else:  # "attr" existence
-            out = [n for n in out if p[1] in n.attrs]
+        size = len(out)
+        out = [
+            n for i, n in enumerate(out, 1) if _xp_eval_pred(p, n, i, size)
+        ]
     return out
 
 
@@ -496,8 +636,21 @@ def _xp_axis_group(
     if axis == "parent":
         p = pmap.get(id(node))
         return [p] if p is not None and _xp_name_match(p, name) else []
-    if axis == "ancestor":
+    if axis == "self":
+        return [node] if _xp_name_match(node, name) else []
+    if axis == "child":
+        return [c for c in node.children if _xp_name_match(c, name)]
+    if axis == "descendant":
+        return [d for d in _descendants(node) if _xp_name_match(d, name)]
+    if axis == "descendant-or-self":
+        out = [node] if _xp_name_match(node, name) else []
+        out.extend(d for d in _descendants(node) if _xp_name_match(d, name))
+        return out
+    if axis in ("ancestor", "ancestor-or-self"):
+        # reverse axes: nearest-first (self first for -or-self)
         out = []
+        if axis == "ancestor-or-self" and _xp_name_match(node, name):
+            out.append(node)
         p = pmap.get(id(node))
         while p is not None:
             if _xp_name_match(p, name):
@@ -526,14 +679,19 @@ def xpath_select(root: _Node, expr: str):
     per-parent sibling group (lxml/XPath semantics: ``//div/p[1]`` is
     the first p under EACH div). Supported beyond the r2 subset
     (reference accepts arbitrary lxml XPath,
-    extraction_strategy.py:1612-1674): ``last()``, ``position() op n``,
-    ``contains()``/``starts-with()`` on attributes, ``contains()`` on
-    the node string-value, ``not(@a)``, ``[@a!='v']``, child-existence
-    ``[name]`` predicates, ``parent::``/``..``, ``ancestor::``,
-    ``following-sibling::``/``preceding-sibling::`` axes and top-level
-    ``|`` unions (union results are first-seen deduped in branch
-    order, not global document order — documented divergence).
-    Everything else raises ValueError at compile time.
+    extraction_strategy.py:1612-1674): ``last()`` / ``last()-n``,
+    ``position() op n``, ``contains()``/``starts-with()`` on
+    attributes and on the node string-value, ``text()='v'`` /
+    ``.='v'`` comparisons, ``normalize-space([.|@a])='v'``,
+    ``count(name|*) op n``, ``string-length([.|@a]) op n``,
+    boolean ``and``/``or``/``not(...)`` predicate expressions,
+    ``[@a!='v']``, child-existence ``[name]`` predicates, the
+    ``parent``/``..``, ``self``, ``child``, ``descendant[-or-self]``,
+    ``ancestor[-or-self]``, ``following-sibling``,
+    ``preceding-sibling`` axes, and top-level ``|`` unions (union
+    results are first-seen deduped in branch order, not global
+    document order — documented divergence). Everything else raises
+    ValueError at compile time.
     """
     branches = _xp_split_union(expr)
     if len(branches) > 1:
@@ -586,7 +744,11 @@ def xpath_select(root: _Node, expr: str):
         seen: set[int] = set()
         for node in ctx:
             if named_axis is not None:
-                groups = [_xp_axis_group(node, named_axis, name, pmap)]
+                # '//axis::x' expands to descendant-or-self::node()/axis::x
+                pool = [node, *_descendants(node)] if sep == "//" else [node]
+                groups = [
+                    _xp_axis_group(n, named_axis, name, pmap) for n in pool
+                ]
             elif sep == "/":
                 groups = [[c for c in node.children if _xp_name_match(c, name)]]
             else:

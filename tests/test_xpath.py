@@ -83,8 +83,9 @@ def test_relative_prefix(root):
 
 def test_unsupported_syntax_raises():
     root = parse_dom("<p>x</p>")
-    for bad in ["p", "//p[string-length(.)>2]", "//p/ancestor-or-self::p",
-                "//p[count(a)=1]", "//p[text()='x']"]:
+    for bad in ["p", "//p[substring(., 1, 2)='x']", "//p/following::a",
+                "//p[position() mod 2 = 0]", "//p[name()='p']",
+                "id('x')//p"]:
         with pytest.raises(ValueError):
             xpath_select(root, bad)
 
@@ -132,8 +133,8 @@ def test_unsupported_xpath_raises_not_empty():
     )
 
     html = "<div><a href='x.html'>link</a></div>"
-    for bad in ["//div/ancestor-or-self::body", "//a[count(b)=1]",
-                "//a[string-length(@href)>3]", "//a[normalize-space(.)='x']"]:
+    for bad in ["//div/following::b", "//a[substring(@href, 1, 1)='x']",
+                "//a[number(@href)=1]", "//a[local-name()='a']"]:
         schema = {"baseSelector": "//div",
                   "fields": [{"name": "v", "selector": bad, "type": "text"}]}
         with pytest.raises(ValueError):
@@ -142,7 +143,7 @@ def test_unsupported_xpath_raises_not_empty():
             json_xpath_extract(html, schema)
     # and an unsupported baseSelector fails too
     with pytest.raises(ValueError):
-        json_xpath_extract(html, {"baseSelector": "//div/ancestor-or-self::b",
+        json_xpath_extract(html, {"baseSelector": "//div/preceding::b",
                                   "fields": []})
 
 
@@ -155,7 +156,7 @@ def test_validate_schema_walks_nested_fields():
         "baseSelector": "//div",
         "fields": [{
             "name": "inner", "selector": "//ul", "type": "nested",
-            "fields": [{"name": "bad", "selector": "//li[count(a)=1]",
+            "fields": [{"name": "bad", "selector": "//li[lang('en')]",
                         "type": "text"}],
         }],
     }
@@ -230,6 +231,72 @@ def test_xpath_extended_grammar_in_schema():
     }
     out = json_xpath_extract(HTML_GRAMMAR, schema)
     assert out == [{"pdf": "A2", "last_p": "last one"}]
+
+
+def test_xpath_r3b_grammar():
+    """Second grammar widening: boolean and/or/not(...) predicates,
+    text()=/.= equality, normalize-space(), count(), string-length(),
+    last()-n, and the self/child/descendant[-or-self]/
+    ancestor-or-self axes (reference accepts arbitrary lxml XPath;
+    extraction_strategy.py:1612-1674)."""
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(HTML_GRAMMAR)
+    cases = [
+        # boolean combinators (and > or precedence; not() nesting)
+        ("//a[@title='t1' or contains(@href, '.pdf')]", ["A1", "A2"]),
+        ("//a[starts-with(@href, '/') and not(contains(@href, 'a3'))]",
+         ["A1"]),
+        ("//li[not(@class) and a]/a", ["A1", "A2"]),
+        ("//p[position()=1 or position()=last()]",
+         ["first", "last one", "sec p"]),
+        # string-value / text-node equality
+        ("//p[.='middle key']", ["middle key"]),
+        ("//p[text()='first']", ["first"]),
+        ("//p[normalize-space(.)='last one']", ["last one"]),
+        ("//a[normalize-space(@title)='t1']", ["A1"]),
+        # counting and length
+        ("//ul[count(li)=3]/li[1]/a", ["A1"]),
+        ("//div[count(*)>3]/p[1]", ["first"]),
+        ("//a[string-length(@href)>10]", ["A2"]),
+        ("//p[string-length(.)>=8]", ["middle key", "last one"]),
+        # last()-n and predicate re-indexing within the sibling group
+        ("//p[last()-1]", ["middle key"]),  # per sibling group: 2 of 3
+        ("//p[string-length(.)>=8][2]", ["last one"]),
+        # each a is alone in its sibling group, so [2] never matches
+        # (true XPath semantics — lxml returns [] here too)
+        ("//a[starts-with(@href, '/')][2]", []),
+        # starts-with on the string-value
+        ("//p[starts-with(., 'mid')]", ["middle key"]),
+        # new axes
+        ("//h2/self::h2", ["head"]),
+        ("//section/child::p", ["sec p"]),
+        ("//div/descendant::h2", ["head"]),
+        # self is position 1 on the ancestor-or-self reverse axis
+        ("//a[1]/ancestor-or-self::*[1]", ["A1", "A2", "A3"]),
+        ("//section/descendant-or-self::section/h2", ["head"]),
+    ]
+    for expr, want in cases:
+        assert _sel_texts(root, expr) == want, expr
+    # //axis:: expands through descendant-or-self (lxml parity):
+    # every ul-descendant's li-ancestor, deduped
+    from crawl4ai_spark.functions.schema_extract import xpath_select
+
+    lis = xpath_select(root, "//ul//ancestor::li")
+    assert [n.tag for n in lis] == ["li", "li", "li"]
+
+
+def test_xpath_descendant_axis_positional_is_global():
+    """/descendant::p[1] indexes the WHOLE descendant set (one group
+    per context node), unlike //p[1] which indexes per parent group —
+    the classic XPath distinction."""
+    from crawl4ai_spark.functions.scrape import parse_dom
+
+    root = parse_dom(HTML_GRAMMAR)
+    assert _sel_texts(root, "/descendant::p[1]") == ["first"]
+    assert _sel_texts(root, "/descendant::p[last()]") == ["sec p"]
+    # vs per-sibling-group semantics of //p[1]
+    assert _sel_texts(root, "//p[1]") == ["first", "sec p"]
 
 
 def test_xpath_union_mixing_types_raises():
