@@ -726,6 +726,85 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_dedup_lsh_portable(spark, sf_dir):
+    """Both portable-hash LSH pipelines (r2-green as separate
+    `dedup_minhash_portable` / `dedup_simhash_portable` rows) as ONE
+    tagged gate row: UNION ALL with a strategy tag, schemas unified on
+    (algo, id_a, id_b, score). Frees a slot in the driver's 50-entry
+    window while keeping both full oracle replays bit-exact."""
+    mh = q_dedup_minhash_portable(spark, sf_dir).select(
+        F.lit("minhash").alias("algo"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    sh = q_dedup_simhash_portable(spark, sf_dir).select(
+        F.lit("simhash").alias("algo"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
+def _oracle_lsh_portable() -> str:
+    return f"""
+SELECT 'minhash' AS algo, id_a, id_b, est_jaccard AS score
+FROM ({_oracle_minhash_portable()})
+UNION ALL
+SELECT 'simhash' AS algo, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+FROM ({ORACLE_SIMHASH_PORTABLE})
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """The missing last stage of a real dedup pipeline: near-dup PAIRS
+    (embedding cosine graph, same edge rule as sim_neardup_pairs) →
+    transitive connected components → keep/drop resolution (min-id
+    canonical, per-component size). Spark side is the iterative
+    min-label-propagation + pointer-jumping operator
+    (operators/dedup.py connected_components); the oracle replays the
+    closure exactly with a recursive CTE."""
+    from .operators.dedup import resolve_duplicates
+
+    df = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = df.alias("a"), df.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("s"),
+        )
+        .filter(F.col("s") >= 0.35)
+    )
+    ids = _emb(spark, sf_dir).select("vec_id")
+    return resolve_duplicates(ids, pairs, "vec_id")
+
+
+ORACLE_DEDUP_COMPONENTS = """
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+ed AS (SELECT id_a AS s, id_b AS d FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+r(node, lab) AS (
+    SELECT vec_id, vec_id FROM e
+    UNION
+    SELECT ed.d, r.lab FROM r JOIN ed ON ed.s = r.node
+),
+lab AS (SELECT node, min(lab) AS component FROM r GROUP BY node),
+sz AS (SELECT component, count(*) AS csize FROM lab GROUP BY component)
+SELECT node AS vec_id, component, csize,
+       CAST(node = component AS INT) AS is_canonical
+FROM lab JOIN sz USING (component)
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint_portable("text").alias("fp")
@@ -852,8 +931,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "lineitem_pricing": q_lineitem_pricing,
     "dedup_ngram_prefix": q_dedup_ngram_prefix,
-    "dedup_minhash_portable": q_dedup_minhash_portable,
-    "dedup_simhash_portable": q_dedup_simhash_portable,
+    "dedup_lsh_portable": q_dedup_lsh_portable,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
@@ -864,7 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # every driver entry fits the 50-row CORRECTNESS window: the production
 # minhash/simhash entries hash shingles with xxhash64, which no SQL
 # engine reproduces — the IDENTICAL pipelines are oracle-checked through
-# the dedup_minhash_portable / dedup_simhash_portable twins (md5-based
+# the dedup_lsh_portable tagged union (md5-based
 # shingle hash, same permutations/banding/votes/verify); the stemmed
 # BM25 fit variant differs from the oracle-checked
 # content_fit_bm25_nostem twin only in the Porter2 stemmer (pinned by
@@ -892,8 +971,8 @@ ORACLES: dict[str, str] = {
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_ngram_prefix": ORACLE_DEDUP_NGRAM_JACCARD,
-    "dedup_minhash_portable": _oracle_minhash_portable(),
-    "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
+    "dedup_lsh_portable": _oracle_lsh_portable(),
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "sim_cosine_topk_lsh": _oracle_sim_cosine_topk_lsh(),
     "sim_cosine_topk_ivf": ORACLE_SIM_COSINE_TOPK_IVF,

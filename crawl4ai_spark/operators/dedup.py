@@ -493,3 +493,143 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components + duplicate resolution
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it —
+    the canonical last stage of a near-dup pipeline (pair lists from
+    MinHash/SimHash/Jaccard/embedding candidates are edges; a
+    *component*, not a pair, is the unit you keep-one-of).
+
+    The reference keeps only per-URL/content-hash exact dedup
+    (async_database.py:527-541, utils.py:2681); transitive closure over
+    near-dup pairs is the standard web-corpus extension (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Algorithm: distributed min-label propagation with pointer jumping
+    (label(u) <- label(label(u)) each round), the halving trick from
+    the MapReduce connected-components literature (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): rounds are
+    O(log d) in the component diameter rather than O(d), and every
+    round is two key-partitioned joins + one groupBy — no all-pairs
+    product, no driver-side graph. At 100 TB the label table is
+    (node, label) longs only; edges stay canonicalized + distinct so
+    multi-edges from several candidate generators collapse before the
+    first shuffle.
+
+    `nodes` (optional) supplies the full node universe so isolated
+    documents come out as singleton components; otherwise the universe
+    is every edge endpoint. Output: (node, component) with component =
+    min node id of the component. Deterministic for any input order.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist()
+    if nodes is not None:
+        lab = nodes.select(
+            F.col(node_col or nodes.columns[0]).cast("long").alias("node")
+        ).distinct()
+    else:
+        lab = sym.select(F.col("s").alias("node")).distinct()
+    # Iterative plans MUST truncate lineage each round: the pointer-jump
+    # self-join doubles the logical plan per iteration, so chaining lazy
+    # DataFrames explodes the plan exponentially (observed: a 2 GiB plan
+    # string by round ~8). localCheckpoint materializes the label table
+    # and cuts the lineage — plan size stays constant across rounds. On
+    # a real cluster swap for reliable checkpoint() (executor-loss-safe).
+    lab = lab.withColumn("lab", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbour-min: candidate label = min(own, min over neighbours)
+        nbr = (
+            sym.join(
+                lab.select(F.col("node").alias("d"), F.col("lab").alias("nlab")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("nlab").alias("nlab"))
+            .withColumnRenamed("s", "node")
+        )
+        cand = lab.join(nbr, "node", "left").select(
+            "node", F.least("lab", F.coalesce("nlab", F.col("lab"))).alias("lab")
+        ).persist()  # read twice by the pointer-jump self-join below
+        # pointer jump: labels are node ids, so chase one hop of the
+        # label table itself — halves chain depth every round
+        jumped = (
+            cand.alias("c")
+            .join(
+                cand.select(
+                    F.col("node").alias("lab"), F.col("lab").alias("lab2")
+                ).alias("p"),
+                "lab",
+                "left",
+            )
+            .select("node", F.coalesce("lab2", F.col("lab")).alias("lab"))
+            .localCheckpoint()  # eager: materialized + lineage cut
+        )
+        stable = (
+            jumped.join(
+                lab.select("node", F.col("lab").alias("old")), "node"
+            )
+            .filter(F.col("lab") != F.col("old"))
+            .isEmpty()
+        )
+        cand.unpersist()
+        lab = jumped
+        if stable:
+            break
+    sym.unpersist()
+    return lab.select("node", F.col("lab").alias("component"))
+
+
+def resolve_duplicates(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Pairs -> keep/drop decision: group near-dup pairs into
+    components and mark the minimum id of each component canonical
+    (keep-first — the same tie-break the reference's exact content
+    dedup applies via first-seen insert, async_database.py:527-541).
+
+    Output: (<id_col>, component, csize, is_canonical) for EVERY input
+    id — singletons are their own size-1 canonical component.
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=ids, node_col=id_col, max_iter=max_iter
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "csize",
+            (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+        )
+    )

@@ -181,3 +181,117 @@ def test_ivf_topk_recall_and_pruning(spark, sf_dir):
                                                  n_centroids=16,
                                                  nprobe=16).collect()}
     assert full == exact
+
+
+# ---------------------------------------------------------------------------
+# Connected components + resolution
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Driver-side union-find ground truth."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # compress fully, then relabel each root to the component MIN id
+    comp = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def test_connected_components_chain_star_singleton(spark):
+    from crawl4ai_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 3), (5, 4), (10, 11), (12, 10), (13, 10)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 20]], "id long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes, node_col="id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Pseudo-random graph (seeded LCG, no global RNG) vs union-find."""
+    from crawl4ai_spark.operators.dedup import connected_components
+
+    n = 200
+    state, edges = 7, []
+    for _ in range(160):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = state % n
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state % n
+        if a != b:
+            edges.append((a, b))
+    want = _uf_components(n, edges)
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes=nodes, node_col="id").collect()
+    }
+    assert got == want
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """A 64-node path has diameter 63; pointer jumping must close it in
+    far fewer than 63 rounds (O(log d)) — max_iter=10 suffices."""
+    from crawl4ai_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=10).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 64
+
+
+def test_resolve_duplicates_keep_first(spark):
+    from crawl4ai_spark.operators.dedup import resolve_duplicates
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc long")
+    pairs = spark.createDataFrame([(2, 4), (4, 0)], "id_a long, id_b long")
+    rows = {r["doc"]: r for r in resolve_duplicates(ids, pairs, "doc").collect()}
+    assert rows[0]["is_canonical"] == 1 and rows[0]["csize"] == 3
+    assert rows[2]["is_canonical"] == 0 and rows[2]["component"] == 0
+    assert rows[4]["is_canonical"] == 0
+    # untouched docs are their own canonical singletons
+    for d in (1, 3, 5):
+        assert rows[d]["is_canonical"] == 1 and rows[d]["csize"] == 1
+
+
+def test_connected_components_duplicate_and_reversed_edges(spark):
+    """Multi-edges, self-loops and both orientations collapse before
+    the first shuffle — same labels as the clean edge list."""
+    from crawl4ai_spark.operators.dedup import connected_components
+
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 2), (3, 3), (2, 3)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(noisy).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
