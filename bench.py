@@ -43,10 +43,10 @@ HEADLINE = [
     "entities_extract", "text_lang_id", "text_quality", "term_stats",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_components", "sim_cosine_topk",
-    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ann", "link_pagerank",
     "topk_capacity", "politeness_budget", "lineitem_pricing", "pages_meta",
     "chunk_word_windows", "chunk_topic", "schema_extract_xpath",
-    "schema_extract_pages", "sim_cosine_topk_ivf", "head_analysis",
+    "schema_extract_pages", "head_analysis",
     "adaptive_embedding", "link_preview", "pdf_extract",
 ]
 

@@ -914,6 +914,93 @@ LIMIT 20
 """
 
 
+def q_sim_cosine_topk_ann(spark, sf_dir):
+    """Both ANN top-k paths (hyperplane-LSH multiprobe + IVF inverted
+    lists, each previously its own green row) as ONE tagged-union gate
+    row — same two full SQL replays, one driver slot."""
+    lsh = q_sim_cosine_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("algo"), "vec_id", "cosine_sim"
+    )
+    ivf = q_sim_cosine_topk_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("algo"), "vec_id", "cosine_sim"
+    )
+    return lsh.unionByName(ivf)
+
+
+def _oracle_sim_cosine_topk_ann() -> str:
+    return f"""
+SELECT 'lsh' AS algo, vec_id, cosine_sim
+FROM ({_oracle_sim_cosine_topk_lsh()})
+UNION ALL
+SELECT 'ivf' AS algo, vec_id, cosine_sim
+FROM ({ORACLE_SIM_COSINE_TOPK_IVF})
+"""
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Corpus-level authority over the synthetic link graph: the page
+    outlink arithmetic (synth.py outlink_targets) gives the edge list
+    analytically, so the full fixed-iteration integer PageRank
+    (operators/linkgraph.py) replays bit-exact in SQL — integer sums
+    are order-independent, unlike float PR."""
+    import pyarrow.parquet as pq
+
+    from .operators.linkgraph import pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j") * 97 + 7) % n).alias("dst"),
+        )
+        # deterministic thinning: the raw synth graph is 6-regular (pr
+        # would be near-uniform); dropping dst%7>=5 gives the degree
+        # variance a real web graph has, so ranks differentiate
+        .filter(F.col("dst") % 7 < 5)
+    )
+    pr = pagerank(
+        edges, "src", "dst", nodes=docs, node_col="doc_id", iters=3, n_nodes=n
+    )
+    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_e9"))
+
+
+def _oracle_link_pagerank(iters: int = 3) -> str:
+    scale, num, den = 10**9, 85, 100
+    base = (den - num) * scale // den
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS N FROM documents),
+e AS (SELECT DISTINCT doc_id AS src,
+             (doc_id*31 + j*97 + 7) % (SELECT N FROM nn) AS dst
+      FROM documents, unnest(generate_series(0, 5)) t(j)
+      WHERE doc_id <> (doc_id*31 + j*97 + 7) % (SELECT N FROM nn)
+        AND ((doc_id*31 + j*97 + 7) % (SELECT N FROM nn)) % 7 < 5),
+outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+p0 AS (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS pr FROM documents)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (SELECT e.dst AS node, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
+        FROM e JOIN p{k-1} p ON p.node = e.src JOIN outd o ON o.src = e.src
+        GROUP BY e.dst),
+d{k} AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+        FROM p{k-1} p LEFT JOIN outd o ON o.src = p.node
+        WHERE o.src IS NULL),
+p{k} AS (SELECT p.node,
+               CAST({base} AS BIGINT)
+               + {num} * (coalesce(c.insum, CAST(0 AS BIGINT))
+                          + (SELECT dang FROM d{k}) // (SELECT N FROM nn))
+                 // {den} AS pr
+        FROM p{k-1} p LEFT JOIN c{k} c ON c.node = p.node)""")
+    parts.append(
+        f"\nSELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_e9 FROM p{iters}"
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_core": q_url_core,
     "url_filters": q_url_filters,
@@ -935,8 +1022,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_fingerprint": q_text_fingerprint,
-    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
-    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
+    "sim_cosine_topk_ann": q_sim_cosine_topk_ann,
+    "link_pagerank": q_link_pagerank,
 }
 
 # Checked by tests/test_catalog.py but kept OUT of the driver catalog so
@@ -974,8 +1061,8 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_portable": _oracle_lsh_portable(),
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
-    "sim_cosine_topk_lsh": _oracle_sim_cosine_topk_lsh(),
-    "sim_cosine_topk_ivf": ORACLE_SIM_COSINE_TOPK_IVF,
+    "sim_cosine_topk_ann": _oracle_sim_cosine_topk_ann(),
+    "link_pagerank": _oracle_link_pagerank(),
 }
 
 
