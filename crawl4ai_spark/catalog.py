@@ -726,6 +726,67 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_dedup_ngram(spark, sf_dir):
+    """Both exact-Jaccard strategies (adaptive inverted-index and the
+    AllPairs/PPJoin prefix filter — output-identical by construction)
+    as ONE tagged gate row; the oracle replays the pipeline once per
+    tag. Frees a driver-window slot."""
+    inv = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("inverted").alias("algo"), "id_a", "id_b", "jaccard"
+    )
+    pref = q_dedup_ngram_prefix(spark, sf_dir).select(
+        F.lit("prefix").alias("algo"), "id_a", "id_b", "jaccard"
+    )
+    return inv.unionByName(pref)
+
+
+def _oracle_dedup_ngram() -> str:
+    return f"""
+SELECT 'inverted' AS algo, id_a, id_b, jaccard
+FROM ({ORACLE_DEDUP_NGRAM_JACCARD})
+UNION ALL
+SELECT 'prefix' AS algo, id_a, id_b, jaccard
+FROM ({ORACLE_DEDUP_NGRAM_JACCARD})
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / The Pile 13-gram
+    rule): eval set = the first 30 words of every doc_id%50==0
+    document; flag every corpus doc sharing a 13-gram with it. The
+    md5-portable shingle key lets the oracle replay the broadcast
+    join + distinct-count exactly."""
+    from .operators.decontam import contamination_check
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text")
+    )
+    return contamination_check(docs, ev, hash_fn="md5")
+
+
+_ORACLE_SHINGLE_13 = """unnest(CASE WHEN len(ws) >= 13
+        THEN list_transform(generate_series(1, len(ws) - 12),
+                            i -> array_to_string(ws[i:i+12], ' '))
+        ELSE [array_to_string(ws, ' ')] END)"""
+
+ORACLE_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws
+           FROM documents),
+evw AS (SELECT ws[1:30] AS ws FROM w WHERE doc_id % 50 = 0),
+evsh AS (SELECT DISTINCT substr(md5(s), 1, 16) AS k FROM (
+    SELECT {_ORACLE_SHINGLE_13} AS s FROM evw)),
+dsh AS (SELECT doc_id, substr(md5(s), 1, 16) AS k FROM (
+    SELECT doc_id, {_ORACLE_SHINGLE_13} AS s FROM w)),
+hits AS (SELECT doc_id, count(DISTINCT k) AS n
+         FROM dsh JOIN evsh USING (k) GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
+FROM w LEFT JOIN hits h ON h.doc_id = w.doc_id
+"""
+
+
 def q_dedup_lsh_portable(spark, sf_dir):
     """Both portable-hash LSH pipelines (r2-green as separate
     `dedup_minhash_portable` / `dedup_simhash_portable` rows) as ONE
@@ -1017,10 +1078,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "lineitem_pricing": q_lineitem_pricing,
-    "dedup_ngram_prefix": q_dedup_ngram_prefix,
+    "dedup_ngram": q_dedup_ngram,
     "dedup_lsh_portable": q_dedup_lsh_portable,
     "dedup_components": q_dedup_components,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_ann": q_sim_cosine_topk_ann,
     "link_pagerank": q_link_pagerank,
@@ -1056,8 +1117,8 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": ORACLE_SIM_COSINE_TOPK,
     "sim_neardup_pairs": ORACLE_SIM_NEARDUP_PAIRS,
     "lineitem_pricing": ORACLE_LINEITEM_PRICING,
-    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
-    "dedup_ngram_prefix": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_ngram": _oracle_dedup_ngram(),
+    "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_lsh_portable": _oracle_lsh_portable(),
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
