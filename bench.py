@@ -43,7 +43,7 @@ HEADLINE = [
     "entities_extract", "text_lang_id", "text_quality", "term_stats",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram", "dedup_components", "decontaminate", "sim_cosine_topk",
-    "sim_cosine_topk_ann", "link_pagerank",
+    "sim_cosine_topk_ann", "link_analysis",
     "topk_capacity", "politeness_budget", "lineitem_pricing", "pages_meta",
     "chunk_word_windows", "chunk_topic", "schema_extract_xpath",
     "schema_extract_pages", "head_analysis",

@@ -998,15 +998,12 @@ FROM ({ORACLE_SIM_COSINE_TOPK_IVF})
 """
 
 
-def q_link_pagerank(spark, sf_dir):
-    """Corpus-level authority over the synthetic link graph: the page
-    outlink arithmetic (synth.py outlink_targets) gives the edge list
-    analytically, so the full fixed-iteration integer PageRank
-    (operators/linkgraph.py) replays bit-exact in SQL — integer sums
-    are order-independent, unlike float PR."""
+def _link_edges(spark, sf_dir):
+    """The synthetic outlink graph (synth.py outlink_targets),
+    deterministically thinned: the raw graph is 6-regular (centrality
+    would be near-uniform); dropping dst%7>=5 gives the degree variance
+    a real web graph has, so ranks differentiate."""
     import pyarrow.parquet as pq
-
-    from .operators.linkgraph import pagerank
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1019,38 +1016,63 @@ def q_link_pagerank(spark, sf_dir):
             "src",
             ((F.col("src") * 31 + F.col("j") * 97 + 7) % n).alias("dst"),
         )
-        # deterministic thinning: the raw synth graph is 6-regular (pr
-        # would be near-uniform); dropping dst%7>=5 gives the degree
-        # variance a real web graph has, so ranks differentiate
         .filter(F.col("dst") % 7 < 5)
     )
+    return docs, edges, n
+
+
+def q_link_analysis(spark, sf_dir):
+    """Corpus-level link-graph centrality: fixed-iteration integer
+    PageRank + integer-L1 HITS hubs/authorities over the synthetic
+    outlink graph, as one long-format gate row (doc_id, metric, score).
+    Integer sums are order-independent, so BOTH iterative algorithms
+    replay bit-exact in unrolled SQL CTEs — impossible with float
+    centrality (summation-order noise)."""
+    from .operators.linkgraph import hits, pagerank
+
+    docs, edges, n = _link_edges(spark, sf_dir)
     pr = pagerank(
         edges, "src", "dst", nodes=docs, node_col="doc_id", iters=3, n_nodes=n
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.lit("pagerank").alias("metric"),
+        F.col("pr").alias("score"),
     )
-    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_e9"))
+    hs = hits(edges, "src", "dst", nodes=docs, node_col="doc_id", iters=3)
+    hub = hs.select(
+        F.col("node").alias("doc_id"),
+        F.lit("hub").alias("metric"),
+        F.col("hub").alias("score"),
+    )
+    auth = hs.select(
+        F.col("node").alias("doc_id"),
+        F.lit("authority").alias("metric"),
+        F.col("authority").alias("score"),
+    )
+    return pr.unionByName(hub).unionByName(auth)
 
 
 def _oracle_link_pagerank(iters: int = 3) -> str:
     scale, num, den = 10**9, 85, 100
     base = (den - num) * scale // den
     parts = [f"""
-WITH nn AS (SELECT count(*) AS N FROM documents),
-e AS (SELECT DISTINCT doc_id AS src,
+WITH nn AS MATERIALIZED (SELECT count(*) AS N FROM documents),
+e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
              (doc_id*31 + j*97 + 7) % (SELECT N FROM nn) AS dst
       FROM documents, unnest(generate_series(0, 5)) t(j)
       WHERE doc_id <> (doc_id*31 + j*97 + 7) % (SELECT N FROM nn)
         AND ((doc_id*31 + j*97 + 7) % (SELECT N FROM nn)) % 7 < 5),
-outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-p0 AS (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS pr FROM documents)"""]
+outd AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+p0 AS MATERIALIZED (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS pr FROM documents)"""]
     for k in range(1, iters + 1):
         parts.append(f""",
-c{k} AS (SELECT e.dst AS node, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
+c{k} AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
         FROM e JOIN p{k-1} p ON p.node = e.src JOIN outd o ON o.src = e.src
         GROUP BY e.dst),
-d{k} AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+d{k} AS MATERIALIZED (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
         FROM p{k-1} p LEFT JOIN outd o ON o.src = p.node
         WHERE o.src IS NULL),
-p{k} AS (SELECT p.node,
+p{k} AS MATERIALIZED (SELECT p.node,
                CAST({base} AS BIGINT)
                + {num} * (coalesce(c.insum, CAST(0 AS BIGINT))
                           + (SELECT dang FROM d{k}) // (SELECT N FROM nn))
@@ -1060,6 +1082,59 @@ p{k} AS (SELECT p.node,
         f"\nSELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_e9 FROM p{iters}"
     )
     return "".join(parts)
+
+
+def _oracle_link_hits(iters: int = 3) -> str:
+    """SQL replay of operators/linkgraph.py hits(): integer-L1 HITS.
+    Same unrolled-CTE trick as the PageRank oracle — integer sums are
+    order-independent so each renormalized half-step is bit-exact."""
+    scale = 10**7
+    parts = [f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS N FROM documents),
+e AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
+             (doc_id*31 + j*97 + 7) % (SELECT N FROM nn) AS dst
+      FROM documents, unnest(generate_series(0, 5)) t(j)
+      WHERE doc_id <> (doc_id*31 + j*97 + 7) % (SELECT N FROM nn)
+        AND ((doc_id*31 + j*97 + 7) % (SELECT N FROM nn)) % 7 < 5),
+s0 AS MATERIALIZED (SELECT doc_id AS node,
+              CAST({scale} // (SELECT N FROM nn) AS BIGINT) AS h,
+              CAST({scale} // (SELECT N FROM nn) AS BIGINT) AS a
+       FROM documents)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ra{k} AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(s.h) AS BIGINT) AS raw
+         FROM e JOIN s{k-1} s ON s.node = e.src GROUP BY e.dst),
+ta{k} AS MATERIALIZED (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS tot FROM ra{k}),
+sa{k} AS MATERIALIZED (SELECT s.node, s.h,
+                CAST(CASE WHEN (SELECT tot FROM ta{k}) > 0
+                     THEN coalesce(r.raw, CAST(0 AS BIGINT)) * {scale}
+                          // (SELECT tot FROM ta{k})
+                     ELSE s.a END AS BIGINT) AS a
+         FROM s{k-1} s LEFT JOIN ra{k} r ON r.node = s.node),
+rh{k} AS MATERIALIZED (SELECT e.src AS node, CAST(sum(s.a) AS BIGINT) AS raw
+         FROM e JOIN sa{k} s ON s.node = e.dst GROUP BY e.src),
+th{k} AS MATERIALIZED (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS tot FROM rh{k}),
+s{k} AS MATERIALIZED (SELECT s.node,
+               CAST(CASE WHEN (SELECT tot FROM th{k}) > 0
+                    THEN coalesce(r.raw, CAST(0 AS BIGINT)) * {scale}
+                         // (SELECT tot FROM th{k})
+                    ELSE s.h END AS BIGINT) AS h,
+               s.a
+        FROM sa{k} s LEFT JOIN rh{k} r ON r.node = s.node)""")
+    parts.append(f"""
+SELECT node AS doc_id, 'hub' AS metric, h AS score FROM s{iters}
+UNION ALL
+SELECT node AS doc_id, 'authority' AS metric, a AS score FROM s{iters}""")
+    return "".join(parts)
+
+
+def _oracle_link_analysis(iters: int = 3) -> str:
+    return f"""
+SELECT doc_id, 'pagerank' AS metric, CAST(pr_e9 AS BIGINT) AS score
+FROM ({_oracle_link_pagerank(iters)})
+UNION ALL
+SELECT doc_id, metric, score FROM ({_oracle_link_hits(iters)})
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1084,7 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_ann": q_sim_cosine_topk_ann,
-    "link_pagerank": q_link_pagerank,
+    "link_analysis": q_link_analysis,
 }
 
 # Checked by tests/test_catalog.py but kept OUT of the driver catalog so
@@ -1123,7 +1198,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "sim_cosine_topk_ann": _oracle_sim_cosine_topk_ann(),
-    "link_pagerank": _oracle_link_pagerank(),
+    "link_analysis": _oracle_link_analysis(),
 }
 
 

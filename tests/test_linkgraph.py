@@ -103,3 +103,88 @@ def test_pagerank_mass_conservation_bound(spark):
     )
     assert total <= n * SCALE
     assert total >= n * SCALE - n * 4 * (3 + 1)  # generous slack
+
+# ---------------------------------------------------------------------------
+# HITS (integer-L1 hubs/authorities)
+# ---------------------------------------------------------------------------
+
+from crawl4ai_spark.operators.linkgraph import hits  # noqa: E402
+
+HSCALE = 10**7
+
+
+def _ref_hits(nodes, edges, iters=3, scale=HSCALE):
+    """Driver-side reference with identical integer-L1 semantics."""
+    es = {(a, b) for a, b in edges if a != b}
+    n = len(nodes)
+    init = scale // max(n, 1)
+    h = {v: init for v in nodes}
+    a = {v: init for v in nodes}
+
+    def renorm(prev, by_src):
+        raw = {v: 0 for v in nodes}
+        for s, d in es:
+            if by_src:
+                raw[d] += prev[s]
+            else:
+                raw[s] += prev[d]
+        tot = sum(raw.values())
+        if tot <= 0:
+            return None
+        return {v: raw[v] * scale // tot for v in nodes}
+
+    for _ in range(iters):
+        na = renorm(h, by_src=True)
+        a = na if na is not None else a
+        nh = renorm(a, by_src=False)
+        h = nh if nh is not None else h
+    return h, a
+
+
+def test_hits_matches_reference(spark):
+    n = 100
+    edges = _lcg_graph(n, 260, seed=7)
+    nodes = list(range(n))
+    want_h, want_a = _ref_hits(nodes, edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in nodes], "id long")
+    rows = hits(e, nodes=nd, node_col="id").collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["authority"] for r in rows}
+    assert got_h == want_h
+    assert got_a == want_a
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    """A pure directory page (only out-links) must rank as hub not
+    authority; a pure target page the reverse."""
+    # node 0 links to 1..4; 5..8 all link to 9
+    edges = [(0, t) for t in range(1, 5)] + [(s, 9) for s in range(5, 9)]
+    nd = spark.createDataFrame([(v,) for v in range(10)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r for r in hits(e, nodes=nd, node_col="id").collect()}
+    assert rows[0]["hub"] > rows[0]["authority"]
+    assert rows[9]["authority"] > rows[9]["hub"]
+    best_hub = max(rows.values(), key=lambda r: (r["hub"], -r["node"]))
+    assert best_hub["node"] == 0
+
+
+def test_hits_partitioning_invariance(spark):
+    edges = _lcg_graph(70, 180, seed=13)
+    nd = spark.createDataFrame([(v,) for v in range(70)], "id long")
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = e1.repartition(11, "src")
+    k = lambda rows: {(r["node"]): (r["hub"], r["authority"]) for r in rows}
+    assert k(hits(e1, nodes=nd, node_col="id").collect()) == k(
+        hits(e2, nodes=nd, node_col="id").collect()
+    )
+
+
+def test_hits_empty_graph_keeps_init(spark):
+    """Zero edges: both raw sums are 0 every round -> values stay at
+    the initial scale//n split rather than dividing by zero."""
+    nd = spark.createDataFrame([(v,) for v in range(4)], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    rows = hits(e, nodes=nd, node_col="id").collect()
+    init = HSCALE // 4
+    assert all(r["hub"] == init and r["authority"] == init for r in rows)
