@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.entities import extract_entities
+from .functions.repetition import repetition_metrics
 from .functions.text import (
     STOPWORDS,
     doc_fingerprint_portable,
@@ -354,13 +355,56 @@ SELECT doc_id, CAST(len({_TOKENIZE_SQL}) AS INT) AS n_tokens FROM documents
 
 
 def q_text_quality(spark, sf_dir):
+    """Quality score + Gopher-style repetition metrics, one row/doc.
+
+    The repetition columns (functions/repetition.py) are pure array
+    expressions — no shuffle, scored row-local — so the whole quality
+    stage stays embarrassingly parallel at corpus scale."""
+    words = F.split(F.col("text"), " ")
+    reps = repetition_metrics(words, F.length("text"))
     return _docs(spark, sf_dir).select(
-        "doc_id", F.round(quality_score("text"), 6).alias("q_score")
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("q_score"),
+        *[c.alias(k) for k, c in reps.items()],
     )
 
 
 def _oracle_quality() -> str:
     sw_sum = " + ".join(_sw_hits_sql(lg) for lg in STOPWORDS)
+    gram_ctes, top_cols, dup_cols, joins = [], [], [], []
+    for n in (2, 3, 4):
+        gram_ctes.append(f""",
+g{n} AS MATERIALIZED (
+  SELECT doc_id, array_to_string(ws[(t.i+1):(t.i+{n})], ' ') AS gm
+  FROM w, unnest(generate_series(0, len(ws) - {n})) t(i)
+  WHERE len(ws) >= {n}),
+top{n} AS (
+  SELECT doc_id, c, gm FROM (
+    SELECT doc_id, gm, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, gm ASC) AS rn
+    FROM g{n} GROUP BY doc_id, gm) WHERE rn = 1)""")
+        top_cols.append(
+            f"CAST(CASE WHEN w.tc > 0 AND coalesce(top{n}.c, 0) > 0"
+            f" THEN least((1000000 * top{n}.c * length(top{n}.gm)) // w.tc,"
+            f" 1000000) ELSE 0 END AS BIGINT) AS top{n}gram_char_frac_e6"
+        )
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = w.doc_id")
+    for n in (5, 10):
+        gram_ctes.append(f""",
+gg{n} AS MATERIALIZED (
+  SELECT doc_id, array_to_string(ws[(t.i+1):(t.i+{n})], ' ') AS gm
+  FROM w, unnest(generate_series(0, len(ws) - {n})) t(i)
+  WHERE len(ws) >= {n}),
+d{n} AS (
+  SELECT doc_id, count(*) AS g, count(DISTINCT gm) AS gd
+  FROM gg{n} GROUP BY doc_id)""")
+        dup_cols.append(
+            f"CAST(CASE WHEN coalesce(d{n}.g, 0) > 0"
+            f" THEN (1000000 * (d{n}.g - d{n}.gd)) // d{n}.g"
+            f" ELSE 0 END AS BIGINT) AS dup{n}gram_frac_e6"
+        )
+        joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = w.doc_id")
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -375,8 +419,35 @@ parts AS (
          least((chars / chars) / 0.8, 1.0) AS als,
          CASE WHEN sw / n >= 0.05 THEN 1.0 ELSE (sw / n) / 0.05 END AS sws,
          1.0 AS cs
-  FROM base)
-SELECT doc_id, round((ls + wls + als + sws + cs) / 5.0, 6) AS q_score FROM parts
+  FROM base),
+w AS MATERIALIZED (
+  SELECT doc_id, {_TOKENIZE_SQL} AS ws, length(text) AS tc FROM documents),
+lines AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(ws[(t.i*10+1):(t.i*10+10)], ' ') AS line
+  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) t(i)
+  WHERE len(ws) > 0),
+ls AS (
+  SELECT doc_id, count(*) AS nl, count(DISTINCT line) AS nld,
+         CAST(sum(length(line)) AS BIGINT) AS totc
+  FROM lines GROUP BY doc_id),
+lsd AS (
+  SELECT doc_id, CAST(sum(length(line)) AS BIGINT) AS distc
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY doc_id){"".join(gram_ctes)}
+SELECT p.doc_id, round((ls_ + wls + als + sws + cs) / 5.0, 6) AS q_score,
+  CAST(CASE WHEN coalesce(ls.nl, 0) > 0
+       THEN (1000000 * (ls.nl - ls.nld)) // ls.nl ELSE 0 END AS BIGINT)
+    AS dup_line_frac_e6,
+  CAST(CASE WHEN coalesce(ls.totc, 0) > 0
+       THEN (1000000 * (ls.totc - lsd.distc)) // ls.totc ELSE 0 END AS BIGINT)
+    AS dup_line_char_frac_e6,
+  {", ".join(top_cols)},
+  {", ".join(dup_cols)}
+FROM (SELECT doc_id, ls AS ls_, wls, als, sws, cs FROM parts) p
+JOIN w ON w.doc_id = p.doc_id
+LEFT JOIN ls ON ls.doc_id = p.doc_id
+LEFT JOIN lsd ON lsd.doc_id = p.doc_id
+{" ".join(joins)}
 """
 
 

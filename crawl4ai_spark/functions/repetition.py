@@ -1,0 +1,153 @@
+"""Gopher/MassiveText-style repetition metrics as native Column exprs.
+
+The reference has word-count thresholds only
+(content_scraping_strategy.py:824-833 word_count_threshold); a
+training-data pipeline additionally filters on REPETITION — the
+Gopher paper's (Rae et al. 2021, §A1.1) duplicate-line /
+duplicate-paragraph / repeated-n-gram fractions are the standard
+signals for detecting boilerplate and degenerate (looping) text.
+
+This module computes them per document with pure array expressions:
+no explode, no shuffle — each row is scored independently inside
+whole-stage codegen, so the operator is embarrassingly parallel at
+100 TB (the ideal scale shape; cost is O(doc_len) per row except the
+top-n-gram scan, O(G·D) for G grams and D distinct grams — fine for
+web-page-sized documents; for book-length inputs prefer an
+explode+groupBy variant, one shuffle keyed by (doc_id, gram)).
+
+All outputs are integer micro-unit fractions (floor((1e6*num)/den)):
+integer arithmetic is engine- and partitioning-independent, which the
+DuckDB CORRECTNESS oracle relies on (float fractions flake at the
+last ulp across engines).
+
+Simplifications vs the paper, chosen for determinism and documented
+here: "lines" are fixed windows of `line_len` words (the corpus has
+no newlines; real HTML callers can pass pre-split lines instead);
+duplicate-n-gram fractions count duplicate OCCURRENCES over total
+occurrences rather than the paper's overlap-deduplicated character
+count; top-n-gram character fractions use the joined gram string's
+length (single-space separators) over total text length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Integer floor division for nonnegative longs without an expr
+    string: (a - a%b)/b is exactly divisible, so the double division
+    is exact below 2^53 and matches SQL's `div` / DuckDB's `//`."""
+    return ((a - a % b) / b).cast("long")
+
+
+def word_lines(words: Column, line_len: int = 10) -> Column:
+    """Fixed `line_len`-word windows as joined strings (last may be
+    shorter). Deterministic stand-in for newline-split lines."""
+    n = F.size(words)
+    nlines = F.ceil(n / F.lit(float(line_len))).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * line_len + 1, line_len), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Joined word n-grams ('a b c' for n=3); empty below n words."""
+    sz = F.size(words)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac_e6(arr: Column) -> Column:
+    """1e6 * (occurrences beyond first) / occurrences, floor int."""
+    n = F.size(arr).cast("long")
+    nd = F.size(F.array_distinct(arr)).cast("long")
+    return F.when(
+        n > 0, _idiv(F.lit(E6).cast("long") * (n - nd), n)
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _top_gram(g: Column) -> Column:
+    """(cnt, gm) of the most frequent element; ties -> smallest string.
+
+    The tie-break makes the result independent of array_distinct's
+    element order, which differs between engines.
+    """
+    zero = F.lit(0).cast("long")
+    cnts = F.transform(
+        F.array_distinct(g),
+        lambda x: F.struct(
+            F.size(F.filter(g, lambda y: y == x)).cast("long").alias("cnt"),
+            x.alias("gm"),
+        ),
+    )
+    return F.aggregate(
+        cnts,
+        F.struct(zero.alias("cnt"), F.lit("").alias("gm")),
+        lambda acc, x: F.when(
+            (x["cnt"] > acc["cnt"])
+            | ((x["cnt"] == acc["cnt"]) & (x["gm"] < acc["gm"])),
+            x,
+        ).otherwise(acc),
+    )
+
+
+def repetition_metrics(
+    words: Column,
+    total_chars: Column,
+    line_len: int = 10,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> dict[str, Column]:
+    """All repetition signals as a name -> integer Column mapping.
+
+    words: tokenized document (array<string>); total_chars: character
+    length of the original text (denominator of the top-n-gram
+    fractions, mirroring Gopher's fraction-of-characters framing).
+    """
+    out: dict[str, Column] = {}
+    lines = word_lines(words, line_len)
+    dl = F.array_distinct(lines)
+    out["dup_line_frac_e6"] = _dup_frac_e6(lines)
+
+    zero = F.lit(0).cast("long")
+    totc = F.aggregate(lines, zero, lambda a, x: a + F.length(x).cast("long"))
+    distc = F.aggregate(dl, zero, lambda a, x: a + F.length(x).cast("long"))
+    out["dup_line_char_frac_e6"] = F.when(
+        totc > 0, _idiv(F.lit(E6).cast("long") * (totc - distc), totc)
+    ).otherwise(zero)
+
+    tc = total_chars.cast("long")
+    for n in top_ns:
+        best = _top_gram(word_ngrams(words, n))
+        # overlapping occurrences can push cnt*len past the text length
+        # (e.g. 'w w w ...'); cap at 1e6 = "all characters repeated"
+        out[f"top{n}gram_char_frac_e6"] = F.when(
+            (tc > 0) & (best["cnt"] > 0),
+            F.least(
+                _idiv(
+                    F.lit(E6).cast("long") * best["cnt"]
+                    * F.length(best["gm"]).cast("long"),
+                    tc,
+                ),
+                F.lit(E6).cast("long"),
+            ),
+        ).otherwise(zero)
+
+    for n in dup_ns:
+        out[f"dup{n}gram_frac_e6"] = _dup_frac_e6(word_ngrams(words, n))
+    return out
