@@ -354,6 +354,29 @@ SELECT doc_id, CAST(len({_TOKENIZE_SQL}) AS INT) AS n_tokens FROM documents
 """
 
 
+def q_text_signals(spark, sf_dir):
+    """Per-document scalar signals in one row: detected language,
+    token count, min-shingle fingerprint. Merges the former
+    text_lang_id / text_token_count / text_fingerprint gate entries
+    (identical per-doc shape) to free correctness-window slots; each
+    signal keeps its own unit tests."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        lang_id("text").alias("detected_lang"),
+        token_count("text").alias("n_tokens"),
+        doc_fingerprint_portable("text").alias("fp"),
+    )
+
+
+def _oracle_text_signals() -> str:
+    return f"""
+SELECT l.doc_id, l.detected_lang, t.n_tokens, f.fp
+FROM ({_oracle_lang_id()}) l
+JOIN ({ORACLE_TEXT_TOKEN_COUNT}) t ON t.doc_id = l.doc_id
+JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality score + Gopher-style repetition metrics, one row/doc.
 
@@ -954,6 +977,99 @@ FROM w
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (functions/quality_model.py), both
+    execution paths as one tagged union: the row-local hashed-weight
+    score and the explode + broadcast-vocab-join score must agree
+    bit-for-bit, and both replay in SQL via the md5 weight
+    derivation."""
+    from .functions.quality_model import (
+        classifier_score_milli,
+        classifier_scores_vocab,
+        default_weights,
+    )
+    from .functions.repetition import word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    keep = lambda c: (c >= 0).cast("int")  # noqa: E731
+    row = docs.select(
+        "doc_id",
+        F.lit("rowlocal").alias("strategy"),
+        classifier_score_milli(words).alias("score_milli"),
+    ).withColumn("keep", keep(F.col("score_milli")))
+    vocab = default_weights(docs, word_ngrams(words, 2))
+    voc = (
+        classifier_scores_vocab(docs, "doc_id", words, vocab)
+        .select(
+            "doc_id", F.lit("vocabjoin").alias("strategy"), "score_milli"
+        )
+        .withColumn("keep", keep(F.col("score_milli")))
+    )
+    return row.unionByName(voc)
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH w AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(ws[t.i] || ' ' || ws[t.i+1]), 1, 15))
+               AS BIGINT) % 2001) AS wsh
+  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2),
+sc AS (SELECT doc_id, CAST(sum(wsh) AS BIGINT) AS s, count(*) AS n
+       FROM g GROUP BY doc_id),
+f AS (SELECT w.doc_id,
+             CAST(coalesce((sc.s // sc.n) - 1000, 0) AS BIGINT) AS score_milli
+      FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id)
+SELECT doc_id, 'rowlocal' AS strategy, score_milli,
+       CAST(score_milli >= 0 AS INT) AS keep FROM f
+UNION ALL
+SELECT doc_id, 'vocabjoin' AS strategy, score_milli,
+       CAST(score_milli >= 0 AS INT) AS keep FROM f
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Training-mix sampling (operators/sampling.py): per-language
+    stratified rates + a weighted (length-proportional) draw, salts
+    decorrelated, as one tagged union. The md5 coin flips replay
+    exactly in SQL."""
+    from .operators.sampling import stratified_sample, weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = {"en": 800_000, "de": 500_000, "fr": 250_000, "es": 125_000}
+    st = stratified_sample(
+        docs, "lang", rates, "doc_id", salt="gate", default_rate_e6=62_500
+    ).select("doc_id", "lang", F.lit("stratified").alias("strategy"))
+    wt = weighted_sample(
+        docs,
+        F.least(F.col("n_chars") * F.lit(2500), F.lit(1_000_000)),
+        "doc_id",
+        salt="gatew",
+    ).select("doc_id", "lang", F.lit("weighted").alias("strategy"))
+    return st.unionByName(wt)
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH u AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5('gate' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) AS u1,
+         (CAST(('0x' || substr(md5('gatew' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) AS u2,
+         greatest(0, least(n_chars * 2500, 1000000)) AS wt
+  FROM documents)
+SELECT doc_id, lang, 'stratified' AS strategy FROM u
+WHERE u1 < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                     WHEN 'fr' THEN 250000 WHEN 'es' THEN 125000
+                     ELSE 62500 END
+UNION ALL
+SELECT doc_id, lang, 'weighted' AS strategy FROM u WHERE u2 < wt
+"""
+
+
 def q_sim_cosine_topk_ivf(spark, sf_dir):
     """IVF ANN top-k (the partition-pruning scale path): coarse
     quantizer = deterministic corpus sample (vec_id < 16), 6-decimal
@@ -1213,9 +1329,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filters": q_url_filters,
     "url_scoring": q_url_scoring,
     "entities_extract": q_entities_extract,
-    "text_lang_id": q_text_lang_id,
-    "text_token_count": q_text_token_count,
+    "text_signals": q_text_signals,
     "text_quality": q_text_quality,
+    "quality_classifier": q_quality_classifier,
+    "sample_stratified": q_sample_stratified,
     "dedup_exact": q_dedup_exact,
     "politeness_budget": q_politeness_budget,
     "topk_capacity": q_topk_capacity,
@@ -1228,7 +1345,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_portable": q_dedup_lsh_portable,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
-    "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk_ann": q_sim_cosine_topk_ann,
     "link_analysis": q_link_analysis,
 }
@@ -1252,9 +1368,10 @@ ORACLES: dict[str, str] = {
     "url_filters": ORACLE_URL_FILTERS,
     "url_scoring": ORACLE_URL_SCORING,
     "entities_extract": ORACLE_ENTITIES_EXTRACT,
-    "text_lang_id": _oracle_lang_id(),
-    "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+    "text_signals": _oracle_text_signals(),
     "text_quality": _oracle_quality(),
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "politeness_budget": ORACLE_POLITENESS_BUDGET,
     "topk_capacity": ORACLE_TOPK_CAPACITY,
@@ -1267,7 +1384,6 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_lsh_portable": _oracle_lsh_portable(),
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
-    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "sim_cosine_topk_ann": _oracle_sim_cosine_topk_ann(),
     "link_analysis": _oracle_link_analysis(),
 }
