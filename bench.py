@@ -41,7 +41,7 @@ HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_CPUS", str(4 * LOW_CPUS))
 HEADLINE = [
     "url_core", "url_filters", "url_scoring",
     "entities_extract", "text_signals", "text_quality", "term_stats",
-    "quality_classifier", "sample_stratified",
+    "quality_classifier", "sample_stratified", "pack_sequences",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram", "dedup_components", "decontaminate", "sim_cosine_topk",
     "sim_cosine_topk_ann", "link_analysis",

@@ -354,25 +354,38 @@ SELECT doc_id, CAST(len({_TOKENIZE_SQL}) AS INT) AS n_tokens FROM documents
 """
 
 
+ORACLE_TEXT_BPE_COUNT_FWD = """
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS wd
+           FROM documents)
+SELECT doc_id, CAST(sum(ceil(length(wd) / 6.0)) AS BIGINT) AS n_bpe
+FROM w GROUP BY doc_id
+"""
+
+
 def q_text_signals(spark, sf_dir):
     """Per-document scalar signals in one row: detected language,
-    token count, min-shingle fingerprint. Merges the former
-    text_lang_id / text_token_count / text_fingerprint gate entries
-    (identical per-doc shape) to free correctness-window slots; each
-    signal keeps its own unit tests."""
+    token count, BPE-ish subword count, min-shingle fingerprint.
+    Merges the former text_lang_id / text_token_count /
+    text_fingerprint / text_bpe_count gate entries (identical per-doc
+    shape) to free correctness-window slots; each signal keeps its own
+    unit tests."""
+    from .functions.text import bpe_ish_token_count
+
     return _docs(spark, sf_dir).select(
         "doc_id",
         lang_id("text").alias("detected_lang"),
         token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
         doc_fingerprint_portable("text").alias("fp"),
     )
 
 
 def _oracle_text_signals() -> str:
     return f"""
-SELECT l.doc_id, l.detected_lang, t.n_tokens, f.fp
+SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, f.fp
 FROM ({_oracle_lang_id()}) l
 JOIN ({ORACLE_TEXT_TOKEN_COUNT}) t ON t.doc_id = l.doc_id
+JOIN ({ORACLE_TEXT_BPE_COUNT_FWD}) b ON b.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
 """
 
@@ -1070,6 +1083,55 @@ SELECT doc_id, lang, 'weighted' AS strategy FROM u WHERE u2 < wt
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concat-and-chunk
+    (two-phase distributed prefix sum, docs split at cuts) and
+    truncate-and-pad assignments over the documents corpus at
+    seq_len=512, as one tagged union. Pure integer arithmetic — the
+    exact (doc x sequence) assignment replays in SQL."""
+    from .functions.text import token_count
+    from .operators.packing import pack_concat_chunk, pack_truncate_pad
+
+    docs = _docs(spark, sf_dir)
+    n = token_count("text")
+    cc = pack_concat_chunk(
+        docs, "doc_id", n, seq_len=512, docs_per_bucket=64
+    ).withColumn("strategy", F.lit("concat_chunk"))
+    tp = pack_truncate_pad(docs, "doc_id", n, seq_len=512).withColumn(
+        "strategy", F.lit("truncate_pad")
+    )
+    return cc.unionByName(tp)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len({_TOKENIZE_SQL}) AS BIGINT) + 1 AS n FROM documents),
+g AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n AS BIGINT) AS g
+  FROM n),
+x AS (
+  SELECT doc_id, n, g,
+         unnest(generate_series(g // 512, (g + n - 1) // 512)) AS seq_id
+  FROM g)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(g, seq_id * 512) - g AS BIGINT) AS doc_offset,
+       CAST(greatest(g, seq_id * 512) - seq_id * 512 AS BIGINT)
+         AS seq_offset,
+       CAST(least(g + n, seq_id * 512 + 512) - greatest(g, seq_id * 512)
+            AS BIGINT) AS n_piece,
+       'concat_chunk' AS strategy
+FROM x
+UNION ALL
+SELECT doc_id, CAST(doc_id AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(least(n, 512) AS BIGINT), 'truncate_pad'
+FROM n
+"""
+
+
 def q_sim_cosine_topk_ivf(spark, sf_dir):
     """IVF ANN top-k (the partition-pruning scale path): coarse
     quantizer = deterministic corpus sample (vec_id < 16), 6-decimal
@@ -1333,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "quality_classifier": q_quality_classifier,
     "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "politeness_budget": q_politeness_budget,
     "topk_capacity": q_topk_capacity,
@@ -1372,6 +1435,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "politeness_budget": ORACLE_POLITENESS_BUDGET,
     "topk_capacity": ORACLE_TOPK_CAPACITY,
@@ -2961,27 +3025,11 @@ FROM documents
 """
 
 
-def q_text_bpe_count(spark, sf_dir):
-    from .functions.text import bpe_ish_token_count
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", bpe_ish_token_count("text").alias("n_bpe")
-    )
-
-
-ORACLE_TEXT_BPE_COUNT = """
-WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS wd
-           FROM documents)
-SELECT doc_id, CAST(sum(ceil(length(wd) / 6.0)) AS BIGINT) AS n_bpe
-FROM w GROUP BY doc_id
-"""
-
 QUERIES.update(
     {
         "cache_split": q_cache_split,
         "robots_decision": q_robots_decision,
         "filter_chain_stats": q_filter_chain_stats,
-        "text_bpe_count": q_text_bpe_count,
     }
 )
 ORACLES.update(
@@ -2989,7 +3037,6 @@ ORACLES.update(
         "cache_split": ORACLE_CACHE_SPLIT,
         "robots_decision": ORACLE_ROBOTS_DECISION,
         "filter_chain_stats": ORACLE_FILTER_CHAIN_STATS,
-        "text_bpe_count": ORACLE_TEXT_BPE_COUNT,
     }
 )
 
