@@ -42,6 +42,7 @@ HEADLINE = [
     "url_core", "url_filters", "url_scoring",
     "entities_extract", "text_signals", "text_quality", "term_stats",
     "quality_classifier", "sample_stratified", "pack_sequences",
+    "corpus_pipeline",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_ngram", "dedup_components", "decontaminate", "sim_cosine_topk",
     "sim_cosine_topk_ann", "link_analysis",

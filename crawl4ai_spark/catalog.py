@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.entities import extract_entities
-from .functions.repetition import repetition_metrics
+
 from .functions.text import (
     STOPWORDS,
     doc_fingerprint_portable,
@@ -62,8 +62,24 @@ from .operators.scorers import (
 from .operators.similarity import cosine, cosine_topk_lsh, dot, l2_norm
 
 
+def _spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+    """Spread a small single-file scan across the session's cores.
+
+    The test tables are one sub-row-group parquet file each, which
+    Spark reads as ONE partition — so every expression-heavy per-doc
+    query (quality, classifier, signals, chunkers) ran single-threaded
+    regardless of local[N]. A deterministic hash repartition on the id
+    column restores the parallelism a production table has natively
+    (at 100 TB the scan arrives in thousands of splits and this
+    repartition is the no-op AQE coalesces away; here it shuffles a
+    few hundred KiB once)."""
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark, "doc_id"
+    )
 
 
 _PAGES_CACHE: dict[str, DataFrame] = {}
@@ -90,7 +106,9 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark, "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,15 +411,22 @@ JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
 def q_text_quality(spark, sf_dir):
     """Quality score + Gopher-style repetition metrics, one row/doc.
 
-    The repetition columns (functions/repetition.py) are pure array
-    expressions — no shuffle, scored row-local — so the whole quality
-    stage stays embarrassingly parallel at corpus scale."""
-    words = F.split(F.col("text"), " ")
-    reps = repetition_metrics(words, F.length("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(quality_score("text"), 6).alias("q_score"),
-        *[c.alias(k) for k, c in reps.items()],
+    Repetition comes from the Arrow-batched struct kernel
+    (functions/repetition.py repetition_struct): still row-local and
+    shuffle-free, but O(G) hash counting instead of the pure-Column
+    form's O(G·D) nested array lambdas (44x at sf0.1; both forms are
+    parity-pinned in tests/test_repetition.py)."""
+    from .functions.repetition import _METRIC_FIELDS, repetition_struct
+
+    rep = repetition_struct(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(quality_score("text"), 6).alias("q_score"),
+            rep.alias("_r"),
+        )
+        .select("doc_id", "q_score", *[f"_r.{f}" for f in _METRIC_FIELDS])
     )
 
 
@@ -3078,3 +3103,33 @@ WHERE doc_id % 5 = 0
 
 QUERIES["tables_extract"] = q_tables_extract
 ORACLES["tables_extract"] = ORACLE_TABLES_EXTRACT
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline (pipeline.py) — benched + pytest-covered;
+# outside the 50-entry gate window (its stages are each gate-checked
+# individually: quality_classifier, dedup_*, decontaminate,
+# sample_stratified, pack_sequences)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """quality -> exact dedup -> MinHash near-dedup -> decontaminate ->
+    stratified sample -> pack, funnel as one aggregation; returns the
+    funnel row joined with the packing stats."""
+    from .pipeline import CorpusConfig, build_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    eval_docs = docs.filter(_d() % 97 == 13).select("text")
+    cfg = CorpusConfig(
+        quality_min_e6=200_000,
+        sample_rates_e6={"en": 900_000, "de": 800_000,
+                         "fr": 700_000, "es": 600_000},
+        seq_len=512,
+        docs_per_bucket=256,
+    )
+    out = build_corpus(docs, eval_docs, cfg)
+    return out["funnel"].crossJoin(out["pack_stats"])
+
+
+PYTEST_ONLY_QUERIES["corpus_pipeline"] = q_corpus_pipeline

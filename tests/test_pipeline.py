@@ -1,0 +1,134 @@
+"""End-to-end corpus pipeline (crawl4ai_spark/pipeline.py): funnel
+consistency vs per-stage recomputation, monotone gates, packing
+closure, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.quality_model import classifier_score_milli
+from crawl4ai_spark.functions.text import quality_score, token_count
+from crawl4ai_spark.operators.dedup import exact_dedup
+from crawl4ai_spark.pipeline import CorpusConfig, build_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CFG = CorpusConfig(
+    quality_min_e6=200_000,
+    classifier_min_milli=-900,
+    minhash_threshold=0.5,
+    sample_rates_e6={"en": 1_000_000, "de": 1_000_000,
+                     "fr": 600_000, "es": 600_000},
+    sample_default_e6=400_000,
+    seq_len=256,
+    docs_per_bucket=64,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("doc_id") < 200)
+    )
+    # 20 exact copies under new ids -> exact-dedup work to do
+    copies = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang"
+    )
+    return base.unionByName(copies).cache()
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    # 10 corpus docs verbatim in the eval set -> guaranteed contamination
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 20 == 5)
+        .filter(F.col("doc_id") < 200)
+        .select("text")
+    )
+
+
+@pytest.fixture(scope="module")
+def result(docs, eval_docs):
+    out = build_corpus(docs, eval_docs, CFG)
+    out["flags"] = out["flags"].cache()
+    return out
+
+
+def test_funnel_is_monotone_and_consistent(result, docs):
+    f = result["funnel"].collect()[0]
+    assert f.input_docs == docs.count()
+    assert (
+        f.input_docs >= f.q_keep >= f.exact_keep >= f.near_keep
+        >= f.clean >= f.sampled > 0
+    )
+    # quality gate recomputed independently
+    q = docs.filter(
+        (quality_score("text") * 1_000_000 >= CFG.quality_min_e6)
+        & (
+            classifier_score_milli(F.split(F.col("text"), " "))
+            >= CFG.classifier_min_milli
+        )
+    )
+    assert f.q_keep == q.count()
+    # exact gate matches the standalone operator on quality survivors
+    assert f.exact_keep == exact_dedup(q, "text", "doc_id").count()
+
+
+def test_exact_copies_deduped(result):
+    flags = result["flags"]
+    # of each (orig, orig+10000) exact pair where both pass quality,
+    # only the smaller id survives exact dedup
+    dup_survivors = flags.filter(
+        (F.col("doc_id") >= 10_000) & F.col("exact_keep")
+    ).count()
+    orig_pass = result["flags"].filter(
+        (F.col("doc_id") < 20) & F.col("q_keep")
+    ).count()
+    assert orig_pass > 0
+    assert dup_survivors == 20 - orig_pass  # copy survives only if its
+    # original failed the quality gate (then the copy is canonical)
+
+
+def test_contaminated_docs_never_sampled(result, eval_docs):
+    flags = result["flags"]
+    eval_ids = [
+        r.doc_id
+        for r in flags.join(
+            eval_docs.withColumnRenamed("text", "et"),
+            flags.text == F.col("et"),
+        ).collect()
+    ]
+    assert eval_ids  # the planted overlap is visible
+    dirty_sampled = flags.filter(
+        F.col("doc_id").isin(eval_ids) & F.col("sampled")
+    ).count()
+    assert dirty_sampled == 0
+
+
+def test_corpus_equals_sampled_flags(result):
+    flags_n = result["flags"].filter(F.col("sampled")).count()
+    assert result["corpus"].count() == flags_n
+
+
+def test_packing_covers_exactly_the_corpus(result):
+    st = result["pack_stats"].collect()[0]
+    expect = (
+        result["corpus"]
+        .agg(F.sum(token_count("text") + 1).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert st.tokens_placed == expect
+    assert st.n_seqs == (expect + CFG.seq_len - 1) // CFG.seq_len
+
+
+def test_deterministic_rerun(result, docs, eval_docs):
+    again = build_corpus(docs, eval_docs, CFG)
+    assert result["funnel"].collect() == again["funnel"].collect()
+    a = sorted(tuple(r) for r in result["assignment"].collect())
+    b = sorted(tuple(r) for r in again["assignment"].collect())
+    assert a == b

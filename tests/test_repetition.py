@@ -130,3 +130,43 @@ def test_top_gram_tiebreak_is_order_independent(spark):
     v = df.select(m["top2gram_char_frac_e6"].alias("v")).first()["v"]
     # count 1, len('a d')=3, tc=7 -> 1e6*3//7
     assert v == E6 * 3 // 7
+
+
+def test_arrow_struct_matches_expression_form(spark):
+    """The production Arrow kernel (repetition_struct) is bit-identical
+    to the pure-Column form on the pinned texts AND a corpus slice."""
+    from crawl4ai_spark.functions.repetition import (
+        _METRIC_FIELDS,
+        repetition_struct,
+    )
+
+    texts = TEXTS + [
+        r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .limit(100)
+        .collect()
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expr = repetition_metrics(F.split(F.col("text"), " "), F.length("text"))
+    a = df.select(
+        "doc_id", *[c.alias(k) for k, c in expr.items()]
+    ).orderBy("doc_id").collect()
+    b = (
+        df.select("doc_id", repetition_struct("text").alias("_r"))
+        .select("doc_id", *[f"_r.{f}" for f in _METRIC_FIELDS])
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_python_kernel_matches_reference(spark):
+    from crawl4ai_spark.functions.repetition import repetition_metrics_py
+
+    for t in TEXTS:
+        assert repetition_metrics_py(t) == _ref_metrics(t)
+    assert set(repetition_metrics_py(None).values()) == {0}
