@@ -68,18 +68,30 @@ def _compile_rule(rule: str) -> tuple[str, str | None, int]:
     return (norm, None, len(rule))
 
 
-def parse_robots_txt(text: str) -> dict:
-    """Parse one robots.txt body for the ``*`` user-agent group.
+def _robots_groups(text: str) -> list[tuple[list[str], dict]]:
+    """All user-agent groups of a robots.txt body, file order.
 
-    Line-oriented parse: User-agent / Disallow / Allow / Crawl-delay.
-    Rules under any ``User-agent: *`` group apply; other groups are
-    skipped (single-agent engine).
+    Consecutive ``User-agent`` lines before any rule share one group
+    (RFC 9309 §2.1); a ``User-agent`` line after rules starts a new
+    group. Returns [(agent_tokens_lowercased, {disallow, allow,
+    crawl_delay})].
     """
-    disallow: list[str] = []
-    allow: list[str] = []
-    crawl_delay = None
-    active = False
-    seen_agent_line = False
+    groups: list[tuple[list[str], dict]] = []
+    cur_tokens: list[str] = []
+    cur: dict = {"disallow": [], "allow": [], "crawl_delay": None}
+
+    def has_rules() -> bool:
+        return bool(
+            cur["disallow"] or cur["allow"] or cur["crawl_delay"] is not None
+        )
+
+    def close() -> None:
+        nonlocal cur_tokens, cur
+        if cur_tokens:
+            groups.append((cur_tokens, cur))
+        cur_tokens = []
+        cur = {"disallow": [], "allow": [], "crawl_delay": None}
+
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -88,32 +100,83 @@ def parse_robots_txt(text: str) -> dict:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            if seen_agent_line and (disallow or allow or crawl_delay is not None):
-                # a new group after rules: previous group closed
-                active = False
-            if val == "*":
-                active = True
-            seen_agent_line = True
-        elif key == "disallow" and active:
+            if has_rules():
+                close()
+            cur_tokens.append(val.lower())
+        elif key == "disallow" and cur_tokens:
             if val:
-                disallow.append(val)
-        elif key == "allow" and active:
+                cur["disallow"].append(val)
+        elif key == "allow" and cur_tokens:
             if val:
-                allow.append(val)
-        elif key == "crawl-delay" and active:
+                cur["allow"].append(val)
+        elif key == "crawl-delay" and cur_tokens:
             try:
-                crawl_delay = float(val)
+                cur["crawl_delay"] = float(val)
             except ValueError:
                 pass
+    close()
+    return groups
+
+
+def _product_token(ua: str) -> str:
+    """Crawler product token from a UA string: the part before the
+    first '/', lowercased — the same reduction urllib's robotparser
+    applies to can_fetch's useragent (and therefore the reference,
+    utils.py:252-365)."""
+    return (ua or "*").split("/")[0].strip().lower()
+
+
+def parse_robots_txt(text: str, ua: str = "*") -> dict:
+    """Parse one robots.txt body for the group governing crawler `ua`.
+
+    Group selection (RFC 9309 §2.2.1): the most specific matching
+    user-agent token wins — exact token match first, else the LONGEST
+    token that is a substring of the product token (the
+    urllib-compatibility tier: the reference's robotparser matches
+    ``agent in useragent``), else the ``*`` groups. All groups carrying
+    the winning token merge (RFC: rules of identical tokens combine).
+    Divergence from the reference, documented: urllib picks the FIRST
+    applicable group in file order, which lets ``*`` shadow a later
+    specific group; RFC specificity never does.
+    """
+    groups = _robots_groups(text)
+    token = _product_token(ua)
+    exact = [g for t, g in groups if token in t]
+    if exact:
+        chosen = exact
+    else:
+        sub_lens = [
+            max((len(t) for t in ts if t != "*" and t and t in token),
+                default=0)
+            for ts, _ in groups
+        ]
+        best = max(sub_lens, default=0)
+        if best > 0:
+            chosen = [g for (ts, g), ln in zip(groups, sub_lens) if ln == best]
+        else:
+            chosen = [g for t, g in groups if "*" in t]
+    disallow: list[str] = []
+    allow: list[str] = []
+    crawl_delay = None
+    for g in chosen:
+        disallow.extend(g["disallow"])
+        allow.extend(g["allow"])
+        if g["crawl_delay"] is not None:
+            crawl_delay = g["crawl_delay"]
     return {"disallow": disallow, "allow": allow, "crawl_delay": crawl_delay}
 
 
-def rules_table(spark: SparkSession, robots_bodies: dict[str, str]) -> DataFrame:
+def rules_table(
+    spark: SparkSession, robots_bodies: dict[str, str], ua: str = "*"
+) -> DataFrame:
     """Build the robots_rules dimension from {host: robots.txt text};
-    rule paths are compiled driver-side (see :func:`_compile_rule`)."""
+    rule paths are compiled driver-side (see :func:`_compile_rule`).
+    `ua` selects the per-crawler user-agent group (RFC 9309) — the
+    table is per-crawler, exactly like the reference's
+    ``can_fetch(url, ua)`` consultations."""
     rows = []
     for h, body in sorted(robots_bodies.items()):
-        r = parse_robots_txt(body)
+        r = parse_robots_txt(body, ua)
         rows.append(
             (
                 h,
