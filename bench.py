@@ -12,9 +12,13 @@ Three sections:
 3. scaling evidence (north rule) — the same crawl job at local[8] vs
    local[$SPARK_GRAFT_CPUS] on identical input; efficiency =
    (throughput_hi / throughput_lo) / (cpus_hi / cpus_lo).
+4. submit_scaling — the same pair, but each point is a separate
+   `spark-submit --master local[N] --py-files crawl4ai_spark.zip`
+   process (submit_scaling.py): the north rule's deployment shape.
 
 Env knobs: SPARK_GRAFT_BENCH_QUERIES (comma subset),
-SPARK_GRAFT_BENCH_SKIP_SCALING=1, SPARK_GRAFT_BENCH_SKIP_QUERIES=1.
+SPARK_GRAFT_BENCH_SKIP_SCALING=1, SPARK_GRAFT_BENCH_SKIP_QUERIES=1,
+SPARK_GRAFT_BENCH_SKIP_SUBMIT=1, SPARK_GRAFT_BENCH_SUBMIT_TRIALS.
 """
 
 from __future__ import annotations
@@ -92,10 +96,10 @@ def bench_seen_bloom(spark) -> dict:
     seconds plus shuffle-Exchange counts of each final plan. At this
     size the exact join survives locally only because AQE broadcasts
     the pruned 32 MB hash column (impossible at 10^10 hashes, where it
-    becomes a full seen-side shuffle); the bloom path stays a tiny
-    broadcast + shard-pruned map-side probe at ANY seen size — and is
-    already ~1.4x faster here. Exactness parity is pinned by
-    tests/test_seen_bloom.py."""
+    becomes a full seen-side shuffle); the bloom and cuckoo sidecar
+    paths stay a tiny broadcast + shard-pruned map-side probe at ANY
+    seen size — and are already ~1.4x faster here. Exactness parity is
+    pinned by tests/test_seen_bloom.py and tests/test_cuckoo.py."""
     import shutil as _sh
 
     from pyspark.sql import functions as F
@@ -119,8 +123,10 @@ def bench_seen_bloom(spark) -> dict:
             F.concat(F.lit("https://h/u"), F.col("id")).alias("url"),
         ).cache()
         cands.count()
-        for mode, flag in (("exact", False), ("bloom", True)):
-            sf = SeenFilter(spark, f"{wd}/{mode}", n_shards=32, use_bloom=flag)
+        for mode, kind in (
+            ("exact", None), ("bloom", "bloom"), ("cuckoo", "cuckoo"),
+        ):
+            sf = SeenFilter(spark, f"{wd}/{mode}", n_shards=32, filter_kind=kind)
             for r in range(4):  # 4 delta rounds, like a real crawl tail
                 sf.add(base.filter(F.pmod("url_hash", F.lit(4)) == r), r)
             sf.anti_join(cands).count()  # warm (bloom cache / code paths)
@@ -284,6 +290,28 @@ def main() -> None:
             "efficiency": round(ratio / (HIGH_CPUS / LOW_CPUS), 3),
         }
 
+    # north-rule deployment shape: the same scaling pair, but each point
+    # launched as a separate `spark-submit --py-files crawl4ai_spark.zip`
+    # process (submit_scaling.py) with per-partition throughput logged by
+    # the job itself — evidence that the package runs as a shipped
+    # artifact, not an importable checkout
+    submit = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SUBMIT") != "1":
+        try:
+            import submit_scaling as _ss
+
+            submit = _ss.measure(
+                low=LOW_CPUS,
+                high=HIGH_CPUS,
+                trials=int(
+                    os.environ.get("SPARK_GRAFT_BENCH_SUBMIT_TRIALS", "2")
+                ),
+                sf_dir=SF_DIR,
+                replicate=16,
+            )
+        except Exception as e:  # evidence section must never sink the bench
+            submit = {"error": str(e)[:500]}
+
     result = {
         "metric": "extract_urls_per_sec",
         "value": hi["urls_per_sec"],
@@ -294,6 +322,7 @@ def main() -> None:
         "crawl": crawl,
         "extract": hi,
         "scaling": scaling,
+        "submit_scaling": submit,
         "seen_bloom": seen_bloom,
     }
     print(json.dumps(result))
