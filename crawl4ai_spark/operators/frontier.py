@@ -88,6 +88,10 @@ class CrawlConfig:
     # steady state of a long crawl; at toy scale the exact join alone
     # is faster, so default off.
     seen_bloom: bool = False
+    # explicit sidecar codec: "bloom" | "cuckoo" | None (None + seen_bloom
+    # → "bloom"). "cuckoo" is the north_star's partitioned cuckoo-filter
+    # seen set (operators/cuckoo.py) — same topology, deletable filter.
+    seen_filter_kind: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -103,6 +107,7 @@ class CrawlConfig:
             "batch_size": self.batch_size,
             "cache_mode": self.cache_mode,
             "seen_bloom": self.seen_bloom,
+            "seen_filter_kind": self.seen_filter_kind,
             "priority_aging": self.priority_aging,
         }
 
@@ -202,6 +207,7 @@ class CrawlRun:
         self.seen = SeenFilter(
             spark, workdir, self.config.n_shards,
             use_bloom=self.config.seen_bloom,
+            filter_kind=self.config.seen_filter_kind,
         )
         self.politeness = PolitenessState(spark, workdir)
         os.makedirs(workdir, exist_ok=True)
@@ -269,6 +275,7 @@ class CrawlRun:
         for partial_delta in (
             os.path.join(self.workdir, "url_seen", f"round={r + 1}"),
             os.path.join(self.workdir, "url_seen_blooms", f"round={r + 1}"),
+            os.path.join(self.workdir, "url_seen_cuckoo", f"round={r + 1}"),
         ):
             if os.path.exists(partial_delta):
                 shutil.rmtree(partial_delta)
@@ -541,10 +548,10 @@ class CrawlRun:
             .drop("_rn")
         )
 
-        if cfg.seen_bloom:
-            # the bloom prefilter splits `deduped` twice (definite-new /
-            # maybe-seen) and collects the maybe-side shard list; persist
-            # so the link-discovery plan runs once
+        if self.seen.use_bloom:
+            # the sidecar prefilter splits `deduped` twice (definite-new
+            # / maybe-seen) and collects the maybe-side shard list;
+            # persist so the link-discovery plan runs once
             deduped = deduped.persist()
         fresh = self.seen.anti_join(deduped)
 
@@ -579,7 +586,7 @@ class CrawlRun:
         )
         self.seen.add(self.seen.anti_join(frontier_next), r + 1)
         budgeted.unpersist(blocking=False)
-        if cfg.seen_bloom:
+        if self.seen.use_bloom:
             deduped.unpersist(blocking=False)
 
         # politeness fold

@@ -15,8 +15,11 @@ Spark design for a 10^10-URL frontier:
 - the per-round membership test is ONE co-partitioned left-anti join on
   url_hash: candidate links are repartitioned by the same shard
   function, so each task joins against exactly one shard.
-- **bloom fast path** (``use_bloom=True``): each round's delta also
-  writes a per-shard bloom-bitset sidecar (``url_seen_blooms/round=N``).
+- **probabilistic fast path** (``filter_kind="bloom" | "cuckoo"``):
+  each round's delta also writes a per-shard filter sidecar
+  (``url_seen_blooms/round=N`` or ``url_seen_cuckoo/round=N``). The
+  cuckoo codec (operators/cuckoo.py) is the north_star's named
+  structure — same topology, plus O(1) delete for retired URLs.
   ``anti_join`` then tests every candidate against the OR of its
   shard's blooms in one Arrow-batched numpy kernel; candidates the
   bloom rejects are *definitely* unseen (no false negatives) and skip
@@ -83,16 +86,45 @@ def _bloom_test_any(hashes: np.ndarray,
     return out
 
 
+def _cuckoo_build_row(hashes: np.ndarray) -> tuple[int, int, bytes]:
+    from . import cuckoo
+
+    m, table = cuckoo.build(hashes)
+    return m, cuckoo.SLOTS, table.tobytes()
+
+
+def _cuckoo_test_any(hashes: np.ndarray, filters: list) -> np.ndarray:
+    from . import cuckoo
+
+    return cuckoo.test_any(hashes, filters)
+
+
+# sidecar codecs: build(hashes) -> (m, k, bytes); test(hashes, rows) ->
+# maybe-mask; per-kind sidecar directory. "bloom" = 16 bits/key k=7
+# double-hashed bitset; "cuckoo" = the north_star's partitioned cuckoo
+# filter (operators/cuckoo.py — Fan et al. 2014; supports delete).
+SIDE_CODECS = {
+    "bloom": (_bloom_build, _bloom_test_any, "url_seen_blooms"),
+    "cuckoo": (_cuckoo_build_row, _cuckoo_test_any, "url_seen_cuckoo"),
+}
+
+
 class SeenFilter:
     """Parquet-backed sharded seen set with per-round append deltas."""
 
     def __init__(self, spark: SparkSession, workdir: str, n_shards: int = 32,
-                 use_bloom: bool = False):
+                 use_bloom: bool = False, filter_kind: str | None = None):
+        if filter_kind is None and use_bloom:
+            filter_kind = "bloom"
+        if filter_kind is not None and filter_kind not in SIDE_CODECS:
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.spark = spark
         self.path = os.path.join(workdir, "url_seen")
-        self.bloom_path = os.path.join(workdir, "url_seen_blooms")
+        self.filter_kind = filter_kind
+        _, _, side_dir = SIDE_CODECS[filter_kind or "bloom"]
+        self.bloom_path = os.path.join(workdir, side_dir)
         self.n_shards = n_shards
-        self.use_bloom = use_bloom
+        self.use_bloom = filter_kind is not None
         # per-round bloom cache + its broadcast: only NEW delta rounds
         # are read from disk, and the broadcast is rebuilt only when the
         # round set changes (production: executors hold the blooms and

@@ -77,9 +77,11 @@ def test_crawl_with_bloom_matches_without(spark, sf_dir, tmp_path):
 
     cols = ["url", "round", "depth", "success", "n_links"]
     runs = {}
-    for name, flag in (("off", False), ("on", True)):
+    for name, kind in (("off", None), ("on", "bloom"), ("cuckoo", "cuckoo")):
         wd = str(tmp_path / name)
-        cfg = CrawlConfig(max_depth=2, round_seconds=8.0, seen_bloom=flag)
+        cfg = CrawlConfig(
+            max_depth=2, round_seconds=8.0, seen_filter_kind=kind
+        )
         ms = run_crawl(spark, pages, seeds, wd, cfg, max_rounds=3)
         from crawl4ai_spark.operators.frontier import CrawlRun
 
@@ -91,4 +93,4 @@ def test_crawl_with_bloom_matches_without(spark, sf_dir, tmp_path):
             ],
             sorted(map(tuple, res.select(*cols).collect())),
         )
-    assert runs["on"] == runs["off"]
+    assert runs["on"] == runs["off"] == runs["cuckoo"]
