@@ -1,0 +1,130 @@
+"""Physical-plan audits: pin the scale-critical plan shapes with tests.
+
+Every claim of the form "this join broadcasts", "this window never
+funnels the corpus through one task", "this scan pushes filters down"
+is asserted against the EXECUTED plan string — so a refactor that
+silently regresses the 100 TB shape (a broadcast becoming a shuffle
+join, a pushed filter lost behind a UDF barrier) fails CI, not the
+cluster.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _final_plan(df) -> str:
+    """Executed (post-AQE) plan string; runs the plan via a count."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}x"),
+                    (F.col("id") * (j + 3) % 97).cast("string"),
+                )
+                for j in range(30)
+            ],
+        ).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_decontamination_broadcasts_eval_shingles(spark, docs):
+    from crawl4ai_spark.operators.decontam import contamination_check
+
+    ev = docs.filter(F.col("doc_id") < 5).select("text")
+    out = contamination_check(docs, ev, ngram=5)
+    plan = _final_plan(out)
+    # the corpus ⋈ eval-shingle join must be broadcast (BuildRight on
+    # the eval side), never a shuffle join keyed on the corpus shingles
+    # (the tiny eval side may legitimately hash-exchange for its own
+    # distinct INSIDE the broadcast subtree)
+    assert "BroadcastHashJoin [_k" in plan
+    assert "SortMergeJoin [_k" not in plan and "ShuffledHashJoin [_k" not in plan
+
+
+def test_global_offsets_single_partition_window_is_bounded(spark):
+    from crawl4ai_spark.operators.packing import global_offsets
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tok")
+    )
+    out = global_offsets(df, "doc_id", "n_tok", docs_per_bucket=512)
+    plan = _final_plan(out)
+    # corpus-wide window runs hash-partitioned by bucket...
+    assert "hashpartitioning(_bk" in plan
+    # ...and at most one SinglePartition exchange exists — the
+    # num_buckets-row totals table, never the corpus
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the per-bucket bases come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quality_vocab_join_broadcasts_weights(spark, docs):
+    from crawl4ai_spark.functions.quality_model import (
+        classifier_scores_vocab,
+        default_weights,
+    )
+
+    words = F.split(F.col("text"), " ")
+    weights = default_weights(docs.limit(50), F.split(F.col("text"), " "))
+    out = classifier_scores_vocab(docs, "doc_id", words, weights)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # no shuffle keyed on the gram string (the explosion stays map-side)
+    assert plan.count("Exchange hashpartitioning(gram") == 0
+
+
+def test_cosine_topk_avoids_global_sort(spark):
+    from crawl4ai_spark.operators.similarity import cosine_topk
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            *[(F.col("id") * (j + 1) % 101 + 1).cast("double") for j in range(8)]
+        ).alias("embedding"),
+    )
+    out = cosine_topk(emb, "embedding", [1.0] * 8, k=5, id_cols=["doc_id"])
+    plan = _final_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort + Exchange rangepartitioning would be the wrong shape
+    assert "rangepartitioning" not in plan
+
+
+def test_documents_scan_pushdown_and_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: the scan reads only the projected columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_robots_join_broadcasts_rules(spark):
+    from crawl4ai_spark.operators.robots import rules_table, with_robots_decision
+
+    frontier = spark.range(500).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7,
+                 F.lit(".example.com/p"), F.col("id")).alias("url"),
+        F.concat(F.lit("h"), F.col("id") % 7, F.lit(".example.com")).alias("host"),
+    )
+    robots = rules_table(
+        spark,
+        {f"h{i}.example.com": "User-agent: *\nDisallow: /private\n"
+         for i in range(7)},
+    )
+    out = with_robots_decision(frontier, robots)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(host" not in plan
