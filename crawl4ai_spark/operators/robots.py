@@ -163,7 +163,22 @@ def parse_robots_txt(text: str, ua: str = "*") -> dict:
         allow.extend(g["allow"])
         if g["crawl_delay"] is not None:
             crawl_delay = g["crawl_delay"]
-    return {"disallow": disallow, "allow": allow, "crawl_delay": crawl_delay}
+    # Sitemap lines are group-independent (sitemaps.org protocol; RFC
+    # 9309 §2.2.4 treats them as "other records" with global scope) —
+    # collected from the whole file, mirroring urllib's site_maps() and
+    # the reference seeder's robots fallback
+    # (async_url_seeder.py:807-818: startswith("sitemap:") on any line)
+    sitemaps = [
+        line.split(":", 1)[1].strip()
+        for line in text.splitlines()
+        if line.lower().lstrip().startswith("sitemap:") and ":" in line
+    ]
+    return {
+        "disallow": disallow,
+        "allow": allow,
+        "crawl_delay": crawl_delay,
+        "sitemaps": sitemaps,
+    }
 
 
 def rules_table(

@@ -82,6 +82,17 @@ def sitemap_locs(xml: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(r"(?s)<loc>\s*(.*?)\s*</loc>"), F.lit(1))
 
 
+def robots_sitemap_locs(body: Column | str) -> Column:
+    """``Sitemap:`` URLs declared in a robots.txt body (any group —
+    sitemaps.org protocol scope is the whole file). Mirrors the
+    reference seeder's robots fallback parse
+    (async_url_seeder.py:807-818)."""
+    c = F.col(body) if isinstance(body, str) else body
+    return F.regexp_extract_all(
+        c, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)
+    )
+
+
 def expand_sitemaps(
     spark: SparkSession,
     sitemaps: DataFrame,
@@ -129,6 +140,7 @@ def seed_urls(
     *,
     sitemaps: DataFrame | None = None,
     sitemap_roots: list[str] | None = None,
+    robots_bodies: DataFrame | None = None,
     cc_index: DataFrame | None = None,
     domain: str | None = None,
     pattern: str = "*",
@@ -144,10 +156,31 @@ def seed_urls(
 
     Returns (url, relevance_score). With no query, every URL scores 0.0
     and ordering falls back to url asc (deterministic).
+
+    ``robots_bodies`` (host, body) adds the reference's robots.txt
+    fallback (async_url_seeder.py:768, 807-826): for hosts with NO
+    explicit sitemap root (= no successful direct probe), ``Sitemap:``
+    lines declared in robots.txt become additional recursion roots.
     """
+    roots = list(sitemap_roots or [])
+    if robots_bodies is not None and sitemaps is not None:
+        from urllib.parse import urlparse
+
+        probed = {urlparse(r).hostname for r in roots}
+        discovered = (
+            robots_bodies.select(
+                F.col("host"),
+                F.explode(robots_sitemap_locs(F.col("body"))).alias("loc"),
+            )
+            .filter(~F.col("host").isin(list(probed)) if probed else F.lit(True))
+            .select("loc")
+            .distinct()
+            .collect()  # tiny per-host dimension, like the root list itself
+        )
+        roots += sorted(r["loc"] for r in discovered)
     parts = []
     if sitemaps is not None:
-        parts.append(expand_sitemaps(spark, sitemaps, sitemap_roots or []))
+        parts.append(expand_sitemaps(spark, sitemaps, roots))
     if cc_index is not None:
         cc = cc_index.select("url")
         if domain:

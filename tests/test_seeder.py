@@ -85,3 +85,58 @@ def test_seed_domain_scoping(spark, sf_dir):
     rows = out.collect()
     assert rows
     assert all("//h4.example.com/" in r["url"] for r in rows)
+
+
+def test_robots_declared_sitemaps_fallback(spark):
+    """Reference parity (async_url_seeder.py:768, 807-826): hosts whose
+    direct sitemap probe produced no root fall back to the Sitemap:
+    lines of their robots.txt; probed hosts ignore their robots lines."""
+    from crawl4ai_spark.sources.seeder import robots_sitemap_locs
+
+    dim = spark.createDataFrame(
+        [
+            ("https://a.com/sitemap.xml",
+             "<urlset><loc>https://a.com/page1</loc><loc>https://a.com/page2</loc></urlset>"),
+            ("https://a.com/decoy.xml",
+             "<urlset><loc>https://a.com/DECOY</loc></urlset>"),
+            ("https://b.com/deep/sm.xml",
+             "<urlset><loc>https://b.com/page1</loc><loc>https://b.com/page2</loc></urlset>"),
+        ],
+        "sitemap_url string, xml string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\nSitemap: https://a.com/decoy.xml\n"),
+            ("b.com", "User-agent: *\n  sitemap:\thttps://b.com/deep/sm.xml\n"),
+        ],
+        "host string, body string",
+    )
+    out = seed_urls(
+        spark,
+        sitemaps=dim,
+        sitemap_roots=["https://a.com/sitemap.xml"],
+        robots_bodies=robots,
+    )
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {
+        "https://a.com/page1", "https://a.com/page2",
+        "https://b.com/page1", "https://b.com/page2",
+    }
+
+    # column function: case-insensitive, group-independent, multi-line
+    locs = spark.range(1).select(
+        robots_sitemap_locs(
+            F.lit("SiteMap: https://x/s1.xml\nUser-agent: g\nsitemap: https://x/s2.xml")
+        ).alias("l")
+    ).collect()[0]["l"]
+    assert locs == ["https://x/s1.xml", "https://x/s2.xml"]
+
+    # parser surface: sitemaps ride along parse_robots_txt globally
+    from crawl4ai_spark.operators.robots import parse_robots_txt
+
+    parsed = parse_robots_txt(
+        "User-agent: a\nDisallow: /\nSitemap: https://h/s.xml\n"
+        "User-agent: b\nSitemap: https://h/t.xml\n",
+        ua="b",
+    )
+    assert parsed["sitemaps"] == ["https://h/s.xml", "https://h/t.xml"]
