@@ -1,0 +1,288 @@
+"""WARC source/sink: read Common-Crawl-style archives into the pages
+table; write crawl results back out as standards-shaped archives.
+
+The engine's input_hint table is "Common-Crawl-style web pages" — and
+Common Crawl ships as WARC (ISO 28500: WARC/1.x records, usually one
+gzip member per record so archives stay seekable/splittable by member).
+This module implements the format from the public spec with stdlib
+gzip/zlib only:
+
+- :func:`iter_warc_records` — pure-Python record iterator over raw or
+  (multi-member) gzip bytes; tolerant of LF-only headers and truncated
+  tails (a real crawl archive's failure mode — bad records are skipped,
+  not fatal, mirroring how the scrape stage degrades on bad markup).
+- :func:`read_warc` — the distributed reader: ``binaryFile`` scan (one
+  ~1 GB .warc.gz per task, the standard CC processing grain; at 100 TB
+  that is ~100k files = ~100k tasks, embarrassingly parallel, zero
+  shuffle) exploded into records via one Arrow-batched mapInPandas.
+- :func:`warc_pages` — response records filtered to HTML, projected to
+  the input_hint pages shape (url, warc_ts, html) ready for the scrape/
+  quality/dedup pipeline.
+- :func:`build_warc` / :func:`write_warc` — the sink: per-partition
+  archive files (one gzip member per record), so crawl results are
+  interchange-ready; round-trips through the reader byte-identically.
+
+No reference counterpart (crawl4ai fetches live pages); this is part of
+the training-data-pipeline surface the rebuild adds.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "url string, warc_ts timestamp, warc_type string, record_id string, "
+    "http_status int, content_type string, payload binary, source_file string"
+)
+
+
+# ---------------------------------------------------------------------------
+# byte-level format
+# ---------------------------------------------------------------------------
+
+def _gunzip_members(data: bytes):
+    """Yield the decompressed bytes of each gzip member (CC writes one
+    record per member). Truncated final members yield what they have."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error:
+            return
+        yield out
+        if not d.unused_data:
+            return
+        pos = n - len(d.unused_data)
+
+
+def _parse_header_block(block: bytes) -> dict:
+    headers: dict = {}
+    for line in block.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+def _iter_records_plain(data: bytes):
+    """Records out of one uncompressed WARC stream."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        sep = 4
+        if hdr_end < 0:
+            hdr_end = data.find(b"\n\n", start)
+            sep = 2
+        if hdr_end < 0:
+            return
+        headers = _parse_header_block(data[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + sep  # unparseable record: resync on next WARC/
+            continue
+        body_start = hdr_end + sep
+        body = data[body_start : body_start + length]
+        if len(body) < length:  # truncated tail
+            return
+        yield headers, body
+        pos = body_start + length
+
+
+def iter_warc_records(data: bytes):
+    """Yield (warc_headers: dict, payload: bytes) from raw or gzip WARC
+    bytes. Gzip archives may hold one record per member (the CC layout)
+    or several; both iterate correctly."""
+    if data[:2] == b"\x1f\x8b":
+        for member in _gunzip_members(data):
+            yield from _iter_records_plain(member)
+    else:
+        yield from _iter_records_plain(data)
+
+
+def _split_http_payload(payload: bytes) -> tuple[int | None, str, bytes]:
+    """(status, content_type, body) from an application/http payload."""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        cut = payload.find(sep)
+        if cut >= 0:
+            head, body = payload[:cut], payload[cut + len(sep):]
+            break
+    else:
+        return None, "", payload
+    lines = head.split(b"\n")
+    status = None
+    first = lines[0].rstrip(b"\r")
+    if first.startswith(b"HTTP/"):
+        parts = first.split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    ctype = _parse_header_block(head).get("content-type", "")
+    return status, ctype, body
+
+
+def _parse_warc_date(s: str):
+    try:
+        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Serialize records (url, warc_ts: datetime, warc_type, payload:
+    bytes, optional http_status/content_type for response records) into
+    WARC bytes — one gzip member per record in the CC layout."""
+    out = io.BytesIO()
+    for i, r in enumerate(records):
+        wtype = r.get("warc_type", "response")
+        ts = r.get("warc_ts")
+        if ts is None:
+            date = "1970-01-01T00:00:00Z"
+        else:
+            # Arrow hands session-UTC timestamps to workers tz-naive
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc)
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        payload = r.get("payload", b"")
+        if wtype == "response" and not payload.startswith(b"HTTP/"):
+            status = int(r.get("http_status", 200))
+            ctype = r.get("content_type", "text/html")
+            payload = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1") + payload
+        rid = r.get("record_id") or f"<urn:uuid:{i:032x}>"
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: {rid}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {r.get('url', '')}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1")
+        rec = head + payload + b"\r\n\r\n"
+        out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# distributed reader / writer
+# ---------------------------------------------------------------------------
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All WARC records under ``path`` (glob), one row per record.
+
+    Plan: binaryFile scan → one mapInPandas explode. Each task handles
+    whole archive files (CC's ~1 GB grain) — no shuffle; downstream
+    repartitioning is the consumer's choice.
+    """
+    import pandas as pd
+
+    def explode(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "url", "warc_ts", "warc_type", "record_id", "http_status",
+                "content_type", "payload", "source_file",
+            )}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(bytes(content)):
+                    wtype = headers.get("warc-type", "")
+                    status, ctype, body = (None, "", payload)
+                    if headers.get("content-type", "").startswith(
+                        "application/http"
+                    ):
+                        status, ctype, body = _split_http_payload(payload)
+                    rows["url"].append(headers.get("warc-target-uri"))
+                    rows["warc_ts"].append(
+                        _parse_warc_date(headers.get("warc-date", ""))
+                    )
+                    rows["warc_type"].append(wtype)
+                    rows["record_id"].append(headers.get("warc-record-id"))
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["payload"].append(body)
+                    rows["source_file"].append(path_)
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(explode, WARC_SCHEMA)
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Input-hint pages projection: successful HTML response records →
+    (url, warc_ts, html binary). Feed straight into scrape/dedup."""
+    rec = read_warc(spark, path)
+    return (
+        rec.filter(
+            (F.col("warc_type") == "response")
+            & F.col("url").isNotNull()
+            & (F.col("http_status") == 200)
+            & F.col("content_type").contains("text/html")
+        )
+        .select("url", "warc_ts", F.col("payload").alias("html"))
+    )
+
+
+def write_warc(df: DataFrame, out_dir: str, prefix: str = "part") -> int:
+    """Write (url, warc_ts, html|payload, [http_status, content_type])
+    rows as per-partition ``.warc.gz`` files (one gzip member per
+    record — the CC layout). Returns the number of files written.
+
+    Files are written executor-side, one per non-empty partition — the
+    same pattern as a parquet write; on a cluster ``out_dir`` is shared
+    storage.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    body_col = "payload" if "payload" in cols else "html"
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        recs: list[dict] = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs.append(
+                    {
+                        "url": row["url"],
+                        "warc_ts": row["warc_ts"],
+                        "payload": bytes(row[body_col]),
+                        "http_status": int(row["http_status"])
+                        if "http_status" in cols
+                        else 200,
+                        "content_type": row["content_type"]
+                        if "content_type" in cols
+                        else "text/html",
+                    }
+                )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            fname = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz")
+            with open(fname, "wb") as f:
+                f.write(build_warc(recs))
+            yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
+
+    manifest = df.mapInPandas(dump, "file string, n_records long")
+    return manifest.count()

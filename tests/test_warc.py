@@ -1,0 +1,120 @@
+"""WARC source/sink: spec-level byte handling + distributed round-trip."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.sources.warc import (
+    build_warc,
+    iter_warc_records,
+    read_warc,
+    warc_pages,
+    write_warc,
+)
+
+TS = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+
+
+def _recs(n=3, host="a.com"):
+    return [
+        {
+            "url": f"https://{host}/page{i}",
+            "warc_ts": TS,
+            "payload": f"<html><body>doc {i}</body></html>".encode(),
+            "http_status": 200,
+            "content_type": "text/html; charset=utf-8",
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_gzip_members():
+    raw = build_warc(_recs(3))
+    got = list(iter_warc_records(raw))
+    assert len(got) == 3
+    for i, (hdr, payload) in enumerate(got):
+        assert hdr["warc-target-uri"] == f"https://a.com/page{i}"
+        assert hdr["warc-type"] == "response"
+        assert hdr["warc-date"] == "2026-01-02T03:04:05Z"
+        assert payload.startswith(b"HTTP/1.1 200 OK")
+        assert f"doc {i}".encode() in payload
+
+
+def test_roundtrip_plain_and_multi_record_member():
+    plain = build_warc(_recs(2), gzip_members=False)
+    assert plain.startswith(b"WARC/1.0")
+    assert len(list(iter_warc_records(plain))) == 2
+    # several records inside ONE gzip member still iterate
+    assert len(list(iter_warc_records(gzip.compress(plain)))) == 2
+
+
+def test_truncated_and_garbage_tolerance():
+    raw = build_warc(_recs(2), gzip_members=False)
+    # truncate inside the second record's payload: first record survives
+    cut = raw.find(b"page1")
+    assert len(list(iter_warc_records(raw[: cut + 40]))) >= 1
+    # leading garbage before the first WARC/ magic is skipped
+    assert len(list(iter_warc_records(b"garbage\r\n" + raw))) == 2
+    # unparseable content-length record is skipped, next record found
+    bad = raw.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    assert len(list(iter_warc_records(bad))) == 1
+
+
+def test_distributed_read_and_pages_projection(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(build_warc(_recs(4, host="a.com")))
+    nonhtml = [
+        {"url": "https://b.com/style.css", "warc_ts": TS,
+         "payload": b"body{}", "http_status": 200, "content_type": "text/css"},
+        {"url": "https://b.com/gone", "warc_ts": TS,
+         "payload": b"<html>404</html>", "http_status": 404,
+         "content_type": "text/html"},
+    ]
+    (d / "b.warc.gz").write_bytes(build_warc(_recs(2, host="b.com") + nonhtml))
+
+    rec = read_warc(spark, str(d))
+    assert rec.count() == 8
+    assert set(rec.select("source_file").distinct().toPandas()["source_file"].apply(
+        lambda p: p.rsplit("/", 1)[-1])) == {"a.warc.gz", "b.warc.gz"}
+
+    pages = warc_pages(spark, str(d)).orderBy("url")
+    rows = pages.collect()
+    # css + 404 filtered; 4 + 2 html-200 rows remain, input_hint shape
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html"]
+    assert len(rows) == 6
+    assert rows[0]["url"] == "https://a.com/page0"
+    assert bytes(rows[0]["html"]) == b"<html><body>doc 0</body></html>"
+    assert rows[0]["warc_ts"] == TS.replace(tzinfo=None)
+
+
+def test_write_then_read_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/page{i}", TS,
+          bytearray(f"<html>{i}</html>".encode()))
+         for i in range(20)],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    n_files = write_warc(src, out)
+    assert 1 <= n_files <= 4
+
+    back = warc_pages(spark, out)
+    got = {
+        (r["url"], bytes(r["html"])) for r in back.collect()
+    }
+    want = {
+        (f"https://h{i % 3}.com/page{i}", f"<html>{i}</html>".encode())
+        for i in range(20)
+    }
+    assert got == want
+    # scrape stage consumes the round-tripped table directly
+    from crawl4ai_spark.functions.scrape import scrape_stage
+
+    scraped = scrape_stage(
+        back.withColumn("html", F.decode("html", "utf-8")), "html", "url"
+    )
+    assert scraped.filter(F.col("success")).count() == 20
