@@ -149,7 +149,17 @@ def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     """Serialize records (url, warc_ts: datetime, warc_type, payload:
     bytes, optional http_status/content_type for response records) into
     WARC bytes — one gzip member per record in the CC layout."""
+    return build_warc_indexed(records, gzip_members)[0]
+
+
+def build_warc_indexed(
+    records: list[dict], gzip_members: bool = True
+) -> tuple[bytes, list[dict]]:
+    """build_warc plus the capture index: per record the (offset,
+    length) of its gzip member inside the archive — the fields a CDXJ
+    line needs for ranged fetches."""
     out = io.BytesIO()
+    index: list[dict] = []
     for i, r in enumerate(records):
         wtype = r.get("warc_type", "response")
         ts = r.get("warc_ts")
@@ -179,8 +189,19 @@ def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("latin-1")
         rec = head + payload + b"\r\n\r\n"
-        out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
-    return out.getvalue()
+        blob = gzip.compress(rec, mtime=0) if gzip_members else rec
+        index.append(
+            {
+                "url": r.get("url", ""),
+                "warc_ts": r.get("warc_ts"),
+                "status": r.get("http_status", 200),
+                "mime": r.get("content_type", "text/html").split(";")[0],
+                "offset": out.tell(),
+                "length": len(blob),
+            }
+        )
+        out.write(blob)
+    return out.getvalue(), index
 
 
 # ---------------------------------------------------------------------------
@@ -241,14 +262,20 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_warc(df: DataFrame, out_dir: str, prefix: str = "part") -> int:
+def write_warc(
+    df: DataFrame, out_dir: str, prefix: str = "part",
+    cdx_sidecar: bool = False,
+) -> int:
     """Write (url, warc_ts, html|payload, [http_status, content_type])
     rows as per-partition ``.warc.gz`` files (one gzip member per
     record — the CC layout). Returns the number of files written.
 
     Files are written executor-side, one per non-empty partition — the
     same pattern as a parquet write; on a cluster ``out_dir`` is shared
-    storage.
+    storage. With ``cdx_sidecar`` each archive also gets a
+    ``.cdxj`` index shard carrying (filename, offset, length) per
+    capture, making the output directly servable to
+    :func:`fetch_warc_ranges` / :mod:`.cdx`.
     """
     import os
 
@@ -279,10 +306,77 @@ def write_warc(df: DataFrame, out_dir: str, prefix: str = "part") -> int:
                 )
         if recs:
             pid = TaskContext.get().partitionId()
-            fname = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz")
+            base = f"{prefix}-{pid:05d}.warc.gz"
+            fname = os.path.join(out_dir, base)
+            blob, index = build_warc_indexed(recs)
             with open(fname, "wb") as f:
-                f.write(build_warc(recs))
+                f.write(blob)
+            if cdx_sidecar:
+                from .cdx import build_cdxj
+
+                for r in index:
+                    r["filename"] = base
+                with open(fname[: -len(".warc.gz")] + ".cdxj", "w") as f:
+                    f.write(build_cdxj(index))
             yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
 
     manifest = df.mapInPandas(dump, "file string, n_records long")
     return manifest.count()
+
+
+def fetch_warc_ranges(
+    captures: DataFrame, base_dir: str, n_tasks: int | None = None
+) -> DataFrame:
+    """Ranged fetch: resolve CDX capture pointers (filename, offset,
+    length) to page bodies without scanning whole archives.
+
+    This is the access pattern CC-scale storage serves (HTTP Range
+    requests against the archive objects): captures are co-located by
+    archive file and ordered by offset, so each task streams forward
+    through one region of one file. Input columns: url, filename,
+    offset, length (``cdx.read_cdxj`` / ``cdx_cc_index`` shape).
+    Returns (url, warc_ts, html).
+    """
+    import os
+
+    import pandas as pd
+
+    spark = captures.sparkSession
+    n = n_tasks or spark.sparkContext.defaultParallelism
+
+    def fetch(batches):
+        handle = {"name": None, "fp": None}
+
+        def read_range(fname: str, offset: int, length: int) -> bytes:
+            if handle["name"] != fname:
+                if handle["fp"] is not None:
+                    handle["fp"].close()
+                handle["fp"] = open(os.path.join(base_dir, fname), "rb")
+                handle["name"] = fname
+            handle["fp"].seek(offset)
+            return handle["fp"].read(length)
+
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": []}
+            for _, row in pdf.iterrows():
+                blob = read_range(
+                    row["filename"], int(row["offset"]), int(row["length"])
+                )
+                for headers, payload in iter_warc_records(blob):
+                    _status, _ctype, body = _split_http_payload(payload)
+                    rows["url"].append(headers.get("warc-target-uri"))
+                    rows["warc_ts"].append(
+                        _parse_warc_date(headers.get("warc-date", ""))
+                    )
+                    rows["html"].append(body)
+                    break  # one capture per pointer
+            yield pd.DataFrame(rows)
+        if handle["fp"] is not None:
+            handle["fp"].close()
+
+    return (
+        captures.select("url", "filename", "offset", "length")
+        .repartition(n, "filename")
+        .sortWithinPartitions("filename", "offset")
+        .mapInPandas(fetch, "url string, warc_ts timestamp, html binary")
+    )

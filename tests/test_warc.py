@@ -118,3 +118,38 @@ def test_write_then_read_roundtrip(spark, tmp_path):
         back.withColumn("html", F.decode("html", "utf-8")), "html", "url"
     )
     assert scraped.filter(F.col("success")).count() == 20
+
+
+def test_cdx_sidecar_and_ranged_fetch(spark, tmp_path):
+    """write_warc(cdx_sidecar=True) output is self-indexing: the CDXJ
+    shards drive fetch_warc_ranges straight to the member bytes."""
+    from crawl4ai_spark.sources.cdx import read_cdxj
+    from crawl4ai_spark.sources.warc import fetch_warc_ranges
+
+    src = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/page{i}", TS,
+          bytearray(f"<html>range {i}</html>".encode()))
+         for i in range(30)],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(3)
+    out = str(tmp_path / "arch")
+    write_warc(src, out, cdx_sidecar=True)
+
+    idx = read_cdxj(spark, out + "/*.cdxj")
+    assert idx.count() == 30
+    assert idx.filter("offset is null or length is null").count() == 0
+
+    # fetch only a subset via pointers — no full-archive scan semantics
+    some = idx.filter(F.col("url").endswith("1") | F.col("url").endswith("7"))
+    got = {
+        (r["url"], bytes(r["html"])) for r in
+        fetch_warc_ranges(some, out).collect()
+    }
+    want = {
+        (f"https://h{i % 3}.com/page{i}", f"<html>range {i}</html>".encode())
+        for i in range(30) if str(i).endswith(("1", "7"))
+    }
+    assert got == want
+    # timestamps survive the pointer round-trip
+    ts = fetch_warc_ranges(some, out).select("warc_ts").distinct().collect()
+    assert [r["warc_ts"] for r in ts] == [TS.replace(tzinfo=None)]
