@@ -153,3 +153,33 @@ def test_cdx_sidecar_and_ranged_fetch(spark, tmp_path):
     # timestamps survive the pointer round-trip
     ts = fetch_warc_ranges(some, out).select("warc_ts").distinct().collect()
     assert [r["warc_ts"] for r in ts] == [TS.replace(tzinfo=None)]
+
+
+def test_crawl_over_warc_archive_matches_parquet_pages(spark, sf_dir, tmp_path):
+    """End-to-end cohesion: archive the synthetic corpus as WARC, read
+    it back with warc_pages, and run the SAME 2-round crawl over both
+    the original pages table and the archive — identical results."""
+    import tempfile
+
+    from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun, run_crawl
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    arch = str(tmp_path / "corpus_warc")
+    write_warc(pages.select("url", "warc_ts", "html"), arch)
+    pages_back = warc_pages(spark, arch)
+
+    seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(3).collect()]
+    cols = ["url", "round", "depth", "success", "n_links"]
+    runs = {}
+    for name, tbl in (("parquet", pages), ("warc", pages_back)):
+        wd = str(tmp_path / name)
+        cfg = CrawlConfig(max_depth=2, round_seconds=1e6)
+        ms = run_crawl(spark, tbl, seeds, wd, cfg, max_rounds=2)
+        res = CrawlRun(spark, tbl, wd, cfg).results()
+        runs[name] = (
+            [{k: v for k, v in m.items() if k not in ("wall_s", "config")} for m in ms],
+            sorted(map(tuple, res.select(*cols).collect())),
+        )
+    assert runs["warc"] == runs["parquet"]
+    assert runs["warc"][0][-1]["fetched_ok"] > 0
