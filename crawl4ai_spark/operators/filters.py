@@ -253,6 +253,69 @@ def seo_url_quality_score(url: Column | str) -> Column:
     return score
 
 
+def is_crawler_trap(
+    url: Column | str,
+    *,
+    max_depth: int = 12,
+    max_params: int = 10,
+    max_param_repeats: int = 3,
+    max_date_segments: int = 2,
+    max_url_len: int = 2048,
+) -> Column:
+    """Spider-trap heuristics as one pure Column predicate.
+
+    No reference counterpart (its FilterChain matches user globs only)
+    — at frontier scale infinite URL spaces are a top-3 crawl killer,
+    so the classic trap signals run as admission filters:
+
+    - adjacent repeated path segments (``/a/a/a`` — self-linking dirs),
+    - pathological path depth (> ``max_depth`` segments),
+    - query-parameter explosion (> ``max_params`` params) or the same
+      parameter repeated (> ``max_param_repeats`` — session loops),
+    - calendar traps: more than ``max_date_segments`` 4-digit-year
+      segments in one path (``/2026/01/2025/12/...`` infinite archive
+      walks),
+    - absurd URL length (> ``max_url_len``).
+
+    True = trap. Cheap (JVM-only), so run it before the seen anti-join.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda p: p != "")
+    n = F.size(segs)
+
+    # zip_with pads the shorter array with null -> coalesce each pair
+    # comparison, else `exists` goes three-valued and returns null
+    repeated_seg = F.exists(
+        F.zip_with(segs, F.slice(segs, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.coalesce(a == b, F.lit(False))),
+        lambda x: x,
+    )
+    too_deep = n > max_depth
+
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    too_many_params = F.size(params) > max_params
+    names = F.transform(params, lambda p: F.split(p, "=")[0])
+    repeated_param = F.exists(
+        names,
+        lambda nm: F.size(F.filter(names, lambda o: o == nm))
+        > max_param_repeats,
+    )
+
+    date_segs = F.size(F.filter(segs, lambda s: s.rlike("^(19|20)\\d{2}$")))
+    calendar = date_segs > max_date_segments
+
+    return (
+        repeated_seg
+        | too_deep
+        | too_many_params
+        | repeated_param
+        | calendar
+        | (F.length(c) > max_url_len)
+    )
+
+
 # ---------------------------------------------------------------------------
 # FilterChain — reference filters.py:69-116
 # ---------------------------------------------------------------------------

@@ -92,6 +92,17 @@ class CrawlConfig:
     # → "bloom"). "cuckoo" is the north_star's partitioned cuckoo-filter
     # seen set (operators/cuckoo.py) — same topology, deletable filter.
     seen_filter_kind: str | None = None
+    # spider-trap admission filter (filters.is_crawler_trap): drop
+    # repeated-segment / calendar-walk / param-explosion URLs before
+    # they reach the seen anti-join. Off by default (reference parity:
+    # its FilterChain only applies user-supplied globs).
+    trap_filter: bool = False
+    # per-host admission quota: each round a host contributes at most
+    # this many NEW frontier URLs (anti-flood — one link-farm host
+    # cannot drown the frontier). Selection = per-host top-k by
+    # (priority desc, url), computed with the same salted two-phase
+    # window as the politeness budgets (no hot-host task funnel).
+    max_urls_per_host: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -109,7 +120,38 @@ class CrawlConfig:
             "seen_bloom": self.seen_bloom,
             "seen_filter_kind": self.seen_filter_kind,
             "priority_aging": self.priority_aging,
+            "trap_filter": self.trap_filter,
+            "max_urls_per_host": self.max_urls_per_host,
         }
+
+
+def _per_host_topk(
+    df: DataFrame, k: int, salt: int, host_col: str = "host"
+) -> DataFrame:
+    """Top-``k`` rows per host by (priority desc, url) — two-phase.
+
+    Phase 1 ranks inside each of ``salt`` hash slices of a host's rows
+    and keeps ≤ k per slice (any global top-k row is top-k in its own
+    slice, so no survivor is lost); phase 2 ranks the ≤ salt×k
+    survivors exactly. No task ever holds a hot host's full row set —
+    the same skew shape as politeness.select_within_budget.
+    """
+    from pyspark.sql import Window
+
+    order = (F.desc("priority"), F.asc("url"))
+    salt_expr = F.pmod(F.xxhash64("url"), F.lit(salt))
+    w_partial = Window.partitionBy(F.col(host_col), salt_expr).orderBy(*order)
+    pre = (
+        df.withColumn("_qrn", F.row_number().over(w_partial))
+        .filter(F.col("_qrn") <= k)
+        .drop("_qrn")
+    )
+    w_exact = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pre.withColumn("_qrn", F.row_number().over(w_exact))
+        .filter(F.col("_qrn") <= k)
+        .drop("_qrn")
+    )
 
 
 def _parquet_rows(path: str) -> int:
@@ -519,6 +561,10 @@ class CrawlRun:
             F.col("parent_hash").alias("parent_url_hash"),
             child_key.alias("dfs_key"),
         ).filter(F.col("url").isNotNull() & (F.col("depth") <= cfg.max_depth))
+        if cfg.trap_filter:
+            from .filters import is_crawler_trap
+
+            scored = scored.filter(~is_crawler_trap(F.col("url")))
         if cfg.keywords:
             scored = scored.withColumn(
                 "priority", keyword_relevance_score("url", list(cfg.keywords))
@@ -554,6 +600,11 @@ class CrawlRun:
             # persist so the link-discovery plan runs once
             deduped = deduped.persist()
         fresh = self.seen.anti_join(deduped)
+
+        # per-host admission quota (anti-flood): at most k new URLs per
+        # host per round, salted two-phase top-k (no hot-host funnel)
+        if cfg.max_urls_per_host is not None:
+            fresh = _per_host_topk(fresh, cfg.max_urls_per_host, cfg.salt)
 
         # capacity cap (T2): remaining global page budget, measured
         # against every URL ever admitted (= the seen set, tracked via

@@ -82,6 +82,62 @@ def sitemap_locs(xml: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(r"(?s)<loc>\s*(.*?)\s*</loc>"), F.lit(1))
 
 
+def sitemap_entries(xml: Column | str) -> Column:
+    """Full sitemap-protocol <url> entries as an array of structs
+    (loc, lastmod, changefreq, priority) — sitemaps.org §XML format.
+
+    ``sitemap_locs`` keeps the loc-only fast path; this variant feeds
+    freshness-aware seeding: lastmod/changefreq are exactly the priors
+    the recrawl scheduler (operators/recrawl.py) consumes. All JVM
+    regex — no Python.
+    """
+    c = F.col(xml) if isinstance(xml, str) else xml
+    blocks = F.regexp_extract_all(
+        c, F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
+    )
+
+    def field(b: Column, tag: str) -> Column:
+        v = F.regexp_extract(
+            b, f"(?s)<{tag}>\\s*(.*?)\\s*</{tag}>", 1
+        )
+        return F.when(v == "", F.lit(None)).otherwise(v)
+
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            field(b, "loc").alias("loc"),
+            F.try_to_timestamp(
+                F.substring(field(b, "lastmod"), 1, 10), F.lit("yyyy-MM-dd")
+            ).alias("lastmod"),
+            field(b, "changefreq").alias("changefreq"),
+            field(b, "priority").cast("double").alias("priority"),
+        ),
+    )
+
+
+# changefreq -> prior change intensity (changes/day) for the recrawl
+# scheduler's cold-start (sitemaps.org vocabulary; "always" ~ hourly+)
+CHANGEFREQ_LAMBDA_PER_DAY = {
+    "always": 24.0,
+    "hourly": 24.0,
+    "daily": 1.0,
+    "weekly": 1.0 / 7.0,
+    "monthly": 1.0 / 30.0,
+    "yearly": 1.0 / 365.0,
+    "never": 1.0 / 3650.0,
+}
+
+
+def changefreq_lambda(changefreq: Column | str) -> Column:
+    """Map a sitemap changefreq string to a prior lambda (changes/day);
+    unknown/missing values take the monthly default."""
+    c = F.col(changefreq) if isinstance(changefreq, str) else changefreq
+    expr = F.lit(CHANGEFREQ_LAMBDA_PER_DAY["monthly"])
+    for name, lam in CHANGEFREQ_LAMBDA_PER_DAY.items():
+        expr = F.when(F.lower(c) == name, F.lit(lam)).otherwise(expr)
+    return expr
+
+
 def robots_sitemap_locs(body: Column | str) -> Column:
     """``Sitemap:`` URLs declared in a robots.txt body (any group —
     sitemaps.org protocol scope is the whole file). Mirrors the

@@ -175,3 +175,29 @@ def test_seo_url_quality(spark):
     got = _eval(spark, list(cases), seo_url_quality_score)
     for url, expected in cases.items():
         assert abs(got[url] - expected) < 1e-9, url
+
+
+def test_crawler_trap_detection(spark):
+    from crawl4ai_spark.operators.filters import is_crawler_trap
+
+    cases = [
+        # (url, is_trap)
+        ("https://a.com/blog/post.html", False),
+        ("https://a.com/a/b/c/d/e/f.html", False),
+        ("https://a.com/cal/cal/cal/page", True),            # repeated segs
+        ("https://a.com/x/" + "/".join("abcdefghijklm"), True),  # depth 14
+        ("https://a.com/p?" + "&".join(f"k{i}=v" for i in range(12)), True),
+        ("https://a.com/p?a=1&b=2&c=3", False),
+        ("https://a.com/p?s=1&s=2&s=3&s=4", True),           # param loop
+        ("https://a.com/2026/01/15/post", False),            # one date ok
+        ("https://a.com/2026/01/2025/12/2024/11/x", True),   # calendar walk
+        ("https://a.com/q?x=" + "y" * 2100, True),           # absurd length
+        ("https://a.com/archive/2026/page", False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["trap"]
+        for r in df.select("url", is_crawler_trap("url").alias("trap")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, u

@@ -521,3 +521,79 @@ def test_crawl_invariant_to_salt_and_partitions(spark, corpus, tmp_path):
     b = run_with(16, 32, "salt16")
     assert a[0] == b[0]
     assert a[1] == b[1]
+
+
+def _mini_pages(spark, rows):
+    """pages table from (url, [link_urls]) tuples."""
+    from datetime import datetime, timezone
+
+    data = [
+        (
+            url,
+            datetime(2026, 1, 1, tzinfo=timezone.utc),
+            ("<html><head><title>t</title></head><body>"
+             + "".join(f'<a href="{l}">x</a>' for l in links)
+             + "</body></html>").encode(),
+            "body", "en",
+        )
+        for url, links in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_trap_filter_blocks_trap_links(spark, tmp_path):
+    seed = "https://t.com/start.html"
+    trap = "https://t.com/a/a/a/loop.html"
+    good = "https://t.com/next.html"
+    pages = _mini_pages(spark, [(seed, [trap, good]), (good, []), (trap, [])])
+
+    admitted = {}
+    for name, flag in (("off", False), ("on", True)):
+        wd = str(tmp_path / name)
+        cfg = CrawlConfig(max_depth=2, round_seconds=1e6, trap_filter=flag)
+        run_crawl(spark, pages, [seed], wd, cfg, max_rounds=2)
+        res = CrawlRun(spark, pages, wd, cfg).results()
+        admitted[name] = {r["url"] for r in res.select("url").collect()}
+    assert trap in admitted["off"]
+    assert trap not in admitted["on"]
+    assert good in admitted["on"]
+
+
+def test_per_host_admission_quota(spark, sf_dir, tmp_path):
+    """With max_urls_per_host=k, each round admits exactly the one-phase
+    per-host top-k of what an unconstrained run admits."""
+    import os
+
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()]
+    k = 3
+    frontiers = {}
+    for name, quota in (("free", None), ("quota", k)):
+        wd = str(tmp_path / name)
+        cfg = CrawlConfig(max_depth=3, round_seconds=1e6, max_urls_per_host=quota)
+        run_crawl(spark, pages, seeds, wd, cfg, max_rounds=1)
+        f1 = spark.read.parquet(os.path.join(wd, "frontier", "round=1"))
+        frontiers[name] = sorted(
+            map(tuple, f1.select("host", "priority", "url").collect())
+        )
+    by_host: dict = {}
+    for host, prio, url in frontiers["free"]:
+        by_host.setdefault(host, []).append((prio, url))
+    want = []
+    for host, rows in by_host.items():
+        top = sorted(rows, key=lambda t: (-t[0], t[1]))[:k]
+        want.extend((host, p, u) for p, u in top)
+    assert sorted(want) == frontiers["quota"]
+    # the synthetic hot host actually hit the cap
+    counts = {}
+    for host, _, _ in frontiers["quota"]:
+        counts[host] = counts.get(host, 0) + 1
+    assert max(counts.values()) == k
+    free_counts = {}
+    for host, _, _ in frontiers["free"]:
+        free_counts[host] = free_counts.get(host, 0) + 1
+    assert max(free_counts.values()) > k

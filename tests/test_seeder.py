@@ -140,3 +140,37 @@ def test_robots_declared_sitemaps_fallback(spark):
         ua="b",
     )
     assert parsed["sitemaps"] == ["https://h/s.xml", "https://h/t.xml"]
+
+
+def test_sitemap_entries_full_protocol(spark):
+    from datetime import datetime
+
+    from crawl4ai_spark.sources.seeder import changefreq_lambda, sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/page1</loc><lastmod>2026-03-04</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.com/page2</loc>"
+        "<lastmod>2026-01-02T10:20:30+00:00</lastmod></url>"
+        "<url><loc>https://a.com/page3</loc></url>"
+        "</urlset>"
+    )
+    rows = spark.range(1).select(
+        F.explode(sitemap_entries(F.lit(xml))).alias("e")
+    ).select("e.*").collect()
+    assert [r["loc"] for r in rows] == [
+        "https://a.com/page1", "https://a.com/page2", "https://a.com/page3"
+    ]
+    assert rows[0]["lastmod"] == datetime(2026, 3, 4)
+    assert rows[0]["changefreq"] == "daily"
+    assert rows[0]["priority"] == 0.8
+    assert rows[1]["lastmod"] == datetime(2026, 1, 2)  # W3C datetime date part
+    assert rows[2]["lastmod"] is None and rows[2]["priority"] is None
+
+    lams = spark.createDataFrame(
+        [("daily",), ("WEEKLY",), ("bogus",), (None,)], "cf string"
+    ).select(changefreq_lambda("cf").alias("lam")).collect()
+    assert [r["lam"] for r in lams] == [
+        1.0, 1.0 / 7.0, 1.0 / 30.0, 1.0 / 30.0
+    ]
