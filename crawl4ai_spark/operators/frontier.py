@@ -103,6 +103,13 @@ class CrawlConfig:
     # (priority desc, url), computed with the same salted two-phase
     # window as the politeness budgets (no hot-host task funnel).
     max_urls_per_host: int | None = None
+    # register each round's results/next-frontier outputs as snapshots
+    # of Iceberg-style tables at workdir/tables/{results,frontier}
+    # (snaptable.SnapshotTable.add_files — metadata-only, no byte copy,
+    # no Spark jobs): time travel to any round, incremental "what did
+    # round r add" scans, rollback. The north star checkpoints crawl
+    # state "to Iceberg snapshots"; this is that, sans the missing jar.
+    snapshot_tables: bool = False
 
     def to_json(self) -> dict:
         return {
@@ -122,6 +129,7 @@ class CrawlConfig:
             "priority_aging": self.priority_aging,
             "trap_filter": self.trap_filter,
             "max_urls_per_host": self.max_urls_per_host,
+            "snapshot_tables": self.snapshot_tables,
         }
 
 
@@ -690,8 +698,39 @@ class CrawlRun:
             "wall_s": round(time.perf_counter() - t0, 3),
             "config": self.config.to_json(),
         }
+        if cfg.snapshot_tables:
+            self._snapshot_round(r, persisted.schema, frontier_next.schema)
         self._write_manifest(r, counts)
         return counts
+
+    # -- snapshot tables (Iceberg-style round checkpoints) -------------------
+
+    def table(self, name: str):
+        """Snapshot table over this crawl's outputs ("results" or
+        "frontier") — requires CrawlConfig(snapshot_tables=True)."""
+        from ..snaptable import SnapshotTable
+
+        return SnapshotTable(
+            self.spark, os.path.join(self.workdir, "tables", name)
+        )
+
+    def _snapshot_round(self, r: int, results_schema, frontier_schema) -> None:
+        """Adopt round ``r``'s outputs as table snapshots (add_files —
+        metadata-only). Idempotent across crash-rerun: a round that
+        died after adoption but before its manifest re-runs in place,
+        so stale snapshots with summary.round >= r are dropped first
+        (their files were overwritten by the rerun)."""
+        for name, path, schema in (
+            ("results", self._results_path(r), results_schema),
+            ("frontier", self._frontier_path(r + 1), frontier_schema),
+        ):
+            t = self.table(name)
+            stale = [s["snapshot_id"] for s in t.snapshots()
+                     if s.get("summary", {}).get("round", -1) >= r]
+            if stale:
+                t.drop_snapshots_since(min(stale) - 1)
+            if os.path.exists(path):
+                t.add_files(path, schema, summary={"round": r})
 
     # -- driver loop ---------------------------------------------------------
 

@@ -1,0 +1,504 @@
+"""Iceberg-style snapshot tables over parquet — from scratch.
+
+The north-star architecture holds the 10^10-URL frontier and the crawl
+state "in Iceberg tables ... checkpoint[ed] to Iceberg snapshots so a
+killed job resumes mid-round".  This container has no Iceberg runtime
+jar, so this module re-creates the load-bearing subset of the Iceberg
+*table-format idea* (Apache Iceberg spec, https://iceberg.apache.org/spec/)
+from scratch over plain parquet + JSON metadata:
+
+- **atomic snapshot commits** — a snapshot's data files are fully
+  written first, then a single metadata file ``metadata/v<N>.json`` is
+  published with ``os.link`` (atomic on POSIX; fails with EEXIST when a
+  concurrent committer won, which is exactly Iceberg's optimistic-
+  concurrency loop: re-read, re-apply, retry),
+- **time travel** — ``read(snapshot_id=...)`` / ``read(as_of_ms=...)``,
+- **incremental scans** — ``incremental(from_id, to_id)`` reads only
+  the files appended between two snapshots,
+- **file-level min/max pruning** — per-file column stats are harvested
+  from parquet footers at commit time (zero Spark jobs) and ``scan``
+  skips files whose [min,max] range can't satisfy a predicate, the
+  same file-skipping Iceberg manifests buy at 100 TB,
+- **rollback** and **snapshot expiry** (physical delete of data files
+  no retained snapshot references),
+- **register-in-place** (``add_files``) — adopt parquet files that
+  already exist (e.g. a crawl round's output) as a new snapshot without
+  copying bytes, mirroring Iceberg's ``add_files`` migration procedure.
+
+Scale notes: metadata is O(files), never O(rows); every read plans from
+footer-harvested stats cached in the snapshot json, so planning cost is
+one small JSON read no matter the table size.  Data file layout is
+whatever Spark wrote — partitioning/bucketing of the DataFrame carries
+straight through.
+
+Reference seam: the reference persists crawl state ad hoc (sqlite db at
+``/root/reference/crawl4ai/async_database.py``); this is the Spark-
+native, cluster-shared replacement demanded by the north star.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["SnapshotTable", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """Raised when optimistic commits keep losing the version race."""
+
+
+# parquet logical types whose min/max footer stats are safe to prune on
+_PRUNABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.DateType, T.TimestampType,
+)
+
+
+def _file_stats(path: str, stat_cols: list[str]) -> dict:
+    """Per-file stats from the parquet footer — no Spark job.
+
+    Returns ``{"rows": n, "stats": {col: [min, max] | None}}``; a column
+    entry is None when any row group lacks stats or holds nulls only.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list | None] = {}
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in stat_cols:
+        i = name_to_idx.get(col)
+        if i is None:
+            out[col] = None
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        out[col] = [_json_safe(lo), _json_safe(hi)] if ok and lo is not None else None
+    return {"rows": md.num_rows, "stats": out}
+
+
+def _json_safe(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+@dataclass
+class _Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | add_files | rollback
+    files: list[dict]  # [{"path", "rows", "stats"}]
+    summary: dict = field(default_factory=dict)
+
+
+class SnapshotTable:
+    """A snapshot-versioned parquet table (see module docstring).
+
+    Layout::
+
+        <path>/data/snap-<id>-<uuid>/part-*.parquet
+        <path>/metadata/v<N>.json        # one per committed version
+
+    The current version is the highest committed ``v<N>.json``; commits
+    publish with ``os.link`` so readers only ever see complete files and
+    concurrent writers race on EEXIST (optimistic concurrency).
+    """
+
+    MAX_COMMIT_RETRIES = 50  # metadata-only retries are milliseconds
+
+    def __init__(self, spark: SparkSession, path: str,
+                 stat_cols: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.stat_cols = stat_cols
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- metadata ------------------------------------------------------------
+
+    def _meta_path(self, v: int) -> str:
+        return os.path.join(self.path, "metadata", f"v{v}.json")
+
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(os.path.join(self.path, "metadata")):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _load(self, v: int | None = None) -> dict:
+        vs = self._versions()
+        if not vs:
+            return {"table_uuid": None, "schema": None,
+                    "snapshots": [], "current_snapshot_id": None}
+        with open(self._meta_path(v if v is not None else vs[-1])) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict, expected_version: int) -> int:
+        """Publish ``meta`` as v<expected_version+1> atomically.
+
+        Raises FileExistsError when a concurrent committer won the
+        version — callers re-read and retry (optimistic concurrency).
+        """
+        v = expected_version + 1
+        tmp = self._meta_path(v) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._meta_path(v))  # atomic publish-or-fail
+        finally:
+            os.unlink(tmp)
+        return v
+
+    # -- introspection -------------------------------------------------------
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def schema(self) -> T.StructType:
+        meta = self._load()
+        if meta["schema"] is None:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        return T.StructType.fromJson(meta["schema"])
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._load()["current_snapshot_id"]
+
+    def history(self) -> DataFrame:
+        """Snapshot log as a DataFrame (id, parent, ts, op, files, rows)."""
+        rows = [
+            (s["snapshot_id"], s["parent_id"],
+             time.strftime("%Y-%m-%dT%H:%M:%S",
+                           time.gmtime(s["timestamp_ms"] / 1000)),
+             s["operation"], len(s["files"]),
+             sum(f["rows"] for f in s["files"]),
+             json.dumps(s.get("summary", {}), sort_keys=True))
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, committed_at string, "
+                  "operation string, num_files int, total_rows long, "
+                  "summary string")
+
+    # -- writes --------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame, snap_id: int) -> tuple[str, list[dict]]:
+        d = os.path.join(self.path, "data",
+                         f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(d)
+        return d, self._harvest(d, df.schema)
+
+    def _harvest(self, directory: str, schema: T.StructType) -> list[dict]:
+        cols = self.stat_cols
+        if cols is None:
+            cols = [f.name for f in schema.fields
+                    if isinstance(f.dataType, _PRUNABLE)]
+        files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+        return [{"path": p, **_file_stats(p, cols)} for p in files]
+
+    def _apply(self, op: str, df: DataFrame | None,
+               directory: str | None = None, summary: dict | None = None) -> int:
+        """Optimistic-concurrency commit loop shared by all write ops.
+
+        The data files are written ONCE, before the loop — their bytes
+        don't depend on which version the commit lands as — and only
+        the metadata publish retries on conflict (Iceberg's commit
+        model: expensive work outside the retry, cheap metadata swap
+        inside it, jittered backoff between attempts).
+        """
+        import random
+        import shutil
+
+        if df is not None:
+            meta0 = self._load()
+            if meta0["schema"] is not None:
+                committed = T.StructType.fromJson(meta0["schema"])
+                if [f.name for f in df.schema.fields] != \
+                   [f.name for f in committed.fields]:
+                    raise ValueError(
+                        f"schema mismatch: table has "
+                        f"{[f.name for f in committed.fields]}, "
+                        f"df has {[f.name for f in df.schema.fields]}")
+            schema = df.schema
+            new_dir, new_files = self._write_data(df, uuid.uuid4().int % 10**6)
+        else:
+            new_dir = None
+            schema = self.schema() if self._load()["schema"] else None
+            new_files = self._harvest(directory, schema) if directory else []
+
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            meta = self._load()
+            vs = self._versions()
+            expected = vs[-1] if vs else 0
+            parent = meta["current_snapshot_id"]
+            snap_id = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+                       if meta["snapshots"] else 1)
+
+            if op in ("append", "add_files"):
+                parent_files = self._snapshot(parent)["files"] if parent else []
+                files = parent_files + new_files
+            else:  # overwrite
+                files = new_files
+
+            snap = _Snapshot(
+                snapshot_id=snap_id, parent_id=parent,
+                timestamp_ms=int(time.time() * 1000), operation=op,
+                files=files, summary=summary or {},
+            ).__dict__
+            meta = {
+                "table_uuid": meta["table_uuid"] or uuid.uuid4().hex,
+                "schema": (schema.jsonValue() if schema is not None
+                           else meta["schema"]),
+                "snapshots": meta["snapshots"] + [snap],
+                "current_snapshot_id": snap_id,
+            }
+            try:
+                self._commit(meta, expected)
+                return snap_id
+            except FileExistsError:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        if new_dir is not None:
+            shutil.rmtree(new_dir, ignore_errors=True)
+        raise CommitConflict(
+            f"lost {self.MAX_COMMIT_RETRIES} commit races on {self.path}")
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Commit ``df`` as a new append snapshot; returns snapshot id."""
+        return self._apply("append", df, summary=summary)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Commit ``df`` as a full-replace snapshot; returns snapshot id."""
+        return self._apply("overwrite", df, summary=summary)
+
+    def add_files(self, directory: str, schema: T.StructType,
+                  summary: dict | None = None) -> int:
+        """Adopt existing parquet files in ``directory`` as an append
+        snapshot WITHOUT copying bytes (Iceberg add_files migration).
+        Adopted files are never deleted by :meth:`expire_snapshots`."""
+        meta = self._load()
+        if meta["schema"] is None:
+            # first commit fixes the schema
+            for _ in range(self.MAX_COMMIT_RETRIES):
+                meta = self._load()
+                if meta["schema"] is not None:
+                    break
+                files = self._harvest(directory, schema)
+                snap = _Snapshot(1, None, int(time.time() * 1000),
+                                 "add_files", files, summary or {}).__dict__
+                try:
+                    self._commit({"table_uuid": uuid.uuid4().hex,
+                                  "schema": schema.jsonValue(),
+                                  "snapshots": [snap],
+                                  "current_snapshot_id": 1}, 0)
+                    return 1
+                except FileExistsError:
+                    continue
+        return self._apply("add_files", None, directory=directory,
+                           summary=summary)
+
+    # -- reads ---------------------------------------------------------------
+
+    def _snapshot(self, snapshot_id: int | None) -> dict:
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+            if snapshot_id is None:  # created-but-empty table
+                return {"snapshot_id": None, "parent_id": None,
+                        "timestamp_ms": 0, "operation": "none",
+                        "files": [], "summary": {}}
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self, snapshot_id: int | None = None,
+             as_of_ms: int | None = None) -> DataFrame:
+        """Current snapshot, or time travel by id / commit timestamp."""
+        if as_of_ms is not None:
+            eligible = [s for s in self.snapshots()
+                        if s["timestamp_ms"] <= as_of_ms]
+            if not eligible:
+                return self.spark.createDataFrame([], self.schema())
+            snapshot_id = eligible[-1]["snapshot_id"]
+        snap = self._snapshot(snapshot_id)
+        return self._read_files([f["path"] for f in snap["files"]])
+
+    def scan(self, filters: list[tuple] | None = None,
+             snapshot_id: int | None = None) -> tuple[DataFrame, dict]:
+        """Stats-pruned scan: ``filters`` are pyarrow-style
+        ``(col, op, value)`` tuples (op in = < <= > >=), AND-combined.
+
+        Files whose footer [min,max] range can't satisfy every filter
+        are skipped at PLAN time (no footer reads — stats ride in the
+        snapshot json).  Returns ``(df, info)`` where info reports
+        ``files_total`` / ``files_read`` so callers (and tests) can see
+        the pruning; the same predicate is re-applied as a DataFrame
+        filter for row-level exactness.
+        """
+        snap = self._snapshot(snapshot_id)
+        keep = []
+        for fmeta in snap["files"]:
+            if all(self._file_may_match(fmeta, *flt) for flt in (filters or [])):
+                keep.append(fmeta["path"])
+        df = self._read_files(keep)
+        for col, op, val in filters or []:
+            c = F.col(col)
+            df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
+                            ">": c > val, ">=": c >= val}[op])
+        return df, {"files_total": len(snap["files"]),
+                    "files_read": len(keep)}
+
+    @staticmethod
+    def _file_may_match(fmeta: dict, col: str, op: str, val) -> bool:
+        rng = fmeta["stats"].get(col)
+        if rng is None:
+            return True  # no stats -> can't prune
+        lo, hi = rng
+        val = _json_safe(val)
+        if op == "=":
+            return lo <= val <= hi
+        if op in ("<", "<="):
+            return lo < val if op == "<" else lo <= val
+        if op in (">", ">="):
+            return hi > val if op == ">" else hi >= val
+        return True
+
+    def incremental(self, from_id: int, to_id: int | None = None) -> DataFrame:
+        """Rows added in snapshots (from_id, to_id] — append/add_files
+        only; raises on an overwrite inside the range (its net change
+        is not expressible as added files, same rule as Iceberg's
+        incremental scan)."""
+        snaps = self.snapshots()
+        to_id = to_id if to_id is not None else self.current_snapshot_id()
+        added: list[str] = []
+        for s in snaps:
+            if from_id < s["snapshot_id"] <= to_id:
+                if s["operation"] in ("overwrite", "rollback"):
+                    raise ValueError(
+                        f"snapshot {s['snapshot_id']} is {s['operation']}: "
+                        "incremental scan undefined across it")
+                parent = next((p for p in snaps
+                               if p["snapshot_id"] == s["parent_id"]), None)
+                pfiles = {f["path"] for f in (parent or {"files": []})["files"]}
+                added.extend(f["path"] for f in s["files"]
+                             if f["path"] not in pfiles)
+        return self._read_files(added)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Make ``snapshot_id``'s file set current again via a new
+        rollback snapshot (history is retained, like Iceberg)."""
+        target = self._snapshot(snapshot_id)
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            meta = self._load()
+            vs = self._versions()
+            new_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+            snap = _Snapshot(
+                new_id, meta["current_snapshot_id"], int(time.time() * 1000),
+                "rollback", target["files"],
+                {"rolled_back_to": snapshot_id}).__dict__
+            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
+                    "current_snapshot_id": new_id}
+            try:
+                self._commit(meta, vs[-1])
+                return new_id
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"rollback lost races on {self.path}")
+
+    def drop_snapshots_since(self, snapshot_id: int) -> None:
+        """Remove snapshots with id > ``snapshot_id`` and make
+        ``snapshot_id`` current again (0 → logically empty table).
+
+        Metadata-only — data files stay in place.  This is the rerun
+        seam for the crawl engine: a round that crashed after snapshot
+        adoption but before its manifest is re-run in place, so its
+        stale snapshot entries (pointing at overwritten files) must be
+        dropped before re-adoption."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            meta = self._load()
+            vs = self._versions()
+            if not vs:
+                return
+            snaps = [s for s in meta["snapshots"]
+                     if s["snapshot_id"] <= snapshot_id]
+            meta = {**meta, "snapshots": snaps,
+                    "current_snapshot_id":
+                        snaps[-1]["snapshot_id"] if snaps else None}
+            try:
+                self._commit(meta, vs[-1])
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"drop_snapshots_since lost races on {self.path}")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and physically
+        delete table-owned data files no retained snapshot references.
+        Files adopted via :meth:`add_files` (outside ``<path>/data/``)
+        are never deleted.  Returns the deleted paths."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            meta = self._load()
+            vs = self._versions()
+            snaps = meta["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            live = {f["path"] for s in kept for f in s["files"]}
+            dead = sorted({
+                f["path"] for s in dropped for f in s["files"]
+                if f["path"] not in live
+                and f["path"].startswith(os.path.join(self.path, "data") + os.sep)
+            })
+            # snapshots keep their parent pointers even when the parent
+            # is expired (parent_id becomes a historical reference)
+            meta = {**meta, "snapshots": kept}
+            try:
+                self._commit(meta, vs[-1])
+            except FileExistsError:
+                continue
+            for p in dead:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            return dead
+        raise CommitConflict(f"expire lost races on {self.path}")

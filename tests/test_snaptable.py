@@ -1,0 +1,235 @@
+"""SnapshotTable: Iceberg-style snapshot semantics over parquet.
+
+Covers atomic commits + optimistic concurrency (threaded committers),
+time travel, incremental scans, file-stats pruning, rollback, expiry,
+and add_files adoption of crawl-round outputs.
+"""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.snaptable import CommitConflict, SnapshotTable
+
+
+def _df(spark, lo, hi, tag="a"):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id"),
+            F.concat(F.lit(tag), F.col("id").cast("string")).alias("name"),
+            (F.col("id") % 7).alias("bucket"),
+        )
+    )
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    s1 = t.append(_df(spark, 0, 100))
+    s2 = t.append(_df(spark, 100, 250))
+    assert t.exists() and (s1, s2) == (1, 2)
+
+    assert t.read().count() == 250
+    assert t.read(snapshot_id=s1).count() == 100
+    # time travel by commit timestamp
+    ts1 = t.snapshots()[0]["timestamp_ms"]
+    assert t.read(as_of_ms=ts1).count() == 100
+    assert t.read(as_of_ms=ts1 - 10_000).count() == 0
+    # values, not just counts
+    got = sorted(r["id"] for r in t.read(snapshot_id=s1).collect())
+    assert got == list(range(100))
+
+
+def test_overwrite_and_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50))
+    t.overwrite(_df(spark, 1000, 1010), summary={"reason": "compact"})
+    assert t.read().count() == 10
+    h = {r["snapshot_id"]: r for r in t.history().collect()}
+    assert h[1]["operation"] == "append" and h[1]["total_rows"] == 50
+    assert h[2]["operation"] == "overwrite" and h[2]["total_rows"] == 10
+    assert "compact" in h[2]["summary"]
+    # old snapshot still readable (no physical delete until expiry)
+    assert t.read(snapshot_id=1).count() == 50
+
+
+def test_schema_pinned(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.range(5).select(F.col("id").alias("other")))
+
+
+def test_incremental_scan(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10))
+    s2 = t.append(_df(spark, 10, 30))
+    s3 = t.append(_df(spark, 30, 35))
+    inc = t.incremental(s1, s3)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 35))
+    assert t.incremental(s2).count() == 5  # to current
+    assert t.incremental(0, s1).count() == 10  # from table start
+    t.overwrite(_df(spark, 0, 3))
+    with pytest.raises(ValueError, match="overwrite"):
+        t.incremental(s1)
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # three appends with disjoint id ranges -> disjoint file stats
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        t.append(_df(spark, lo, hi).coalesce(1))
+    df, info = t.scan(filters=[("id", ">=", 250)])
+    assert info["files_total"] == 3 and info["files_read"] == 1
+    assert sorted(r["id"] for r in df.collect()) == list(range(250, 300))
+    # equality on string column prunes too
+    df2, info2 = t.scan(filters=[("name", "=", "a42")])
+    assert info2["files_read"] == 1
+    assert df2.count() == 1
+    # AND-combined filters
+    df3, info3 = t.scan(filters=[("id", ">=", 100), ("id", "<", 200)])
+    assert info3["files_read"] == 1 and df3.count() == 100
+    # un-prunable predicate still row-exact
+    df4, info4 = t.scan(filters=[("bucket", "=", 3)])
+    assert info4["files_read"] == 3
+    assert df4.count() == sum(1 for i in range(300) if i % 7 == 3)
+
+
+def test_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 40))
+    rb = t.rollback(s1)
+    assert t.read().count() == 10
+    assert t.current_snapshot_id() == rb
+    # rollback is itself a snapshot; the rolled-past one is still there
+    assert [s["operation"] for s in t.snapshots()] == [
+        "append", "append", "rollback"]
+
+
+def test_expire_snapshots_deletes_unreferenced(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).coalesce(1))
+    t.overwrite(_df(spark, 50, 60).coalesce(1))  # snap-1 files now dead
+    all_files = {f["path"] for s in t.snapshots() for f in s["files"]}
+    dead = t.expire_snapshots(keep_last=1)
+    assert len(t.snapshots()) == 1
+    assert dead and all(not os.path.exists(p) for p in dead)
+    live = {f["path"] for s in t.snapshots() for f in s["files"]}
+    assert live == all_files - set(dead)
+    assert all(os.path.exists(p) for p in live)
+    assert t.read().count() == 10  # current data intact
+
+
+def test_concurrent_committers_optimistic(spark, tmp_path):
+    """8 threads × 3 appends race on the version link; every commit must
+    land exactly once (no lost updates, contiguous snapshot ids)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 1))
+    errs = []
+
+    def worker(k):
+        try:
+            tt = SnapshotTable(spark, str(tmp_path / "t"))
+            for j in range(3):
+                lo = 1000 * (k + 1) + 10 * j
+                tt.append(_df(spark, lo, lo + 5))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, 26))
+    assert t.read().count() == 1 + 24 * 5
+    # every snapshot's parent is the previous snapshot (linear history)
+    assert all(s["parent_id"] == s["snapshot_id"] - 1 for s in snaps[1:])
+
+
+def test_add_files_adopts_crawl_round_output(spark, tmp_path):
+    """Register already-written parquet (a crawl round's pages dir) as
+    snapshots without copying; expiry must never delete adopted files."""
+    ext = str(tmp_path / "round1")
+    d1 = _df(spark, 0, 20).coalesce(1)
+    d1.write.parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.add_files(ext, d1.schema, summary={"round": 1})
+    assert t.read(snapshot_id=s1).count() == 20
+
+    ext2 = str(tmp_path / "round2")
+    _df(spark, 20, 30).coalesce(1).write.parquet(ext2)
+    t.add_files(ext2, d1.schema, summary={"round": 2})
+    assert t.read().count() == 30
+    assert t.incremental(s1).count() == 10
+
+    dead = t.expire_snapshots(keep_last=1)
+    assert dead == []  # adopted files live outside <path>/data -> kept
+    assert t.read().count() == 30
+    assert os.path.exists(ext)
+
+
+def test_crawl_round_snapshots(spark, sf_dir, tmp_path):
+    """CrawlConfig(snapshot_tables=True): each round lands as a results/
+    frontier snapshot — time travel per round, incremental = that
+    round's pages — and a crash-rerun doesn't double-register."""
+    from crawl4ai_spark.operators.frontier import (
+        CrawlConfig, CrawlRun, run_crawl)
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in
+             pages.select("url").orderBy("url").limit(3).collect()]
+    wd = str(tmp_path / "crawl")
+    cfg = CrawlConfig(max_depth=3, round_seconds=1e6, snapshot_tables=True)
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=3)
+    run = CrawlRun(spark, pages, wd, cfg)
+    rounds = run.latest_completed_round() + 1
+    assert rounds >= 2
+
+    t = run.table("results")
+    snaps = t.snapshots()
+    assert [s["summary"]["round"] for s in snaps] == list(range(rounds))
+    # current == union of all round dirs == results()
+    assert t.read().count() == run.results().count()
+    # time travel to round 0 == just that round's results
+    r0 = spark.read.parquet(os.path.join(wd, "results", "round=0"))
+    assert t.read(snapshot_id=snaps[0]["snapshot_id"]).count() == r0.count()
+    # incremental scan of the last snapshot == last round's results
+    last = spark.read.parquet(
+        os.path.join(wd, "results", f"round={rounds - 1}"))
+    inc = t.incremental(snaps[-2]["snapshot_id"])
+    assert sorted(r["url"] for r in inc.select("url").collect()) == \
+        sorted(r["url"] for r in last.select("url").collect())
+
+    # crash-rerun: delete the last manifest (round r outputs stay on
+    # disk, snapshots already adopted) and resume — adoption must not
+    # duplicate the round
+    os.unlink(os.path.join(wd, f"_manifest_{rounds - 1}.json"))
+    run2 = CrawlRun(spark, pages, wd, cfg)
+    run2.run(max_rounds=rounds)
+    t2 = run2.table("results")
+    assert [s["summary"]["round"] for s in t2.snapshots()] == \
+        list(range(rounds))
+    assert t2.read().count() == run2.results().count()
+
+    # frontier table exists and tracks rounds too
+    tf = run.table("frontier")
+    assert [s["summary"]["round"] for s in tf.snapshots()] == \
+        [s["summary"]["round"] for s in t2.snapshots()]
+
+
+def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    monkeypatch.setattr(
+        t, "_commit",
+        lambda meta, expected: (_ for _ in ()).throw(FileExistsError()))
+    with pytest.raises(CommitConflict):
+        t.append(_df(spark, 5, 10))
