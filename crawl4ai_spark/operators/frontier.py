@@ -31,6 +31,7 @@ one. Re-running a partial round overwrites (never appends) its outputs.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -715,22 +716,54 @@ class CrawlRun:
         )
 
     def _snapshot_round(self, r: int, results_schema, frontier_schema) -> None:
-        """Adopt round ``r``'s outputs as table snapshots (add_files —
-        metadata-only). Idempotent across crash-rerun: a round that
-        died after adoption but before its manifest re-runs in place,
-        so stale snapshots with summary.round >= r are dropped first
-        (their files were overwritten by the rerun)."""
-        for name, path, schema in (
-            ("results", self._results_path(r), results_schema),
-            ("frontier", self._frontier_path(r + 1), frontier_schema),
-        ):
+        """Adopt round ``r``'s outputs AND post-round state as table
+        snapshots (add_files — metadata-only, zero byte copies): the
+        north star checkpoints "cuckoo filter shards, frontier offsets,
+        politeness counters" to Iceberg snapshots; here that is the
+        url_seen delta, the next-round frontier, and the politeness
+        state dir (seen-filter bloom/cuckoo sidecars are derived data,
+        rebuilt from the deltas they index). Idempotent across
+        crash-rerun: a round that died after adoption but before its
+        manifest re-runs in place, so stale snapshots with
+        summary.round >= r are dropped first (their files were
+        overwritten by the rerun)."""
+        seen_dir = os.path.join(self.workdir, "url_seen")
+        pol_dir = os.path.join(self.workdir, "politeness")
+        entries: list[tuple] = [
+            ("results", self._results_path(r), results_schema,
+             {"round": r}),
+        ]
+        if r == 0:
+            # seed-time state (written by seed(), not by any round)
+            entries += [
+                ("frontier", self._frontier_path(0), frontier_schema,
+                 {"round": 0, "stage": "seed"}),
+                ("url_seen", os.path.join(seen_dir, "round=0"), None,
+                 {"round": 0, "stage": "seed"}),
+            ]
+        entries += [
+            ("frontier", self._frontier_path(r + 1), frontier_schema,
+             {"round": r}),
+            ("url_seen", os.path.join(seen_dir, f"round={r + 1}"), None,
+             {"round": r}),
+            ("politeness", os.path.join(pol_dir, f"round={r + 1}"), None,
+             {"round": r}),
+        ]
+        dropped: set[str] = set()
+        for name, path, schema, summary in entries:
             t = self.table(name)
-            stale = [s["snapshot_id"] for s in t.snapshots()
-                     if s.get("summary", {}).get("round", -1) >= r]
-            if stale:
-                t.drop_snapshots_since(min(stale) - 1)
-            if os.path.exists(path):
-                t.add_files(path, schema, summary={"round": r})
+            if name not in dropped:
+                stale = [s["snapshot_id"] for s in t.snapshots()
+                         if s.get("summary", {}).get("round", -1) >= r]
+                if stale:
+                    t.drop_snapshots_since(min(stale) - 1)
+                dropped.add(name)
+            # empty partitioned writes emit no data files — nothing to
+            # adopt (and nothing to infer a schema from)
+            if os.path.exists(path) and glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            ):
+                t.add_files(path, schema, summary=summary)
 
     # -- driver loop ---------------------------------------------------------
 

@@ -220,12 +220,27 @@ class SnapshotTable:
         return d, self._harvest(d, df.schema)
 
     def _harvest(self, directory: str, schema: T.StructType) -> list[dict]:
+        """File metadata under ``directory`` (recursive): footer stats +
+        identity partition values parsed from hive-style ``k=v`` path
+        segments (Iceberg stores partition tuples per data file in its
+        manifests; this is that, for identity transforms)."""
+        from urllib.parse import unquote
+
         cols = self.stat_cols
         if cols is None:
             cols = [f.name for f in schema.fields
                     if isinstance(f.dataType, _PRUNABLE)]
-        files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
-        return [{"path": p, **_file_stats(p, cols)} for p in files]
+        files = sorted(glob.glob(
+            os.path.join(directory, "**", "*.parquet"), recursive=True))
+        out = []
+        for p in files:
+            part = {}
+            for seg in os.path.relpath(os.path.dirname(p), directory).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    part[k] = unquote(v)
+            out.append({"path": p, "partition": part, **_file_stats(p, cols)})
+        return out
 
     def _apply(self, op: str, df: DataFrame | None,
                directory: str | None = None, summary: dict | None = None) -> int:
@@ -301,11 +316,17 @@ class SnapshotTable:
         """Commit ``df`` as a full-replace snapshot; returns snapshot id."""
         return self._apply("overwrite", df, summary=summary)
 
-    def add_files(self, directory: str, schema: T.StructType,
+    def add_files(self, directory: str, schema: T.StructType | None = None,
                   summary: dict | None = None) -> int:
         """Adopt existing parquet files in ``directory`` as an append
         snapshot WITHOUT copying bytes (Iceberg add_files migration).
+        Hive-partitioned layouts (``k=v`` subdirs) are adopted with
+        their partition values recorded per file. ``schema=None``
+        infers it from the directory (incl. partition columns).
         Adopted files are never deleted by :meth:`expire_snapshots`."""
+        if schema is None:
+            schema = (self.schema() if self._load()["schema"] is not None
+                      else self.spark.read.parquet(directory).schema)
         meta = self._load()
         if meta["schema"] is None:
             # first commit fixes the schema
@@ -342,11 +363,34 @@ class SnapshotTable:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
 
-    def _read_files(self, files: list[str]) -> DataFrame:
+    def _read_files(self, fmetas: list[dict]) -> DataFrame:
+        """Read a file set; partitioned files get their hive ``k=v``
+        path values re-attached as literal columns per group (identity
+        partition reconstruction — the raw files don't carry them)."""
         schema = self.schema()
-        if not files:
+        if not fmetas:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        groups: dict[tuple, list[str]] = {}
+        for f in fmetas:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f["path"])
+        if list(groups) == [()]:
+            return self.spark.read.schema(schema).parquet(*groups[()])
+        by_name = {f.name: f for f in schema.fields}
+        parts = []
+        for key, paths in sorted(groups.items()):
+            pcols = dict(key)
+            fschema = T.StructType(
+                [f for f in schema.fields if f.name not in pcols])
+            df = self.spark.read.schema(fschema).parquet(*paths)
+            for name, val in pcols.items():
+                df = df.withColumn(
+                    name, F.lit(val).cast(by_name[name].dataType))
+            parts.append(df.select([f.name for f in schema.fields]))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     def read(self, snapshot_id: int | None = None,
              as_of_ms: int | None = None) -> DataFrame:
@@ -358,7 +402,7 @@ class SnapshotTable:
                 return self.spark.createDataFrame([], self.schema())
             snapshot_id = eligible[-1]["snapshot_id"]
         snap = self._snapshot(snapshot_id)
-        return self._read_files([f["path"] for f in snap["files"]])
+        return self._read_files(snap["files"])
 
     def scan(self, filters: list[tuple] | None = None,
              snapshot_id: int | None = None) -> tuple[DataFrame, dict]:
@@ -376,7 +420,7 @@ class SnapshotTable:
         keep = []
         for fmeta in snap["files"]:
             if all(self._file_may_match(fmeta, *flt) for flt in (filters or [])):
-                keep.append(fmeta["path"])
+                keep.append(fmeta)
         df = self._read_files(keep)
         for col, op, val in filters or []:
             c = F.col(col)
@@ -387,10 +431,19 @@ class SnapshotTable:
 
     @staticmethod
     def _file_may_match(fmeta: dict, col: str, op: str, val) -> bool:
-        rng = fmeta["stats"].get(col)
-        if rng is None:
-            return True  # no stats -> can't prune
-        lo, hi = rng
+        pv = (fmeta.get("partition") or {}).get(col)
+        if pv is not None:
+            # partition pruning: the file holds exactly one value
+            try:
+                pv = type(val)(pv)
+            except (TypeError, ValueError):
+                pass
+            lo = hi = pv
+        else:
+            rng = fmeta["stats"].get(col)
+            if rng is None:
+                return True  # no stats -> can't prune
+            lo, hi = rng
         val = _json_safe(val)
         if op == "=":
             return lo <= val <= hi
@@ -417,7 +470,7 @@ class SnapshotTable:
                 parent = next((p for p in snaps
                                if p["snapshot_id"] == s["parent_id"]), None)
                 pfiles = {f["path"] for f in (parent or {"files": []})["files"]}
-                added.extend(f["path"] for f in s["files"]
+                added.extend(f for f in s["files"]
                              if f["path"] not in pfiles)
         return self._read_files(added)
 

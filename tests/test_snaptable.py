@@ -175,6 +175,25 @@ def test_add_files_adopts_crawl_round_output(spark, tmp_path):
     assert os.path.exists(ext)
 
 
+def test_add_files_hive_partitioned(spark, tmp_path):
+    """Adopting a hive-partitioned dir records per-file partition
+    values, reconstructs them on read, and prunes on them at scan."""
+    ext = str(tmp_path / "part")
+    src = _df(spark, 0, 210)
+    src.write.partitionBy("bucket").parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.add_files(ext)  # schema inferred, incl. the partition column
+    got = t.read()
+    assert set(got.columns) == {"id", "name", "bucket"}
+    # partition values reconstructed exactly
+    want = sorted((r["id"], r["bucket"]) for r in src.collect())
+    assert sorted((r["id"], r["bucket"]) for r in got.collect()) == want
+    # partition pruning: only bucket=3 files are read
+    df, info = t.scan(filters=[("bucket", "=", 3)])
+    assert info["files_read"] < info["files_total"]
+    assert df.count() == sum(1 for i in range(210) if i % 7 == 3)
+
+
 def test_crawl_round_snapshots(spark, sf_dir, tmp_path):
     """CrawlConfig(snapshot_tables=True): each round lands as a results/
     frontier snapshot — time travel per round, incremental = that
@@ -219,10 +238,28 @@ def test_crawl_round_snapshots(spark, sf_dir, tmp_path):
         list(range(rounds))
     assert t2.read().count() == run2.results().count()
 
-    # frontier table exists and tracks rounds too
+    # the full north-star state set is checkpointed: frontier offsets
+    # (incl. the seed round), url_seen deltas, politeness counters
     tf = run.table("frontier")
-    assert [s["summary"]["round"] for s in tf.snapshots()] == \
-        [s["summary"]["round"] for s in t2.snapshots()]
+    assert [s["summary"] for s in tf.snapshots()][:2] == [
+        {"round": 0, "stage": "seed"}, {"round": 0}]
+    ts = run.table("url_seen")
+    assert ts.snapshots()[0]["summary"] == {"round": 0, "stage": "seed"}
+    # seen table current == engine's full seen set, with shard values
+    # reconstructed from the hive paths
+    seen_rows = ts.read()
+    assert {"url_hash", "url", "shard"} <= set(seen_rows.columns)
+    eng = spark.read.parquet(os.path.join(wd, "url_seen"))
+    assert sorted(r["url_hash"] for r in seen_rows.collect()) == \
+        sorted(r["url_hash"] for r in eng.collect())
+    tp = run.table("politeness")
+    assert [s["summary"]["round"] for s in tp.snapshots()] == \
+        list(range(rounds))
+    # politeness checkpoint of round r == state the engine saved for r+1
+    last_pol = spark.read.parquet(
+        os.path.join(wd, "politeness", f"round={rounds}"))
+    assert tp.incremental(tp.snapshots()[-2]["snapshot_id"]).count() == \
+        last_pol.count()
 
 
 def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
