@@ -153,12 +153,22 @@ class SnapshotTable:
         return sorted(out)
 
     def _load(self, v: int | None = None) -> dict:
+        return self._load_versioned(v)[0]
+
+    def _load_versioned(self, v: int | None = None) -> tuple[dict, int]:
+        """(metadata, version) read as one consistent pair.
+
+        Commit loops MUST derive their expected version from the SAME
+        listing the metadata was read at — a second ``_versions()``
+        call could see a concurrent commit and publish metadata derived
+        from the stale read over it (lost update)."""
         vs = self._versions()
         if not vs:
-            return {"table_uuid": None, "schema": None,
-                    "snapshots": [], "current_snapshot_id": None}
-        with open(self._meta_path(v if v is not None else vs[-1])) as f:
-            return json.load(f)
+            return ({"table_uuid": None, "schema": None,
+                     "snapshots": [], "current_snapshot_id": None}, 0)
+        v = v if v is not None else vs[-1]
+        with open(self._meta_path(v)) as f:
+            return json.load(f), v
 
     def _commit(self, meta: dict, expected_version: int) -> int:
         """Publish ``meta`` as v<expected_version+1> atomically.
@@ -239,7 +249,8 @@ class SnapshotTable:
                 if "=" in seg:
                     k, _, v = seg.partition("=")
                     part[k] = unquote(v)
-            out.append({"path": p, "partition": part, **_file_stats(p, cols)})
+            out.append({"path": p, "partition": part,
+                        "bytes": os.path.getsize(p), **_file_stats(p, cols)})
         return out
 
     def _apply(self, op: str, df: DataFrame | None,
@@ -273,9 +284,7 @@ class SnapshotTable:
             new_files = self._harvest(directory, schema) if directory else []
 
         for attempt in range(self.MAX_COMMIT_RETRIES):
-            meta = self._load()
-            vs = self._versions()
-            expected = vs[-1] if vs else 0
+            meta, expected = self._load_versioned()
             parent = meta["current_snapshot_id"]
             snap_id = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
                        if meta["snapshots"] else 1)
@@ -463,6 +472,8 @@ class SnapshotTable:
         added: list[str] = []
         for s in snaps:
             if from_id < s["snapshot_id"] <= to_id:
+                if s["operation"] == "compact":
+                    continue  # net-zero rewrite: adds no rows
                 if s["operation"] in ("overwrite", "rollback"):
                     raise ValueError(
                         f"snapshot {s['snapshot_id']} is {s['operation']}: "
@@ -481,8 +492,7 @@ class SnapshotTable:
         rollback snapshot (history is retained, like Iceberg)."""
         target = self._snapshot(snapshot_id)
         for _ in range(self.MAX_COMMIT_RETRIES):
-            meta = self._load()
-            vs = self._versions()
+            meta, expected = self._load_versioned()
             new_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
             snap = _Snapshot(
                 new_id, meta["current_snapshot_id"], int(time.time() * 1000),
@@ -491,11 +501,91 @@ class SnapshotTable:
             meta = {**meta, "snapshots": meta["snapshots"] + [snap],
                     "current_snapshot_id": new_id}
             try:
-                self._commit(meta, vs[-1])
+                self._commit(meta, expected)
                 return new_id
             except FileExistsError:
                 continue
         raise CommitConflict(f"rollback lost races on {self.path}")
+
+    def compact(self, target_file_bytes: int = 128 << 20,
+                min_input_files: int = 2) -> int | None:
+        """Bin-pack small data files into ~target-size files (Iceberg's
+        ``rewrite_data_files``): per partition group, files below the
+        target size are read back, rewritten as ⌈bytes/target⌉ files,
+        and committed as a net-zero ``compact`` snapshot that keeps the
+        already-large files as-is. Old snapshots still see the old
+        files (physical delete happens at :meth:`expire_snapshots`).
+
+        A crawl emits one small file per task per round — at 10^10 URLs
+        the results table otherwise degrades into millions of tiny
+        files whose open/footer cost dominates scans. Returns the new
+        snapshot id, or None when fewer than ``min_input_files`` files
+        qualify in every partition group.
+        """
+        import math
+        import random
+        import shutil
+
+        base = self._snapshot(None)
+        groups: dict[tuple, list[dict]] = {}
+        for f in base["files"]:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f)
+
+        schema = self.schema()
+        keep: list[dict] = []
+        new_files: list[dict] = []
+        rewritten: set[str] = set()
+        out_dir = os.path.join(self.path, "data",
+                               f"compact-{uuid.uuid4().hex[:8]}")
+        for key, fmetas in sorted(groups.items()):
+            small = [f for f in fmetas
+                     if f.get("bytes", target_file_bytes) < target_file_bytes]
+            big = [f for f in fmetas if f not in small]
+            if len(small) < min_input_files:
+                keep.extend(fmetas)
+                continue
+            keep.extend(big)
+            rewritten.update(f["path"] for f in small)
+            pcols = dict(key)
+            fschema = T.StructType(
+                [fld for fld in schema.fields if fld.name not in pcols])
+            df = self.spark.read.schema(fschema).parquet(
+                *[f["path"] for f in small])
+            n_out = max(1, math.ceil(
+                sum(f.get("bytes", 0) for f in small) / target_file_bytes))
+            d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+            df.coalesce(n_out).write.parquet(d)
+            for meta in self._harvest(d, fschema):
+                new_files.append({**meta, "partition": pcols})
+        if not rewritten:
+            return None
+
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            meta, expected = self._load_versioned()
+            cur = self._snapshot(meta["current_snapshot_id"])
+            cur_paths = {f["path"] for f in cur["files"]}
+            if not rewritten <= cur_paths:
+                # concurrent overwrite removed an input — abandon
+                shutil.rmtree(out_dir, ignore_errors=True)
+                return None
+            files = [f for f in cur["files"]
+                     if f["path"] not in rewritten] + new_files
+            snap = _Snapshot(
+                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
+                meta["current_snapshot_id"], int(time.time() * 1000),
+                "compact", files,
+                {"rewritten_files": len(rewritten),
+                 "new_files": len(new_files)}).__dict__
+            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
+                    "current_snapshot_id": snap["snapshot_id"]}
+            try:
+                self._commit(meta, expected)
+                return snap["snapshot_id"]
+            except FileExistsError:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise CommitConflict(f"compact lost races on {self.path}")
 
     def drop_snapshots_since(self, snapshot_id: int) -> None:
         """Remove snapshots with id > ``snapshot_id`` and make
@@ -507,9 +597,8 @@ class SnapshotTable:
         stale snapshot entries (pointing at overwritten files) must be
         dropped before re-adoption."""
         for _ in range(self.MAX_COMMIT_RETRIES):
-            meta = self._load()
-            vs = self._versions()
-            if not vs:
+            meta, expected = self._load_versioned()
+            if expected == 0:
                 return
             snaps = [s for s in meta["snapshots"]
                      if s["snapshot_id"] <= snapshot_id]
@@ -517,7 +606,7 @@ class SnapshotTable:
                     "current_snapshot_id":
                         snaps[-1]["snapshot_id"] if snaps else None}
             try:
-                self._commit(meta, vs[-1])
+                self._commit(meta, expected)
                 return
             except FileExistsError:
                 continue
@@ -529,8 +618,7 @@ class SnapshotTable:
         Files adopted via :meth:`add_files` (outside ``<path>/data/``)
         are never deleted.  Returns the deleted paths."""
         for _ in range(self.MAX_COMMIT_RETRIES):
-            meta = self._load()
-            vs = self._versions()
+            meta, expected = self._load_versioned()
             snaps = meta["snapshots"]
             if len(snaps) <= keep_last:
                 return []
@@ -545,7 +633,7 @@ class SnapshotTable:
             # is expired (parent_id becomes a historical reference)
             meta = {**meta, "snapshots": kept}
             try:
-                self._commit(meta, vs[-1])
+                self._commit(meta, expected)
             except FileExistsError:
                 continue
             for p in dead:

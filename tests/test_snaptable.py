@@ -175,6 +175,63 @@ def test_add_files_adopts_crawl_round_output(spark, tmp_path):
     assert os.path.exists(ext)
 
 
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """compact() bin-packs small files, preserves rows + partitions +
+    history, is net-zero for incremental scans, and its inputs become
+    deletable at expiry."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 50, 10):  # 5 appends x 2 files = 10 small files
+        t.append(_df(spark, lo, lo + 10).repartition(2))
+    s_pre = t.current_snapshot_id()
+    before = sorted((r["id"], r["name"]) for r in t.read().collect())
+    n_files_before = len(t._snapshot(None)["files"])
+    assert n_files_before == 10
+
+    sid = t.compact(target_file_bytes=1 << 30)  # everything is "small"
+    assert sid is not None
+    after_snap = t._snapshot(None)
+    assert after_snap["operation"] == "compact"
+    assert len(after_snap["files"]) == 1
+    assert sorted((r["id"], r["name"]) for r in t.read().collect()) == before
+    # pre-compact snapshot still readable
+    assert t.read(snapshot_id=s_pre).count() == 50
+    # incremental across the compact snapshot adds nothing
+    assert t.incremental(s_pre).count() == 0
+    # append after compact; incremental from pre-compact sees only it
+    t.append(_df(spark, 100, 105))
+    assert t.incremental(s_pre).count() == 5
+    # expiry now deletes the 10 rewritten inputs
+    dead = t.expire_snapshots(keep_last=1)
+    assert len(dead) == 10
+    assert t.read().count() == 55
+    # nothing small left -> no-op
+    assert t.compact(target_file_bytes=1, min_input_files=2) is None
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    ext = str(tmp_path / "part")
+    _df(spark, 0, 140).write.partitionBy("bucket").parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.add_files(ext)
+    ext2 = str(tmp_path / "part2")
+    _df(spark, 140, 210).write.partitionBy("bucket").parquet(ext2)
+    t.add_files(ext2)
+    before = sorted((r["id"], r["bucket"]) for r in t.read().collect())
+    sid = t.compact(target_file_bytes=1 << 30)
+    assert sid is not None
+    # one output file per partition group, partition values preserved
+    snap = t._snapshot(None)
+    assert len(snap["files"]) == 7
+    assert sorted((r["id"], r["bucket"]) for r in t.read().collect()) == before
+    # partition pruning still works on compacted files
+    df, info = t.scan(filters=[("bucket", "=", 2)])
+    assert info["files_read"] == 1
+    assert df.count() == sum(1 for i in range(210) if i % 7 == 2)
+    # adopted inputs are never physically deleted
+    assert t.expire_snapshots(keep_last=1) == []
+    assert t.read().count() == 210
+
+
 def test_add_files_hive_partitioned(spark, tmp_path):
     """Adopting a hive-partitioned dir records per-file partition
     values, reconstructs them on read, and prunes on them at scan."""
