@@ -786,6 +786,52 @@ class CrawlRun:
                 break
         return out
 
+    def rewind_to_round(self, k: int) -> None:
+        """Forget every round after ``k`` so :meth:`run` replays them.
+
+        Removes the manifests, results/metrics outputs, and post-round
+        state (frontier, seen deltas + filter sidecars, politeness) of
+        rounds > k — round ``k``'s own outputs (the round-k+1 frontier /
+        seen delta / politeness state) are KEPT, being the resume
+        inputs — and truncates the snapshot tables to round <= k.
+        With an unchanged config the replay is bit-identical (the
+        engine is deterministic given frontier + seen + politeness
+        state), which is the north star's "resumes mid-[crawl] with
+        identical crawl ordering and URL-seen set" exercised as an
+        explicit rewind instead of a crash.
+        """
+        import shutil
+
+        last = self.latest_completed_round()
+        if last is None or k >= last:
+            return
+        if k < 0:
+            raise ValueError("rewind_to_round(k): k must be >= 0")
+        for r in range(k + 1, last + 1):
+            try:
+                os.unlink(self._manifest_path(r))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(self._results_path(r), ignore_errors=True)
+            shutil.rmtree(self._metrics_path(r), ignore_errors=True)
+        for r in range(k + 2, last + 2):
+            shutil.rmtree(self._frontier_path(r), ignore_errors=True)
+            for state_dir in ("url_seen", "politeness"):
+                shutil.rmtree(
+                    os.path.join(self.workdir, state_dir, f"round={r}"),
+                    ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.seen.bloom_path, f"round={r}"),
+                ignore_errors=True)
+        self.seen.invalidate_cache()
+        if self.config.snapshot_tables:
+            for name in ("results", "frontier", "url_seen", "politeness"):
+                t = self.table(name)
+                stale = [s["snapshot_id"] for s in t.snapshots()
+                         if s.get("summary", {}).get("round", -1) > k]
+                if stale:
+                    t.drop_snapshots_since(min(stale) - 1)
+
     def results(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "results"))
 

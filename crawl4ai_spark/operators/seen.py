@@ -189,6 +189,17 @@ class SeenFilter:
                 merged.setdefault(shard, []).extend(lst)
         return merged
 
+    def invalidate_cache(self) -> None:
+        """Drop the in-memory per-round filter cache + broadcast — must
+        be called when delta rounds are REMOVED from disk (rewind): the
+        merge step unions every cached round, so a stale cached round
+        would keep marking its URLs as seen."""
+        self._bloom_rounds.clear()
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist(blocking=False)
+        self._bloom_bc = None
+        self._bloom_bc_key = ()
+
     def _bloom_broadcast(self, blooms: dict, rounds_key: tuple):
         if self._bloom_bc is None or self._bloom_bc_key != rounds_key:
             if self._bloom_bc is not None:

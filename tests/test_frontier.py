@@ -561,6 +561,63 @@ def test_trap_filter_blocks_trap_links(spark, tmp_path):
     assert good in admitted["on"]
 
 
+def test_rewind_to_round_replays_identically(spark, sf_dir, tmp_path):
+    """rewind_to_round(k) + run() reproduces the original crawl bit-for-
+    bit: same manifests (minus wall time), same results, same snapshot
+    tables — the engine is deterministic given round-k state."""
+    import os
+
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in
+             pages.select("url").orderBy("url").limit(5).collect()]
+    wd = str(tmp_path / "c")
+    cfg = CrawlConfig(max_depth=3, round_seconds=1e6, snapshot_tables=True,
+                      seen_filter_kind="bloom")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=3)
+    run = CrawlRun(spark, pages, wd, cfg)
+    last = run.latest_completed_round()
+    assert last >= 2
+
+    def fingerprint():
+        res = sorted(map(tuple, run.results().select(
+            "url", "round", "fetch_status").collect()))
+        mans = []
+        for i in range(last + 1):
+            m = dict(run.manifest(i))
+            m.pop("wall_s")
+            mans.append(m)
+        # part-file names carry write UUIDs; the deterministic identity
+        # of a snapshot is (summary, source dirs, per-dir row totals)
+        tables = {
+            name: [(s["summary"],
+                    sorted({os.path.dirname(f["path"]) for f in s["files"]}),
+                    sum(f["rows"] for f in s["files"]))
+                   for s in run.table(name).snapshots()]
+            for name in ("results", "frontier", "url_seen", "politeness")
+        }
+        return res, mans, tables
+
+    before = fingerprint()
+    run.rewind_to_round(1)
+    assert run.latest_completed_round() == 1
+    assert not os.path.exists(os.path.join(wd, "results", f"round={last}"))
+    # snapshot tables truncated with the manifests
+    assert all(s["summary"].get("round", -1) <= 1
+               for s in run.table("results").snapshots())
+    run.run(max_rounds=last + 1)
+    assert run.latest_completed_round() == last
+    assert fingerprint() == before
+
+    # rewind past the end and negative k are rejected/no-ops
+    run.rewind_to_round(last + 5)
+    assert run.latest_completed_round() == last
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run.rewind_to_round(-1)
+
+
 def test_per_host_admission_quota(spark, sf_dir, tmp_path):
     """With max_urls_per_host=k, each round admits exactly the one-phase
     per-host top-k of what an unconstrained run admits."""
