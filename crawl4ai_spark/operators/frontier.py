@@ -727,6 +727,16 @@ class CrawlRun:
         manifest re-runs in place, so stale snapshots with
         summary.round >= r are dropped first (their files were
         overwritten by the rerun)."""
+        from pyspark.sql import types as T
+
+        from .politeness import STATE_SCHEMA
+
+        # explicit schemas keep adoption strictly job-free: schema=None
+        # would fall back to spark.read.parquet inference, which can
+        # launch a footer-reading job over many files
+        seen_schema = T.StructType.fromDDL(
+            "url_hash bigint, url string, shard int")
+        pol_schema = T.StructType.fromDDL(STATE_SCHEMA)
         seen_dir = os.path.join(self.workdir, "url_seen")
         pol_dir = os.path.join(self.workdir, "politeness")
         entries: list[tuple] = [
@@ -738,15 +748,15 @@ class CrawlRun:
             entries += [
                 ("frontier", self._frontier_path(0), frontier_schema,
                  {"round": 0, "stage": "seed"}),
-                ("url_seen", os.path.join(seen_dir, "round=0"), None,
+                ("url_seen", os.path.join(seen_dir, "round=0"), seen_schema,
                  {"round": 0, "stage": "seed"}),
             ]
         entries += [
             ("frontier", self._frontier_path(r + 1), frontier_schema,
              {"round": r}),
-            ("url_seen", os.path.join(seen_dir, f"round={r + 1}"), None,
+            ("url_seen", os.path.join(seen_dir, f"round={r + 1}"), seen_schema,
              {"round": r}),
-            ("politeness", os.path.join(pol_dir, f"round={r + 1}"), None,
+            ("politeness", os.path.join(pol_dir, f"round={r + 1}"), pol_schema,
              {"round": r}),
         ]
         dropped: set[str] = set()

@@ -319,6 +319,32 @@ def test_crawl_round_snapshots(spark, sf_dir, tmp_path):
         last_pol.count()
 
 
+def test_snapshot_adoption_is_job_free(spark, sf_dir, tmp_path):
+    """_snapshot_round is pure metadata: footer reads + json links,
+    ZERO Spark jobs — the checkpoint must not tax the crawl round."""
+    from crawl4ai_spark.operators.frontier import (
+        CrawlConfig, CrawlRun, run_crawl)
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir)
+    seeds = [r["url"] for r in
+             pages.select("url").orderBy("url").limit(3).collect()]
+    wd = str(tmp_path / "c")
+    cfg = CrawlConfig(max_depth=2, round_seconds=1e6, snapshot_tables=True)
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
+    run = CrawlRun(spark, pages, wd, cfg)
+    res_schema = run.table("results").schema()
+    fr_schema = run.table("frontier").schema()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    run._snapshot_round(1, res_schema, fr_schema)  # full drop + re-adopt
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before
+    # and the re-adoption left the tables correct
+    assert run.table("results").read().count() == run.results().count()
+
+
 def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 5))
