@@ -49,7 +49,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["SnapshotTable", "CommitConflict"]
+__all__ = ["SnapshotTable", "CommitConflict", "streaming_append"]
+
+
+def streaming_append(table: "SnapshotTable", query_name: str = "stream"):
+    """``foreachBatch`` sink writing a stream into a snapshot table with
+    exactly-once semantics (Iceberg's idempotent streaming write): the
+    (query_name, batch_id) pair rides in the snapshot summary, and a
+    replayed batch — Structured Streaming re-runs the last batch after
+    a crash-restart — is detected and skipped instead of appended
+    twice.
+
+        (stream.writeStream.foreachBatch(streaming_append(t))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        for s in table.snapshots():
+            sm = s.get("summary", {})
+            if (sm.get("streaming_query") == query_name
+                    and sm.get("streaming_batch_id") == batch_id):
+                return  # replay of an already-committed batch
+        table.append(batch_df, summary={"streaming_query": query_name,
+                                        "streaming_batch_id": batch_id})
+
+    return _write
 
 
 class CommitConflict(RuntimeError):
@@ -611,6 +635,49 @@ class SnapshotTable:
             except FileExistsError:
                 continue
         raise CommitConflict(f"drop_snapshots_since lost races on {self.path}")
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files under ``<path>/data/`` referenced by NO
+        snapshot — the debris of writes whose commit lost every retry
+        or crashed before publishing (Iceberg's remove_orphan_files).
+        Safe w.r.t. readers: an unreferenced file can never become
+        referenced again (commits only add newly-written paths)."""
+        live = {f["path"] for s in self.snapshots() for f in s["files"]}
+        live_dirs = {os.path.dirname(p) for p in live}
+        orphans = []
+        for p in sorted(glob.glob(
+                os.path.join(self.path, "data", "**", "*"), recursive=True)):
+            if not os.path.isfile(p) or p in live:
+                continue
+            # non-parquet markers (_SUCCESS, .crc) ride with their dir:
+            # orphaned only when the dir holds no live data file
+            if not p.endswith(".parquet") and os.path.dirname(p) in live_dirs:
+                continue
+            orphans.append(p)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        # sweep dead dirs bottom-up: a dir holding no live file and no
+        # surviving subdir keeps only stray markers (hidden .crc files
+        # the glob above can't see) — remove them and the dir itself
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, _files in os.walk(data_root, topdown=False):
+            if root == data_root or root in live_dirs:
+                continue
+            entries = os.listdir(root)
+            if any(os.path.isdir(os.path.join(root, e)) for e in entries):
+                continue
+            for e in entries:
+                try:
+                    os.unlink(os.path.join(root, e))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+        return orphans
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and physically

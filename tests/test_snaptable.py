@@ -319,6 +319,47 @@ def test_crawl_round_snapshots(spark, sf_dir, tmp_path):
         last_pol.count()
 
 
+def test_remove_orphan_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).coalesce(1))
+    # simulate a crashed write: data files on disk, never committed
+    orphan_dir = os.path.join(str(tmp_path / "t"), "data", "snap-dead")
+    _df(spark, 99, 120).coalesce(1).write.parquet(orphan_dir)
+    removed = t.remove_orphan_files()
+    assert removed and all("snap-dead" in p for p in removed)
+    assert not os.path.exists(orphan_dir)
+    assert t.read().count() == 10  # live data untouched
+    assert t.remove_orphan_files() == []
+
+
+def test_streaming_append_exactly_once(spark, tmp_path):
+    """foreachBatch sink: availableNow file stream lands as snapshots;
+    a replayed batch id (crash-restart semantics) is skipped."""
+    from crawl4ai_spark.snaptable import streaming_append
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 30).coalesce(1).write.parquet(src)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    stream = spark.readStream.schema(_df(spark, 0, 1).schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(streaming_append(t, "q1"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert t.read().count() == 30
+    snaps = t.snapshots()
+    assert snaps[-1]["summary"]["streaming_query"] == "q1"
+    replayed_id = snaps[-1]["summary"]["streaming_batch_id"]
+
+    # crash-replay of the same batch: a no-op, not a duplicate append
+    sink = streaming_append(t, "q1")
+    sink(_df(spark, 0, 30), replayed_id)
+    assert t.read().count() == 30
+    assert len(t.snapshots()) == len(snaps)
+    # a genuinely new batch (or another query) still appends
+    sink(_df(spark, 30, 35), replayed_id + 1)
+    assert t.read().count() == 35
+
+
 def test_snapshot_adoption_is_job_free(spark, sf_dir, tmp_path):
     """_snapshot_round is pure metadata: footer reads + json links,
     ZERO Spark jobs — the checkpoint must not tax the crawl round."""
