@@ -386,6 +386,77 @@ def test_snapshot_adoption_is_job_free(spark, sf_dir, tmp_path):
     assert run.table("results").read().count() == run.results().count()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_snapshot_table_model(spark, tmp_path, seed):
+    """Model check: a random op sequence (append / overwrite / rollback
+    / compact / expire) against a pure-Python model of snapshot
+    contents — read() and every retained snapshot's time travel must
+    match the model after every op."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    t = SnapshotTable(spark, str(tmp_path / f"t{seed}"))
+    model: dict[int, list[int]] = {}  # snapshot_id -> sorted row ids
+    order: list[int] = []  # retained snapshot ids, commit order
+    current: list[int] = []
+    base = 0
+
+    def ids(lo, n):
+        return list(range(lo, lo + n))
+
+    def df_of(lo, n):
+        return spark.createDataFrame([(i,) for i in ids(lo, n)], "id long")
+
+    for step in range(10):
+        op = rng.choice(
+            ["append", "append", "overwrite", "rollback", "compact",
+             "expire"])
+        if op == "append":
+            n = rng.randint(1, 4)
+            sid = t.append(df_of(base, n))
+            current = current + ids(base, n)
+            model[sid] = sorted(current)
+            order.append(sid)
+            base += 100
+        elif op == "overwrite":
+            n = rng.randint(1, 4)
+            sid = t.overwrite(df_of(base, n))
+            current = ids(base, n)
+            model[sid] = sorted(current)
+            order.append(sid)
+            base += 100
+        elif op == "rollback" and order:
+            target = rng.choice(order)
+            sid = t.rollback(target)
+            current = list(model[target])
+            model[sid] = sorted(current)
+            order.append(sid)
+        elif op == "compact" and order:
+            sid = t.compact(target_file_bytes=1 << 30)
+            if sid is not None:
+                model[sid] = sorted(current)
+                order.append(sid)
+        elif op == "expire" and len(order) > 2:
+            keep = rng.randint(1, len(order) - 1)
+            t.expire_snapshots(keep_last=keep)
+            for sid in order[:-keep]:
+                model.pop(sid)
+            order = order[-keep:]
+        if order:
+            got = sorted(r["id"] for r in t.read().collect())
+            assert got == sorted(current), f"step {step} op {op}"
+
+    assert [s["snapshot_id"] for s in t.snapshots()] == order
+    for sid in order:
+        got = sorted(r["id"] for r in t.read(snapshot_id=sid).collect())
+        assert got == model[sid], f"time travel to {sid}"
+    # maintenance ops never corrupt: a final orphan sweep is a no-op
+    # for referenced data
+    t.remove_orphan_files()
+    if order:
+        assert sorted(r["id"] for r in t.read().collect()) == sorted(current)
+
+
 def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 5))
