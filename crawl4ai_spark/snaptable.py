@@ -274,6 +274,7 @@ class SnapshotTable:
                     k, _, v = seg.partition("=")
                     part[k] = unquote(v)
             out.append({"path": p, "partition": part,
+                        "base": directory if part else None,
                         "bytes": os.path.getsize(p), **_file_stats(p, cols)})
         return out
 
@@ -403,15 +404,33 @@ class SnapshotTable:
         schema = self.schema()
         if not fmetas:
             return self.spark.createDataFrame([], schema)
-        groups: dict[tuple, list[str]] = {}
-        for f in fmetas:
-            key = tuple(sorted((f.get("partition") or {}).items()))
-            groups.setdefault(key, []).append(f["path"])
-        if list(groups) == [()]:
-            return self.spark.read.schema(schema).parquet(*groups[()])
+        if all(not f.get("partition") for f in fmetas):
+            return self.spark.read.schema(schema).parquet(
+                *[f["path"] for f in fmetas])
+
+        # partitioned files: prefer Spark's native hive-layout discovery
+        # (one relation per harvest root via basePath — O(adoption dirs)
+        # plan branches, not O(partition values)); files lacking a
+        # recorded base (pre-upgrade metadata) fall back to per-value
+        # groups with literal partition columns re-attached
+        cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}
+        base_groups: dict[str, list[dict]] = {}
+        value_groups: dict[tuple, list[str]] = {}
+        for f in fmetas:
+            if f.get("partition") and f.get("base"):
+                base_groups.setdefault(f["base"], []).append(f)
+            else:
+                key = tuple(sorted((f.get("partition") or {}).items()))
+                value_groups.setdefault(key, []).append(f["path"])
         parts = []
-        for key, paths in sorted(groups.items()):
+        for base, fs in sorted(base_groups.items()):
+            parts.append(
+                self.spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*[f["path"] for f in fs])
+                .select(cols))
+        for key, paths in sorted(value_groups.items()):
             pcols = dict(key)
             fschema = T.StructType(
                 [f for f in schema.fields if f.name not in pcols])
@@ -419,7 +438,7 @@ class SnapshotTable:
             for name, val in pcols.items():
                 df = df.withColumn(
                     name, F.lit(val).cast(by_name[name].dataType))
-            parts.append(df.select([f.name for f in schema.fields]))
+            parts.append(df.select(cols))
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d)
@@ -581,7 +600,8 @@ class SnapshotTable:
             d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
             df.coalesce(n_out).write.parquet(d)
             for meta in self._harvest(d, fschema):
-                new_files.append({**meta, "partition": pcols})
+                new_files.append({**meta, "partition": pcols,
+                                  "base": out_dir if pcols else None})
         if not rewritten:
             return None
 
