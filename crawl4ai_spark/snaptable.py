@@ -133,11 +133,21 @@ def _json_safe(v):
 
 @dataclass
 class _Snapshot:
+    """One commit. File membership is stored as a DELTA against the
+    parent (``files_added`` / ``files_removed``) unless ``complete`` —
+    Iceberg's manifest-reuse idea: without it every snapshot repeats
+    the full file list and metadata grows O(rounds²) over a long
+    crawl. A snapshot's full file set is resolved by walking up to the
+    nearest complete ancestor (overwrite/rollback commits, the first
+    snapshot, and expire-rebased survivors are complete)."""
+
     snapshot_id: int
     parent_id: int | None
     timestamp_ms: int
-    operation: str  # append | overwrite | add_files | rollback
-    files: list[dict]  # [{"path", "rows", "stats"}]
+    operation: str  # append | overwrite | add_files | rollback | compact
+    files_added: list[dict]  # [{"path", "partition", "rows", "stats", ...}]
+    files_removed: list[str]  # paths dropped vs parent (compact)
+    complete: bool  # files_added IS the full set (no parent walk)
     summary: dict = field(default_factory=dict)
 
 
@@ -229,16 +239,48 @@ class SnapshotTable:
     def current_snapshot_id(self) -> int | None:
         return self._load()["current_snapshot_id"]
 
+    @staticmethod
+    def _resolve_all(snaps: list[dict]) -> dict[int, list[dict]]:
+        """Full file set per snapshot, resolved forward in one pass
+        (parents precede children in the log). Handles delta records,
+        complete records, and legacy full-list records ("files")."""
+        out: dict[int, list[dict]] = {}
+        for s in snaps:
+            added = s.get("files_added", s.get("files", []))
+            removed = set(s.get("files_removed", []))
+            complete = s.get("complete", "files" in s)
+            if complete or s["parent_id"] not in out:
+                base: list[dict] = []
+            else:
+                base = out[s["parent_id"]]
+            out[s["snapshot_id"]] = [
+                f for f in base if f["path"] not in removed] + added
+        return out
+
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Resolved data-file metadata of a snapshot (default current)."""
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+            if snapshot_id is None:
+                return []
+        resolved = self._resolve_all(snaps)
+        if snapshot_id not in resolved:
+            raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
+        return resolved[snapshot_id]
+
     def history(self) -> DataFrame:
         """Snapshot log as a DataFrame (id, parent, ts, op, files, rows)."""
+        snaps = self.snapshots()
+        resolved = self._resolve_all(snaps)
         rows = [
             (s["snapshot_id"], s["parent_id"],
              time.strftime("%Y-%m-%dT%H:%M:%S",
                            time.gmtime(s["timestamp_ms"] / 1000)),
-             s["operation"], len(s["files"]),
-             sum(f["rows"] for f in s["files"]),
+             s["operation"], len(resolved[s["snapshot_id"]]),
+             sum(f["rows"] for f in resolved[s["snapshot_id"]]),
              json.dumps(s.get("summary", {}), sort_keys=True))
-            for s in self.snapshots()
+            for s in snaps
         ]
         return self.spark.createDataFrame(
             rows, "snapshot_id long, parent_id long, committed_at string, "
@@ -314,16 +356,14 @@ class SnapshotTable:
             snap_id = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
                        if meta["snapshots"] else 1)
 
-            if op in ("append", "add_files"):
-                parent_files = self._snapshot(parent)["files"] if parent else []
-                files = parent_files + new_files
-            else:  # overwrite
-                files = new_files
-
             snap = _Snapshot(
                 snapshot_id=snap_id, parent_id=parent,
                 timestamp_ms=int(time.time() * 1000), operation=op,
-                files=files, summary=summary or {},
+                files_added=new_files, files_removed=[],
+                # append deltas against the parent; overwrite (and a
+                # parentless first commit) carry the full set
+                complete=(op == "overwrite" or parent is None),
+                summary=summary or {},
             ).__dict__
             meta = {
                 "table_uuid": meta["table_uuid"] or uuid.uuid4().hex,
@@ -370,7 +410,8 @@ class SnapshotTable:
                     break
                 files = self._harvest(directory, schema)
                 snap = _Snapshot(1, None, int(time.time() * 1000),
-                                 "add_files", files, summary or {}).__dict__
+                                 "add_files", files, [], True,
+                                 summary or {}).__dict__
                 try:
                     self._commit({"table_uuid": uuid.uuid4().hex,
                                   "schema": schema.jsonValue(),
@@ -385,13 +426,16 @@ class SnapshotTable:
     # -- reads ---------------------------------------------------------------
 
     def _snapshot(self, snapshot_id: int | None) -> dict:
+        """Raw snapshot record (file membership is a delta — use
+        :meth:`files` for the resolved set)."""
         snaps = self.snapshots()
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
             if snapshot_id is None:  # created-but-empty table
                 return {"snapshot_id": None, "parent_id": None,
                         "timestamp_ms": 0, "operation": "none",
-                        "files": [], "summary": {}}
+                        "files_added": [], "files_removed": [],
+                        "complete": True, "summary": {}}
         for s in snaps:
             if s["snapshot_id"] == snapshot_id:
                 return s
@@ -453,8 +497,9 @@ class SnapshotTable:
             if not eligible:
                 return self.spark.createDataFrame([], self.schema())
             snapshot_id = eligible[-1]["snapshot_id"]
-        snap = self._snapshot(snapshot_id)
-        return self._read_files(snap["files"])
+        if snapshot_id is None and self.current_snapshot_id() is None:
+            return self.spark.createDataFrame([], self.schema())
+        return self._read_files(self.files(snapshot_id))
 
     def scan(self, filters: list[tuple] | None = None,
              snapshot_id: int | None = None) -> tuple[DataFrame, dict]:
@@ -468,9 +513,9 @@ class SnapshotTable:
         the pruning; the same predicate is re-applied as a DataFrame
         filter for row-level exactness.
         """
-        snap = self._snapshot(snapshot_id)
+        fmetas = self.files(snapshot_id)
         keep = []
-        for fmeta in snap["files"]:
+        for fmeta in fmetas:
             if all(self._file_may_match(fmeta, *flt) for flt in (filters or [])):
                 keep.append(fmeta)
         df = self._read_files(keep)
@@ -478,7 +523,7 @@ class SnapshotTable:
             c = F.col(col)
             df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
                             ">": c > val, ">=": c >= val}[op])
-        return df, {"files_total": len(snap["files"]),
+        return df, {"files_total": len(fmetas),
                     "files_read": len(keep)}
 
     @staticmethod
@@ -521,11 +566,18 @@ class SnapshotTable:
                     raise ValueError(
                         f"snapshot {s['snapshot_id']} is {s['operation']}: "
                         "incremental scan undefined across it")
-                parent = next((p for p in snaps
-                               if p["snapshot_id"] == s["parent_id"]), None)
-                pfiles = {f["path"] for f in (parent or {"files": []})["files"]}
-                added.extend(f for f in s["files"]
-                             if f["path"] not in pfiles)
+                # delta records carry their additions directly; legacy
+                # full-list records diff against the parent
+                if "files_added" in s:
+                    added.extend(s["files_added"])
+                else:
+                    parent = next((p for p in snaps
+                                   if p["snapshot_id"] == s["parent_id"]),
+                                  None)
+                    pfiles = {f["path"]
+                              for f in (parent or {"files": []})["files"]}
+                    added.extend(f for f in s["files"]
+                                 if f["path"] not in pfiles)
         return self._read_files(added)
 
     # -- maintenance ---------------------------------------------------------
@@ -533,13 +585,13 @@ class SnapshotTable:
     def rollback(self, snapshot_id: int) -> int:
         """Make ``snapshot_id``'s file set current again via a new
         rollback snapshot (history is retained, like Iceberg)."""
-        target = self._snapshot(snapshot_id)
+        target_files = self.files(snapshot_id)
         for _ in range(self.MAX_COMMIT_RETRIES):
             meta, expected = self._load_versioned()
             new_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
             snap = _Snapshot(
                 new_id, meta["current_snapshot_id"], int(time.time() * 1000),
-                "rollback", target["files"],
+                "rollback", target_files, [], True,
                 {"rolled_back_to": snapshot_id}).__dict__
             meta = {**meta, "snapshots": meta["snapshots"] + [snap],
                     "current_snapshot_id": new_id}
@@ -569,9 +621,8 @@ class SnapshotTable:
         import random
         import shutil
 
-        base = self._snapshot(None)
         groups: dict[tuple, list[dict]] = {}
-        for f in base["files"]:
+        for f in self.files():
             key = tuple(sorted((f.get("partition") or {}).items()))
             groups.setdefault(key, []).append(f)
 
@@ -607,18 +658,17 @@ class SnapshotTable:
 
         for attempt in range(self.MAX_COMMIT_RETRIES):
             meta, expected = self._load_versioned()
-            cur = self._snapshot(meta["current_snapshot_id"])
-            cur_paths = {f["path"] for f in cur["files"]}
+            resolved = self._resolve_all(meta["snapshots"])
+            cur_paths = {f["path"]
+                         for f in resolved.get(meta["current_snapshot_id"], [])}
             if not rewritten <= cur_paths:
                 # concurrent overwrite removed an input — abandon
                 shutil.rmtree(out_dir, ignore_errors=True)
                 return None
-            files = [f for f in cur["files"]
-                     if f["path"] not in rewritten] + new_files
             snap = _Snapshot(
                 max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
                 meta["current_snapshot_id"], int(time.time() * 1000),
-                "compact", files,
+                "compact", new_files, sorted(rewritten), False,
                 {"rewritten_files": len(rewritten),
                  "new_files": len(new_files)}).__dict__
             meta = {**meta, "snapshots": meta["snapshots"] + [snap],
@@ -662,7 +712,8 @@ class SnapshotTable:
         or crashed before publishing (Iceberg's remove_orphan_files).
         Safe w.r.t. readers: an unreferenced file can never become
         referenced again (commits only add newly-written paths)."""
-        live = {f["path"] for s in self.snapshots() for f in s["files"]}
+        resolved = self._resolve_all(self.snapshots())
+        live = {f["path"] for fs in resolved.values() for f in fs}
         live_dirs = {os.path.dirname(p) for p in live}
         orphans = []
         for p in sorted(glob.glob(
@@ -710,15 +761,23 @@ class SnapshotTable:
             if len(snaps) <= keep_last:
                 return []
             kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-            live = {f["path"] for s in kept for f in s["files"]}
+            resolved = self._resolve_all(snaps)
+            live = {f["path"] for s in kept
+                    for f in resolved[s["snapshot_id"]]}
             dead = sorted({
-                f["path"] for s in dropped for f in s["files"]
+                f["path"] for s in dropped for f in resolved[s["snapshot_id"]]
                 if f["path"] not in live
                 and f["path"].startswith(os.path.join(self.path, "data") + os.sep)
             })
-            # snapshots keep their parent pointers even when the parent
-            # is expired (parent_id becomes a historical reference)
-            meta = {**meta, "snapshots": kept}
+            # the oldest survivor loses its ancestors: rebase it to a
+            # complete record so delta resolution never walks past the
+            # expiry horizon (snapshots keep their parent_id as a
+            # historical reference)
+            oldest = {**kept[0],
+                      "files_added": resolved[kept[0]["snapshot_id"]],
+                      "files_removed": [], "complete": True}
+            oldest.pop("files", None)
+            meta = {**meta, "snapshots": [oldest] + kept[1:]}
             try:
                 self._commit(meta, expected)
             except FileExistsError:

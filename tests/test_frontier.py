@@ -590,13 +590,15 @@ def test_rewind_to_round_replays_identically(spark, sf_dir, tmp_path):
             mans.append(m)
         # part-file names carry write UUIDs; the deterministic identity
         # of a snapshot is (summary, source dirs, per-dir row totals)
-        tables = {
-            name: [(s["summary"],
-                    sorted({os.path.dirname(f["path"]) for f in s["files"]}),
-                    sum(f["rows"] for f in s["files"]))
-                   for s in run.table(name).snapshots()]
-            for name in ("results", "frontier", "url_seen", "politeness")
-        }
+        tables = {}
+        for name in ("results", "frontier", "url_seen", "politeness"):
+            t = run.table(name)
+            tables[name] = [
+                (s["summary"],
+                 sorted({os.path.dirname(f["path"])
+                         for f in t.files(s["snapshot_id"])}),
+                 sum(f["rows"] for f in t.files(s["snapshot_id"])))
+                for s in t.snapshots()]
         return res, mans, tables
 
     before = fingerprint()

@@ -98,6 +98,22 @@ def test_stats_pruning_skips_files(spark, tmp_path):
     assert df4.count() == sum(1 for i in range(300) if i % 7 == 3)
 
 
+def test_metadata_stores_deltas_not_full_lists(spark, tmp_path):
+    """Each append snapshot records only its own files (manifest
+    reuse): metadata stays O(files added), not O(rounds × files)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_df(spark, 10 * i, 10 * i + 10).coalesce(1))
+    snaps = t.snapshots()
+    assert [len(s["files_added"]) for s in snaps] == [1] * 6
+    assert snaps[0]["complete"] and not any(s["complete"] for s in snaps[1:])
+    assert len(t.files()) == 6 and t.read().count() == 60
+    # resolution survives expiry of the delta chain's head
+    t.expire_snapshots(keep_last=3)
+    assert t.snapshots()[0]["complete"]  # rebased survivor
+    assert len(t.files()) == 6 and t.read().count() == 60
+
+
 def test_rollback(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     s1 = t.append(_df(spark, 0, 10))
@@ -114,11 +130,12 @@ def test_expire_snapshots_deletes_unreferenced(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 10).coalesce(1))
     t.overwrite(_df(spark, 50, 60).coalesce(1))  # snap-1 files now dead
-    all_files = {f["path"] for s in t.snapshots() for f in s["files"]}
+    all_files = {f["path"] for s in t.snapshots()
+                 for f in t.files(s["snapshot_id"])}
     dead = t.expire_snapshots(keep_last=1)
     assert len(t.snapshots()) == 1
     assert dead and all(not os.path.exists(p) for p in dead)
-    live = {f["path"] for s in t.snapshots() for f in s["files"]}
+    live = {f["path"] for f in t.files()}
     assert live == all_files - set(dead)
     assert all(os.path.exists(p) for p in live)
     assert t.read().count() == 10  # current data intact
@@ -184,14 +201,12 @@ def test_compact_rewrites_small_files(spark, tmp_path):
         t.append(_df(spark, lo, lo + 10).repartition(2))
     s_pre = t.current_snapshot_id()
     before = sorted((r["id"], r["name"]) for r in t.read().collect())
-    n_files_before = len(t._snapshot(None)["files"])
-    assert n_files_before == 10
+    assert len(t.files()) == 10
 
     sid = t.compact(target_file_bytes=1 << 30)  # everything is "small"
     assert sid is not None
-    after_snap = t._snapshot(None)
-    assert after_snap["operation"] == "compact"
-    assert len(after_snap["files"]) == 1
+    assert t._snapshot(None)["operation"] == "compact"
+    assert len(t.files()) == 1
     assert sorted((r["id"], r["name"]) for r in t.read().collect()) == before
     # pre-compact snapshot still readable
     assert t.read(snapshot_id=s_pre).count() == 50
@@ -220,8 +235,7 @@ def test_compact_partitioned_table(spark, tmp_path):
     sid = t.compact(target_file_bytes=1 << 30)
     assert sid is not None
     # one output file per partition group, partition values preserved
-    snap = t._snapshot(None)
-    assert len(snap["files"]) == 7
+    assert len(t.files()) == 7
     assert sorted((r["id"], r["bucket"]) for r in t.read().collect()) == before
     # partition pruning still works on compacted files
     df, info = t.scan(filters=[("bucket", "=", 2)])
