@@ -320,41 +320,70 @@ class SnapshotTable:
                         "bytes": os.path.getsize(p), **_file_stats(p, cols)})
         return out
 
+    @staticmethod
+    def _evolve_schema(committed: T.StructType | None, new: T.StructType,
+                       merge: bool) -> T.StructType:
+        """Declared schema after a write: unchanged names keep the
+        committed layout; with ``merge``, NEW columns append as nullable
+        fields (Iceberg additive schema evolution — older files read as
+        null for them). Anything else is a hard mismatch."""
+        if committed is None:
+            return new
+        old_names = [f.name for f in committed.fields]
+        new_names = [f.name for f in new.fields]
+        if old_names == new_names:
+            return committed
+        if merge and set(old_names) <= set(new_names):
+            extra = [T.StructField(f.name, f.dataType, True)
+                     for f in new.fields if f.name not in set(old_names)]
+            return T.StructType(list(committed.fields) + extra)
+        raise ValueError(
+            f"schema mismatch: table has {old_names}, df has {new_names}"
+            + ("" if merge else
+               " (pass merge_schema=True to add new columns)"))
+
     def _apply(self, op: str, df: DataFrame | None,
-               directory: str | None = None, summary: dict | None = None) -> int:
+               directory: str | None = None, summary: dict | None = None,
+               merge_schema: bool = False) -> int:
         """Optimistic-concurrency commit loop shared by all write ops.
 
         The data files are written ONCE, before the loop — their bytes
         don't depend on which version the commit lands as — and only
         the metadata publish retries on conflict (Iceberg's commit
         model: expensive work outside the retry, cheap metadata swap
-        inside it, jittered backoff between attempts).
+        inside it, jittered backoff between attempts). The declared
+        schema is (re-)derived INSIDE the loop so a concurrent
+        evolution is never overwritten with a stale layout.
         """
         import random
         import shutil
 
         if df is not None:
+            # fail fast on an obvious mismatch before paying the write
             meta0 = self._load()
-            if meta0["schema"] is not None:
-                committed = T.StructType.fromJson(meta0["schema"])
-                if [f.name for f in df.schema.fields] != \
-                   [f.name for f in committed.fields]:
-                    raise ValueError(
-                        f"schema mismatch: table has "
-                        f"{[f.name for f in committed.fields]}, "
-                        f"df has {[f.name for f in df.schema.fields]}")
-            schema = df.schema
+            self._evolve_schema(
+                T.StructType.fromJson(meta0["schema"])
+                if meta0["schema"] is not None else None,
+                df.schema, merge_schema)
             new_dir, new_files = self._write_data(df, uuid.uuid4().int % 10**6)
         else:
             new_dir = None
-            schema = self.schema() if self._load()["schema"] else None
-            new_files = self._harvest(directory, schema) if directory else []
+            dir_schema = self.schema() if self._load()["schema"] else None
+            new_files = (self._harvest(directory, dir_schema)
+                         if directory else [])
 
         for attempt in range(self.MAX_COMMIT_RETRIES):
             meta, expected = self._load_versioned()
             parent = meta["current_snapshot_id"]
             snap_id = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
                        if meta["snapshots"] else 1)
+            committed = (T.StructType.fromJson(meta["schema"])
+                         if meta["schema"] is not None else None)
+            if df is not None:
+                declared = self._evolve_schema(
+                    committed, df.schema, merge_schema)
+            else:
+                declared = committed if committed is not None else dir_schema
 
             snap = _Snapshot(
                 snapshot_id=snap_id, parent_id=parent,
@@ -367,7 +396,7 @@ class SnapshotTable:
             ).__dict__
             meta = {
                 "table_uuid": meta["table_uuid"] or uuid.uuid4().hex,
-                "schema": (schema.jsonValue() if schema is not None
+                "schema": (declared.jsonValue() if declared is not None
                            else meta["schema"]),
                 "snapshots": meta["snapshots"] + [snap],
                 "current_snapshot_id": snap_id,
@@ -382,13 +411,19 @@ class SnapshotTable:
         raise CommitConflict(
             f"lost {self.MAX_COMMIT_RETRIES} commit races on {self.path}")
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
-        """Commit ``df`` as a new append snapshot; returns snapshot id."""
-        return self._apply("append", df, summary=summary)
+    def append(self, df: DataFrame, summary: dict | None = None,
+               merge_schema: bool = False) -> int:
+        """Commit ``df`` as a new append snapshot; returns snapshot id.
+        ``merge_schema=True`` allows ``df`` to carry NEW columns, which
+        evolve the table schema additively (older files read as null)."""
+        return self._apply("append", df, summary=summary,
+                           merge_schema=merge_schema)
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  merge_schema: bool = False) -> int:
         """Commit ``df`` as a full-replace snapshot; returns snapshot id."""
-        return self._apply("overwrite", df, summary=summary)
+        return self._apply("overwrite", df, summary=summary,
+                           merge_schema=merge_schema)
 
     def add_files(self, directory: str, schema: T.StructType | None = None,
                   summary: dict | None = None) -> int:
@@ -562,7 +597,7 @@ class SnapshotTable:
             if from_id < s["snapshot_id"] <= to_id:
                 if s["operation"] == "compact":
                     continue  # net-zero rewrite: adds no rows
-                if s["operation"] in ("overwrite", "rollback"):
+                if s["operation"] in ("overwrite", "rollback", "delete"):
                     raise ValueError(
                         f"snapshot {s['snapshot_id']} is {s['operation']}: "
                         "incremental scan undefined across it")
@@ -601,6 +636,92 @@ class SnapshotTable:
             except FileExistsError:
                 continue
         raise CommitConflict(f"rollback lost races on {self.path}")
+
+    def delete_where(self, filters: list[tuple]) -> int | None:
+        """Row-level delete, copy-on-write (Iceberg COW ``DELETE``):
+        only files whose stats/partition values MAY hold matching rows
+        (same pruning as :meth:`scan`) are read back and rewritten
+        without the matching rows; untouched files carry over via the
+        delta record. ``filters`` are AND-combined ``(col, op, value)``
+        tuples — the match predicate, i.e. matching rows are REMOVED.
+
+        The pipeline seam: after a dedup pass flags losing URLs, purge
+        them from the results table without rewriting the other 99 % of
+        a 100 TB table. Returns the new snapshot id, or None when no
+        file could match (nothing to do).
+        """
+        import random
+        import shutil
+
+        if not filters:
+            raise ValueError("delete_where requires at least one filter")
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        touched = [f for f in self.files()
+                   if all(self._file_may_match(f, *flt) for flt in filters)]
+        if not touched:
+            return None
+        pred = None
+        for col, op, val in filters:
+            c = F.col(col)
+            term = {"=": c == val, "<": c < val, "<=": c <= val,
+                    ">": c > val, ">=": c >= val}[op]
+            pred = term if pred is None else pred & term
+
+        out_dir = os.path.join(self.path, "data",
+                               f"delete-{uuid.uuid4().hex[:8]}")
+        groups: dict[tuple, list[dict]] = {}
+        for f in touched:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f)
+        new_files: list[dict] = []
+        for key, fs in sorted(groups.items()):
+            pcols = dict(key)
+            fschema = T.StructType(
+                [fld for fld in schema.fields if fld.name not in pcols])
+            df = self.spark.read.schema(fschema).parquet(
+                *[f["path"] for f in fs])
+            # partition columns referenced by the predicate are
+            # path-derived constants for this group
+            by_name = {f.name: f for f in schema.fields}
+            full = df
+            for name, val in pcols.items():
+                full = full.withColumn(
+                    name, F.lit(val).cast(by_name[name].dataType))
+            kept = full.filter(~pred).select(
+                [f.name for f in fschema.fields])
+            d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+            kept.coalesce(max(1, len(fs))).write.parquet(d)
+            for meta in self._harvest(d, fschema):
+                new_files.append({**meta, "partition": pcols,
+                                  "base": out_dir if pcols else None})
+        removed = sorted(f["path"] for f in touched)
+
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            meta, expected = self._load_versioned()
+            resolved = self._resolve_all(meta["snapshots"])
+            cur_paths = {f["path"]
+                         for f in resolved.get(meta["current_snapshot_id"], [])}
+            if not set(removed) <= cur_paths:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise CommitConflict(
+                    "delete_where inputs vanished under a concurrent "
+                    f"overwrite on {self.path}")
+            snap = _Snapshot(
+                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
+                meta["current_snapshot_id"], int(time.time() * 1000),
+                "delete", new_files, removed, False,
+                {"filters": [[c, o, _json_safe(v)] for c, o, v in filters],
+                 "rewritten_files": len(removed)}).__dict__
+            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
+                    "current_snapshot_id": snap["snapshot_id"]}
+            try:
+                self._commit(meta, expected)
+                return snap["snapshot_id"]
+            except FileExistsError:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise CommitConflict(f"delete_where lost races on {self.path}")
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:

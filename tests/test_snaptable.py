@@ -63,6 +63,31 @@ def test_schema_pinned(spark, tmp_path):
         t.append(spark.range(5).select(F.col("id").alias("other")))
 
 
+def test_schema_evolution_additive(spark, tmp_path):
+    """merge_schema=True appends new nullable columns; files written
+    before the evolution read as null for them, everywhere (current
+    read, time travel, scan)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10).coalesce(1))
+    evolved = _df(spark, 10, 20).withColumn(
+        "lang", F.lit("en")).coalesce(1)
+    # without the flag: hard error, no half-evolved table
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(evolved)
+    t.append(evolved, merge_schema=True)
+    assert [f.name for f in t.schema().fields] == [
+        "id", "name", "bucket", "lang"]
+    rows = {r["id"]: r["lang"] for r in t.read().collect()}
+    assert rows[5] is None and rows[15] == "en"
+    # time travel reads with the CURRENT schema (evolved column = null)
+    tt = t.read(snapshot_id=s1)
+    assert "lang" in tt.columns and tt.count() == 10
+    assert all(r["lang"] is None for r in tt.collect())
+    # dropping columns (or renaming) stays a mismatch even with merge
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.range(3).select("id"), merge_schema=True)
+
+
 def test_incremental_scan(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     s1 = t.append(_df(spark, 0, 10))
@@ -96,6 +121,50 @@ def test_stats_pruning_skips_files(spark, tmp_path):
     df4, info4 = t.scan(filters=[("bucket", "=", 3)])
     assert info4["files_read"] == 3
     assert df4.count() == sum(1 for i in range(300) if i % 7 == 3)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """delete_where rewrites ONLY files that may hold matching rows;
+    non-matching files carry through untouched (same physical path)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:  # disjoint stats
+        t.append(_df(spark, lo, hi).coalesce(1))
+    paths_before = {f["path"] for f in t.files()}
+    sid = t.delete_where([("id", ">=", 150), ("id", "<", 160)])
+    assert sid is not None
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [i for i in range(300) if not 150 <= i < 160]
+    # only the middle file was rewritten; the other two survive in place
+    paths_after = {f["path"] for f in t.files()}
+    assert len(paths_before & paths_after) == 2
+    # time travel still sees the pre-delete rows
+    assert t.read(snapshot_id=3).count() == 300
+    # incremental across a delete is undefined
+    with pytest.raises(ValueError, match="delete"):
+        t.incremental(1)
+    # no file can match -> no-op, no new snapshot
+    n = len(t.snapshots())
+    assert t.delete_where([("id", ">=", 10_000)]) is None
+    assert len(t.snapshots()) == n
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    """Partition-column predicates prune whole partitions and delete
+    correctly when the predicate mixes partition + data columns."""
+    ext = str(tmp_path / "part")
+    _df(spark, 0, 140).write.partitionBy("bucket").parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.add_files(ext)
+    before = {f["path"] for f in t.files()}
+    t.delete_where([("bucket", "=", 2), ("id", "<", 70)])
+    got = sorted((r["id"], r["bucket"]) for r in t.read().collect())
+    want = sorted((i, i % 7) for i in range(140)
+                  if not (i % 7 == 2 and i < 70))
+    assert got == want
+    # only bucket=2 files rewritten
+    after = {f["path"] for f in t.files()}
+    untouched = {p for p in before if "bucket=2" not in p}
+    assert untouched <= after
 
 
 def test_metadata_stores_deltas_not_full_lists(spark, tmp_path):
