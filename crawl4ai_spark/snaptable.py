@@ -597,7 +597,8 @@ class SnapshotTable:
             if from_id < s["snapshot_id"] <= to_id:
                 if s["operation"] == "compact":
                     continue  # net-zero rewrite: adds no rows
-                if s["operation"] in ("overwrite", "rollback", "delete"):
+                if s["operation"] in ("overwrite", "rollback", "delete",
+                                      "merge"):
                     raise ValueError(
                         f"snapshot {s['snapshot_id']} is {s['operation']}: "
                         "incremental scan undefined across it")
@@ -722,6 +723,126 @@ class SnapshotTable:
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         shutil.rmtree(out_dir, ignore_errors=True)
         raise CommitConflict(f"delete_where lost races on {self.path}")
+
+    # bounded driver-side key materialization for merge pruning — above
+    # this, fall back to conservative [min,max]-range-overlap pruning
+    MERGE_PRUNE_MAX_KEYS = 2_000_000
+
+    def merge_by_key(self, source: DataFrame, key_col: str,
+                     summary: dict | None = None) -> int | None:
+        """Upsert (Iceberg ``MERGE INTO`` for the whole-row case):
+        rows whose ``key_col`` appears in ``source`` are replaced by the
+        source row; unseen keys are appended — the recrawl path, where
+        a re-fetched page's fresh capture supersedes the stored one.
+
+        Copy-on-write with key pruning: only files whose footer
+        [min,max] ``key_col`` range contains at least one source key
+        are rewritten (source keys are collected driver-side under a
+        ``MERGE_PRUNE_MAX_KEYS`` guard — beyond it, range overlap with
+        the source's global [min,max] decides, still never a full
+        rewrite of non-overlapping files).
+        """
+        import bisect
+        import random
+        import shutil
+
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"merge source schema {sorted(source.columns)} != "
+                f"table schema {sorted(cols)}")
+        source = source.select(cols).dropDuplicates([key_col])
+        part_cols = {k for f in self.files()
+                     for k in (f.get("partition") or {})}
+        if key_col in part_cols:
+            raise ValueError(
+                f"merge_by_key on partition column {key_col!r} is not "
+                "supported (repartition the table by a data column)")
+
+        n_keys = source.count()
+        if n_keys == 0:
+            return None
+        keys = None
+        if n_keys <= self.MERGE_PRUNE_MAX_KEYS:
+            keys = sorted(_json_safe(r[0])
+                          for r in source.select(key_col).collect())
+            lo_k, hi_k = keys[0], keys[-1]
+        else:
+            row = source.agg(F.min(key_col), F.max(key_col)).first()
+            lo_k, hi_k = _json_safe(row[0]), _json_safe(row[1])
+
+        def may_touch(fmeta: dict) -> bool:
+            rng = fmeta["stats"].get(key_col)
+            if rng is None:
+                return True  # no stats -> must rewrite to stay exact
+            lo, hi = rng
+            if hi < lo_k or lo > hi_k:
+                return False
+            if keys is None:
+                return True
+            i = bisect.bisect_left(keys, lo)
+            return i < len(keys) and keys[i] <= hi
+
+        touched = [f for f in self.files() if may_touch(f)]
+
+        out_dir = os.path.join(self.path, "data",
+                               f"merge-{uuid.uuid4().hex[:8]}")
+        new_files: list[dict] = []
+        if touched:
+            groups: dict[tuple, list[dict]] = {}
+            for f in touched:
+                key = tuple(sorted((f.get("partition") or {}).items()))
+                groups.setdefault(key, []).append(f)
+            src_keys = source.select(F.col(key_col).alias("_mk"))
+            for key, fs in sorted(groups.items()):
+                pcols = dict(key)
+                fschema = T.StructType(
+                    [fld for fld in schema.fields if fld.name not in pcols])
+                df = self.spark.read.schema(fschema).parquet(
+                    *[f["path"] for f in fs])
+                kept = df.join(
+                    F.broadcast(src_keys)
+                    if n_keys <= self.MERGE_PRUNE_MAX_KEYS else src_keys,
+                    df[key_col] == F.col("_mk"), "left_anti")
+                d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+                kept.coalesce(max(1, len(fs))).write.parquet(d)
+                for meta in self._harvest(d, fschema):
+                    new_files.append({**meta, "partition": pcols,
+                                      "base": out_dir if pcols else None})
+        # the source rows land as fresh unpartitioned files
+        src_dir, src_files = self._write_data(
+            source, uuid.uuid4().int % 10**6)
+        new_files += src_files
+        removed = sorted(f["path"] for f in touched)
+
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            meta, expected = self._load_versioned()
+            resolved = self._resolve_all(meta["snapshots"])
+            cur_paths = {f["path"]
+                         for f in resolved.get(meta["current_snapshot_id"], [])}
+            if not set(removed) <= cur_paths:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(src_dir, ignore_errors=True)
+                raise CommitConflict(
+                    f"merge inputs vanished under a concurrent overwrite "
+                    f"on {self.path}")
+            snap = _Snapshot(
+                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
+                meta["current_snapshot_id"], int(time.time() * 1000),
+                "merge", new_files, removed, False,
+                {**(summary or {}), "merge_keys": n_keys,
+                 "rewritten_files": len(removed)}).__dict__
+            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
+                    "current_snapshot_id": snap["snapshot_id"]}
+            try:
+                self._commit(meta, expected)
+                return snap["snapshot_id"]
+            except FileExistsError:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        raise CommitConflict(f"merge lost races on {self.path}")
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:

@@ -167,6 +167,45 @@ def test_delete_where_partitioned(spark, tmp_path):
     assert untouched <= after
 
 
+def test_merge_by_key_upsert(spark, tmp_path):
+    """merge_by_key: matching keys are replaced by the source row, new
+    keys append, and only key-range-overlapping files rewrite — the
+    recrawl path (fresh captures supersede stored pages)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:  # disjoint ranges
+        t.append(_df(spark, lo, hi, tag="old").coalesce(1))
+    paths_before = {f["path"] for f in t.files()}
+    s_pre = t.current_snapshot_id()
+
+    # re-fetch keys 150..159 (middle file only) + brand-new keys 400..404
+    src = _df(spark, 150, 160, tag="new").union(
+        _df(spark, 400, 405, tag="new"))
+    sid = t.merge_by_key(src, "id")
+    assert sid is not None
+
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert len(rows) == 305
+    assert rows[155] == "new155" and rows[149] == "old149"
+    assert rows[400] == "new400" and rows[5] == "old5"
+    # only the middle file was rewritten; first and last survive in place
+    assert len(paths_before & {f["path"] for f in t.files()}) == 2
+    # time travel pre-merge still shows the old capture
+    old = {r["id"]: r["name"]
+           for r in t.read(snapshot_id=s_pre).collect()}
+    assert old[155] == "old155" and 400 not in old
+    with pytest.raises(ValueError, match="merge"):
+        t.incremental(s_pre)
+    # merging on a partition column is refused
+    ext = str(tmp_path / "part")
+    _df(spark, 0, 70).write.partitionBy("bucket").parquet(ext)
+    tp = SnapshotTable(spark, str(tmp_path / "tp"))
+    tp.add_files(ext)
+    with pytest.raises(ValueError, match="partition column"):
+        tp.merge_by_key(_df(spark, 0, 5), "bucket")
+    # empty source is a no-op
+    assert t.merge_by_key(_df(spark, 0, 0), "id") is None
+
+
 def test_metadata_stores_deltas_not_full_lists(spark, tmp_path):
     """Each append snapshot records only its own files (manifest
     reuse): metadata stays O(files added), not O(rounds × files)."""
