@@ -128,3 +128,31 @@ def test_robots_join_broadcasts_rules(spark):
     plan = _final_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(host" not in plan
+
+
+def test_per_host_quota_topk_is_salted(spark):
+    """The per-host admission quota must never funnel a hot host's full
+    row set through one task: phase 1 partitions the window by (host,
+    salt slice) — the executed plan's first row_number sort must carry
+    BOTH keys, and only the ≤ salt×k survivors hit the exact window."""
+    from crawl4ai_spark.operators.frontier import _per_host_topk
+
+    # hot-host skew: 90% of rows on h0
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, "h0")
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 10).cast("string")))
+        .alias("host"),
+        (F.col("id") % 97).cast("double").alias("priority"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+    )
+    out = _per_host_topk(df, k=3, salt=8)
+    plan = _final_plan(out)
+    # two row_number windows: the salted partial phase (partitioned by
+    # host + pmod(xxhash64(url))) and the exact merge phase. The plan
+    # prints top-down (exact phase first), so assert both keys exist.
+    assert plan.count("row_number") >= 2
+    assert "pmod(xxhash64" in plan
+    # correctness under the skew: exactly k rows per host with rows >= k
+    counts = {r["host"]: r["n"] for r in
+              out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts["h0"] == 3

@@ -532,7 +532,7 @@ def test_snapshot_table_model(spark, tmp_path, seed):
     for step in range(10):
         op = rng.choice(
             ["append", "append", "overwrite", "rollback", "compact",
-             "expire"])
+             "expire", "delete", "merge"])
         if op == "append":
             n = rng.randint(1, 4)
             sid = t.append(df_of(base, n))
@@ -558,6 +558,24 @@ def test_snapshot_table_model(spark, tmp_path, seed):
             if sid is not None:
                 model[sid] = sorted(current)
                 order.append(sid)
+        elif op == "delete" and order and current:
+            cut = rng.choice(sorted(current))
+            sid = t.delete_where([("id", ">=", cut)])
+            if sid is not None:
+                current = [i for i in current if i < cut]
+                model[sid] = sorted(current)
+                order.append(sid)
+        elif op == "merge" and order:
+            # re-capture one existing id (if any) + one new id
+            upserts = ([rng.choice(sorted(current))] if current else []) \
+                + [base]
+            src = spark.createDataFrame([(i,) for i in upserts], "id long")
+            sid = t.merge_by_key(src, "id")
+            assert sid is not None
+            current = sorted(set(current) | set(upserts))
+            model[sid] = sorted(current)
+            order.append(sid)
+            base += 100
         elif op == "expire" and len(order) > 2:
             keep = rng.randint(1, len(order) - 1)
             t.expire_snapshots(keep_last=keep)
