@@ -638,6 +638,54 @@ class SnapshotTable:
                 continue
         raise CommitConflict(f"rollback lost races on {self.path}")
 
+    def _commit_rewrite(self, op: str, planned_paths: set[str],
+                        removed: list[str], new_files: list[dict],
+                        summary: dict, cleanup_dirs: list[str],
+                        conflicts=None) -> int:
+        """Optimistic commit shared by the copy-on-write ops (delete /
+        merge / compact): validates ``removed`` files still exist, and
+        — when ``conflicts`` is given — that no file appended since
+        planning could hold affected rows (``conflicts(fmeta) -> bool``;
+        Iceberg's serializable-isolation validation). Raises
+        CommitConflict on either; the caller's cleanup dirs are removed
+        before raising so no orphans outlive the failure."""
+        import random
+        import shutil
+
+        def _fail(msg: str):
+            for d in cleanup_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            raise CommitConflict(msg)
+
+        new_paths = {f["path"] for f in new_files}
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            meta, expected = self._load_versioned()
+            resolved = self._resolve_all(meta["snapshots"])
+            cur = resolved.get(meta["current_snapshot_id"], [])
+            if not set(removed) <= {f["path"] for f in cur}:
+                _fail(f"{op} inputs vanished under a concurrent "
+                      f"overwrite on {self.path}")
+            if conflicts is not None:
+                bad = [f["path"] for f in cur
+                       if f["path"] not in planned_paths
+                       and f["path"] not in new_paths and conflicts(f)]
+                if bad:
+                    _fail(f"{op} conflicts with concurrently appended "
+                          f"files on {self.path}: {bad[:3]}")
+            snap = _Snapshot(
+                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
+                meta["current_snapshot_id"], int(time.time() * 1000),
+                op, new_files, sorted(removed), False, summary).__dict__
+            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
+                    "current_snapshot_id": snap["snapshot_id"]}
+            try:
+                self._commit(meta, expected)
+                return snap["snapshot_id"]
+            except FileExistsError:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        _fail(f"{op} lost {self.MAX_COMMIT_RETRIES} commit races "
+              f"on {self.path}")
+
     def delete_where(self, filters: list[tuple]) -> int | None:
         """Row-level delete, copy-on-write (Iceberg COW ``DELETE``):
         only files whose stats/partition values MAY hold matching rows
@@ -649,16 +697,16 @@ class SnapshotTable:
         The pipeline seam: after a dedup pass flags losing URLs, purge
         them from the results table without rewriting the other 99 % of
         a 100 TB table. Returns the new snapshot id, or None when no
-        file could match (nothing to do).
+        file could match (nothing to do). A concurrent append whose
+        files may hold matching rows aborts the commit with
+        CommitConflict (serializable isolation — those rows were never
+        scanned, so the delete's promise can't be kept).
         """
-        import random
-        import shutil
-
         if not filters:
             raise ValueError("delete_where requires at least one filter")
         schema = self.schema()
-        cols = [f.name for f in schema.fields]
-        touched = [f for f in self.files()
+        planned = self.files()
+        touched = [f for f in planned
                    if all(self._file_may_match(f, *flt) for flt in filters)]
         if not touched:
             return None
@@ -694,35 +742,17 @@ class SnapshotTable:
             d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
             kept.coalesce(max(1, len(fs))).write.parquet(d)
             for meta in self._harvest(d, fschema):
-                new_files.append({**meta, "partition": pcols,
-                                  "base": out_dir if pcols else None})
-        removed = sorted(f["path"] for f in touched)
-
-        for attempt in range(self.MAX_COMMIT_RETRIES):
-            meta, expected = self._load_versioned()
-            resolved = self._resolve_all(meta["snapshots"])
-            cur_paths = {f["path"]
-                         for f in resolved.get(meta["current_snapshot_id"], [])}
-            if not set(removed) <= cur_paths:
-                shutil.rmtree(out_dir, ignore_errors=True)
-                raise CommitConflict(
-                    "delete_where inputs vanished under a concurrent "
-                    f"overwrite on {self.path}")
-            snap = _Snapshot(
-                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
-                meta["current_snapshot_id"], int(time.time() * 1000),
-                "delete", new_files, removed, False,
-                {"filters": [[c, o, _json_safe(v)] for c, o, v in filters],
-                 "rewritten_files": len(removed)}).__dict__
-            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
-                    "current_snapshot_id": snap["snapshot_id"]}
-            try:
-                self._commit(meta, expected)
-                return snap["snapshot_id"]
-            except FileExistsError:
-                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        raise CommitConflict(f"delete_where lost races on {self.path}")
+                if meta["rows"] > 0:  # fully-emptied groups add nothing
+                    new_files.append({**meta, "partition": pcols,
+                                      "base": out_dir if pcols else None})
+        return self._commit_rewrite(
+            "delete", {f["path"] for f in planned},
+            sorted(f["path"] for f in touched), new_files,
+            {"filters": [[c, o, _json_safe(v)] for c, o, v in filters],
+             "rewritten_files": len(touched)},
+            [out_dir],
+            conflicts=lambda f: all(
+                self._file_may_match(f, *flt) for flt in filters))
 
     # bounded driver-side key materialization for merge pruning — above
     # this, fall back to conservative [min,max]-range-overlap pruning
@@ -740,109 +770,111 @@ class SnapshotTable:
         are rewritten (source keys are collected driver-side under a
         ``MERGE_PRUNE_MAX_KEYS`` guard — beyond it, range overlap with
         the source's global [min,max] decides, still never a full
-        rewrite of non-overlapping files).
+        rewrite of non-overlapping files). Null (or NaN) merge keys are
+        rejected; duplicate source keys keep one arbitrary row — make
+        the winner explicit upstream (e.g. a latest-capture max_by).
+        A concurrent append whose files may hold a merged key aborts
+        with CommitConflict (serializable isolation).
         """
         import bisect
-        import random
-        import shutil
 
         schema = self.schema()
         cols = [f.name for f in schema.fields]
-        if set(source.columns) != set(cols):
-            raise ValueError(
-                f"merge source schema {sorted(source.columns)} != "
-                f"table schema {sorted(cols)}")
-        source = source.select(cols).dropDuplicates([key_col])
-        part_cols = {k for f in self.files()
-                     for k in (f.get("partition") or {})}
+        planned = self.files()
+        part_cols = {k for f in planned for k in (f.get("partition") or {})}
         if key_col in part_cols:
             raise ValueError(
                 f"merge_by_key on partition column {key_col!r} is not "
                 "supported (repartition the table by a data column)")
+        if {f.name: f.dataType for f in source.schema.fields} != \
+           {f.name: f.dataType for f in schema.fields}:
+            raise ValueError(
+                f"merge source schema {source.schema.simpleString()} != "
+                f"table schema {schema.simpleString()} "
+                "(names AND types must match)")
 
-        n_keys = source.count()
-        if n_keys == 0:
-            return None
-        keys = None
-        if n_keys <= self.MERGE_PRUNE_MAX_KEYS:
-            keys = sorted(_json_safe(r[0])
-                          for r in source.select(key_col).collect())
-            lo_k, hi_k = keys[0], keys[-1]
-        else:
-            row = source.agg(F.min(key_col), F.max(key_col)).first()
-            lo_k, hi_k = _json_safe(row[0]), _json_safe(row[1])
+        # one deterministic materialization of the source: pruning keys,
+        # anti-joins, and the final write must all see the same rows
+        source = source.select(cols).dropDuplicates([key_col]).persist()
+        try:
+            n_keys = source.count()
+            if n_keys == 0:
+                return None
+            keys = None
+            if n_keys <= self.MERGE_PRUNE_MAX_KEYS:
+                keys = sorted(
+                    (_json_safe(r[0])
+                     for r in source.select(key_col).collect()),
+                    key=lambda k: (k is None, k))
+                if keys[0] is None or any(k != k for k in keys):
+                    raise ValueError(
+                        "merge_by_key: null/NaN keys in source")
+                lo_k, hi_k = keys[0], keys[-1]
+            else:
+                if source.filter(F.col(key_col).isNull()
+                                 | F.isnan(key_col)
+                                 if isinstance(
+                                     schema[key_col].dataType,
+                                     (T.FloatType, T.DoubleType))
+                                 else F.col(key_col).isNull()).head(1):
+                    raise ValueError(
+                        "merge_by_key: null/NaN keys in source")
+                row = source.agg(F.min(key_col), F.max(key_col)).first()
+                lo_k, hi_k = _json_safe(row[0]), _json_safe(row[1])
 
-        def may_touch(fmeta: dict) -> bool:
-            rng = fmeta["stats"].get(key_col)
-            if rng is None:
-                return True  # no stats -> must rewrite to stay exact
-            lo, hi = rng
-            if hi < lo_k or lo > hi_k:
-                return False
-            if keys is None:
-                return True
-            i = bisect.bisect_left(keys, lo)
-            return i < len(keys) and keys[i] <= hi
+            def may_touch(fmeta: dict) -> bool:
+                rng = fmeta["stats"].get(key_col)
+                if rng is None:
+                    return True  # no stats -> must rewrite to stay exact
+                lo, hi = rng
+                if hi < lo_k or lo > hi_k:
+                    return False
+                if keys is None:
+                    return True
+                i = bisect.bisect_left(keys, lo)
+                return i < len(keys) and keys[i] <= hi
 
-        touched = [f for f in self.files() if may_touch(f)]
+            touched = [f for f in planned if may_touch(f)]
 
-        out_dir = os.path.join(self.path, "data",
-                               f"merge-{uuid.uuid4().hex[:8]}")
-        new_files: list[dict] = []
-        if touched:
-            groups: dict[tuple, list[dict]] = {}
-            for f in touched:
-                key = tuple(sorted((f.get("partition") or {}).items()))
-                groups.setdefault(key, []).append(f)
-            src_keys = source.select(F.col(key_col).alias("_mk"))
-            for key, fs in sorted(groups.items()):
-                pcols = dict(key)
-                fschema = T.StructType(
-                    [fld for fld in schema.fields if fld.name not in pcols])
-                df = self.spark.read.schema(fschema).parquet(
-                    *[f["path"] for f in fs])
-                kept = df.join(
-                    F.broadcast(src_keys)
-                    if n_keys <= self.MERGE_PRUNE_MAX_KEYS else src_keys,
-                    df[key_col] == F.col("_mk"), "left_anti")
-                d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
-                kept.coalesce(max(1, len(fs))).write.parquet(d)
-                for meta in self._harvest(d, fschema):
-                    new_files.append({**meta, "partition": pcols,
-                                      "base": out_dir if pcols else None})
-        # the source rows land as fresh unpartitioned files
-        src_dir, src_files = self._write_data(
-            source, uuid.uuid4().int % 10**6)
-        new_files += src_files
-        removed = sorted(f["path"] for f in touched)
-
-        for attempt in range(self.MAX_COMMIT_RETRIES):
-            meta, expected = self._load_versioned()
-            resolved = self._resolve_all(meta["snapshots"])
-            cur_paths = {f["path"]
-                         for f in resolved.get(meta["current_snapshot_id"], [])}
-            if not set(removed) <= cur_paths:
-                shutil.rmtree(out_dir, ignore_errors=True)
-                shutil.rmtree(src_dir, ignore_errors=True)
-                raise CommitConflict(
-                    f"merge inputs vanished under a concurrent overwrite "
-                    f"on {self.path}")
-            snap = _Snapshot(
-                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
-                meta["current_snapshot_id"], int(time.time() * 1000),
-                "merge", new_files, removed, False,
-                {**(summary or {}), "merge_keys": n_keys,
-                 "rewritten_files": len(removed)}).__dict__
-            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
-                    "current_snapshot_id": snap["snapshot_id"]}
-            try:
-                self._commit(meta, expected)
-                return snap["snapshot_id"]
-            except FileExistsError:
-                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        shutil.rmtree(src_dir, ignore_errors=True)
-        raise CommitConflict(f"merge lost races on {self.path}")
+            out_dir = os.path.join(self.path, "data",
+                                   f"merge-{uuid.uuid4().hex[:8]}")
+            new_files: list[dict] = []
+            if touched:
+                groups: dict[tuple, list[dict]] = {}
+                for f in touched:
+                    key = tuple(sorted((f.get("partition") or {}).items()))
+                    groups.setdefault(key, []).append(f)
+                src_keys = source.select(F.col(key_col).alias("_mk"))
+                for key, fs in sorted(groups.items()):
+                    pcols = dict(key)
+                    fschema = T.StructType(
+                        [fld for fld in schema.fields
+                         if fld.name not in pcols])
+                    df = self.spark.read.schema(fschema).parquet(
+                        *[f["path"] for f in fs])
+                    kept = df.join(
+                        F.broadcast(src_keys)
+                        if n_keys <= self.MERGE_PRUNE_MAX_KEYS else src_keys,
+                        df[key_col] == src_keys["_mk"], "left_anti")
+                    d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+                    kept.coalesce(max(1, len(fs))).write.parquet(d)
+                    for meta in self._harvest(d, fschema):
+                        if meta["rows"] > 0:
+                            new_files.append(
+                                {**meta, "partition": pcols,
+                                 "base": out_dir if pcols else None})
+            # the source rows land as fresh unpartitioned files
+            src_dir, src_files = self._write_data(
+                source, uuid.uuid4().int % 10**6)
+            new_files += src_files
+        finally:
+            source.unpersist(blocking=False)
+        return self._commit_rewrite(
+            "merge", {f["path"] for f in planned},
+            sorted(f["path"] for f in touched), new_files,
+            {**(summary or {}), "merge_keys": n_keys,
+             "rewritten_files": len(touched)},
+            [out_dir, src_dir], conflicts=may_touch)
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:
@@ -860,8 +892,6 @@ class SnapshotTable:
         qualify in every partition group.
         """
         import math
-        import random
-        import shutil
 
         groups: dict[tuple, list[dict]] = {}
         for f in self.files():
@@ -897,31 +927,12 @@ class SnapshotTable:
                                   "base": out_dir if pcols else None})
         if not rewritten:
             return None
-
-        for attempt in range(self.MAX_COMMIT_RETRIES):
-            meta, expected = self._load_versioned()
-            resolved = self._resolve_all(meta["snapshots"])
-            cur_paths = {f["path"]
-                         for f in resolved.get(meta["current_snapshot_id"], [])}
-            if not rewritten <= cur_paths:
-                # concurrent overwrite removed an input — abandon
-                shutil.rmtree(out_dir, ignore_errors=True)
-                return None
-            snap = _Snapshot(
-                max(s["snapshot_id"] for s in meta["snapshots"]) + 1,
-                meta["current_snapshot_id"], int(time.time() * 1000),
-                "compact", new_files, sorted(rewritten), False,
-                {"rewritten_files": len(rewritten),
-                 "new_files": len(new_files)}).__dict__
-            meta = {**meta, "snapshots": meta["snapshots"] + [snap],
-                    "current_snapshot_id": snap["snapshot_id"]}
-            try:
-                self._commit(meta, expected)
-                return snap["snapshot_id"]
-            except FileExistsError:
-                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        raise CommitConflict(f"compact lost races on {self.path}")
+        # net-zero rewrite: concurrent appends compose safely (their
+        # files ride through the delta record), so no conflicts check
+        return self._commit_rewrite(
+            "compact", set(), sorted(rewritten), new_files,
+            {"rewritten_files": len(rewritten),
+             "new_files": len(new_files)}, [out_dir])
 
     def drop_snapshots_since(self, snapshot_id: int) -> None:
         """Remove snapshots with id > ``snapshot_id`` and make

@@ -204,6 +204,34 @@ def test_merge_by_key_upsert(spark, tmp_path):
         tp.merge_by_key(_df(spark, 0, 5), "bucket")
     # empty source is a no-op
     assert t.merge_by_key(_df(spark, 0, 0), "id") is None
+    # null keys and wrong-typed sources are hard errors, not bad prunes
+    bad = spark.createDataFrame(
+        [(None, "x", 0)], "id long, name string, bucket long")
+    with pytest.raises(ValueError, match="null"):
+        t.merge_by_key(bad, "id")
+    wrong = spark.createDataFrame(
+        [("7", "x", 0)], "id string, name string, bucket long")
+    with pytest.raises(ValueError, match="types"):
+        t.merge_by_key(wrong, "id")
+
+
+def test_rewrite_conflict_detection(spark, tmp_path):
+    """The copy-on-write commit validates against appends that landed
+    after planning: a possibly-overlapping file aborts (serializable
+    isolation); a provably disjoint one commits."""
+    from crawl4ai_spark.snaptable import CommitConflict
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100).coalesce(1))
+    planned = {f["path"] for f in t.files()}
+    t.append(_df(spark, 50, 60).coalesce(1))  # lands after planning
+    with pytest.raises(CommitConflict, match="concurrently appended"):
+        t._commit_rewrite("delete", planned, [], [], {}, [],
+                          conflicts=lambda f: True)
+    sid = t._commit_rewrite("delete", planned, [], [], {}, [],
+                            conflicts=lambda f: False)
+    assert sid == t.current_snapshot_id()
+    assert t.read().count() == 110  # no-op delta kept everything
 
 
 def test_metadata_stores_deltas_not_full_lists(spark, tmp_path):
