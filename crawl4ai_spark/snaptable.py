@@ -776,22 +776,43 @@ class SnapshotTable:
         A concurrent append whose files may hold a merged key aborts
         with CommitConflict (serializable isolation).
         """
+        return self._keyed_rewrite(source, key_col, append_source=True,
+                                   op="merge", summary=summary)
+
+    def delete_by_key(self, keys: DataFrame, key_col: str,
+                      summary: dict | None = None) -> int | None:
+        """Row-level delete by key set — :meth:`merge_by_key`'s pruning
+        and isolation, no replacement rows. The dedup seam: feed it the
+        LOSING doc ids from a connected-components duplicate resolution
+        and the corpus table drops them, rewriting only the files whose
+        key range holds a loser. ``keys`` needs only ``key_col``."""
+        return self._keyed_rewrite(keys.select(key_col), key_col,
+                                   append_source=False, op="delete",
+                                   summary=summary)
+
+    def _keyed_rewrite(self, source: DataFrame, key_col: str,
+                       append_source: bool, op: str,
+                       summary: dict | None) -> int | None:
         import bisect
 
         schema = self.schema()
-        cols = [f.name for f in schema.fields]
+        cols = ([f.name for f in schema.fields] if append_source
+                else [key_col])
         planned = self.files()
         part_cols = {k for f in planned for k in (f.get("partition") or {})}
         if key_col in part_cols:
             raise ValueError(
-                f"merge_by_key on partition column {key_col!r} is not "
+                f"{op} on partition column {key_col!r} is not "
                 "supported (repartition the table by a data column)")
-        if {f.name: f.dataType for f in source.schema.fields} != \
-           {f.name: f.dataType for f in schema.fields}:
+        want_types = ({f.name: f.dataType for f in schema.fields}
+                      if append_source
+                      else {key_col: schema[key_col].dataType})
+        if {f.name: f.dataType
+                for f in source.select(cols).schema.fields} != want_types:
             raise ValueError(
-                f"merge source schema {source.schema.simpleString()} != "
-                f"table schema {schema.simpleString()} "
-                "(names AND types must match)")
+                f"{op} source schema {source.schema.simpleString()} is "
+                f"incompatible with table schema "
+                f"{schema.simpleString()} (names AND types must match)")
 
         # one deterministic materialization of the source: pruning keys,
         # anti-joins, and the final write must all see the same rows
@@ -807,8 +828,7 @@ class SnapshotTable:
                      for r in source.select(key_col).collect()),
                     key=lambda k: (k is None, k))
                 if keys[0] is None or any(k != k for k in keys):
-                    raise ValueError(
-                        "merge_by_key: null/NaN keys in source")
+                    raise ValueError(f"{op}: null/NaN keys in source")
                 lo_k, hi_k = keys[0], keys[-1]
             else:
                 if source.filter(F.col(key_col).isNull()
@@ -817,8 +837,7 @@ class SnapshotTable:
                                      schema[key_col].dataType,
                                      (T.FloatType, T.DoubleType))
                                  else F.col(key_col).isNull()).head(1):
-                    raise ValueError(
-                        "merge_by_key: null/NaN keys in source")
+                    raise ValueError(f"{op}: null/NaN keys in source")
                 row = source.agg(F.min(key_col), F.max(key_col)).first()
                 lo_k, hi_k = _json_safe(row[0]), _json_safe(row[1])
 
@@ -837,7 +856,7 @@ class SnapshotTable:
             touched = [f for f in planned if may_touch(f)]
 
             out_dir = os.path.join(self.path, "data",
-                                   f"merge-{uuid.uuid4().hex[:8]}")
+                                   f"{op}-{uuid.uuid4().hex[:8]}")
             new_files: list[dict] = []
             if touched:
                 groups: dict[tuple, list[dict]] = {}
@@ -863,18 +882,23 @@ class SnapshotTable:
                             new_files.append(
                                 {**meta, "partition": pcols,
                                  "base": out_dir if pcols else None})
-            # the source rows land as fresh unpartitioned files
-            src_dir, src_files = self._write_data(
-                source, uuid.uuid4().int % 10**6)
-            new_files += src_files
+            cleanup = [out_dir]
+            if append_source:
+                # the source rows land as fresh unpartitioned files
+                src_dir, src_files = self._write_data(
+                    source, uuid.uuid4().int % 10**6)
+                new_files += src_files
+                cleanup.append(src_dir)
+            elif not touched:
+                return None  # pure delete with nothing to touch
         finally:
             source.unpersist(blocking=False)
         return self._commit_rewrite(
-            "merge", {f["path"] for f in planned},
+            op, {f["path"] for f in planned},
             sorted(f["path"] for f in touched), new_files,
-            {**(summary or {}), "merge_keys": n_keys,
+            {**(summary or {}), "keys": n_keys,
              "rewritten_files": len(touched)},
-            [out_dir, src_dir], conflicts=may_touch)
+            cleanup, conflicts=may_touch)
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:

@@ -215,6 +215,36 @@ def test_merge_by_key_upsert(spark, tmp_path):
         t.merge_by_key(wrong, "id")
 
 
+def test_delete_by_key_purges_dedup_losers(spark, tmp_path):
+    """delete_by_key fed by the real duplicate-resolution operator:
+    losing doc ids vanish from the corpus table, canonical rows stay,
+    and only key-range-overlapping files rewrite."""
+    from crawl4ai_spark.operators.dedup import resolve_duplicates
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        t.append(_df(spark, lo, hi).coalesce(1))
+    paths_before = {f["path"] for f in t.files()}
+
+    # near-dup pairs all inside the middle file's id range
+    pairs = spark.createDataFrame(
+        [(110, 111), (111, 112), (150, 155)], "id_a long, id_b long")
+    ids = t.read().select(F.col("id"))
+    resolution = resolve_duplicates(ids, pairs, "id")
+    losers = resolution.filter(F.col("is_canonical") == 0).select("id")
+    assert losers.count() == 3  # 111,112 lose to 110; 155 loses to 150
+
+    sid = t.delete_by_key(losers, "id")
+    assert sid is not None
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [i for i in range(300) if i not in (111, 112, 155)]
+    # first and last files untouched (their ranges hold no loser)
+    assert len(paths_before & {f["path"] for f in t.files()}) == 2
+    # disjoint key set -> no-op
+    far = spark.createDataFrame([(9999,)], "id long")
+    assert t.delete_by_key(far, "id") is None
+
+
 def test_rewrite_conflict_detection(spark, tmp_path):
     """The copy-on-write commit validates against appends that landed
     after planning: a possibly-overlapping file aborts (serializable
