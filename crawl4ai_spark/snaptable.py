@@ -901,7 +901,8 @@ class SnapshotTable:
             cleanup, conflicts=may_touch)
 
     def compact(self, target_file_bytes: int = 128 << 20,
-                min_input_files: int = 2) -> int | None:
+                min_input_files: int = 2,
+                sort_by: list[str] | None = None) -> int | None:
         """Bin-pack small data files into ~target-size files (Iceberg's
         ``rewrite_data_files``): per partition group, files below the
         target size are read back, rewritten as ⌈bytes/target⌉ files,
@@ -914,6 +915,15 @@ class SnapshotTable:
         files whose open/footer cost dominates scans. Returns the new
         snapshot id, or None when fewer than ``min_input_files`` files
         qualify in every partition group.
+
+        ``sort_by`` re-clusters while compacting (Iceberg's sort-order
+        rewrite): rows are range-repartitioned + sorted on the given
+        columns before writing, so output files carry DISJOINT [min,
+        max] ranges and :meth:`scan`/:meth:`merge_by_key` pruning works
+        again — appends from many crawl rounds otherwise interleave
+        every file's key range until no file can be skipped. With
+        ``sort_by`` ALL of a group's files rewrite (re-clustering can't
+        keep unsorted survivors), so use it periodically, not per-round.
         """
         import math
 
@@ -929,9 +939,15 @@ class SnapshotTable:
         out_dir = os.path.join(self.path, "data",
                                f"compact-{uuid.uuid4().hex[:8]}")
         for key, fmetas in sorted(groups.items()):
-            small = [f for f in fmetas
-                     if f.get("bytes", target_file_bytes) < target_file_bytes]
-            big = [f for f in fmetas if f not in small]
+            if sort_by:
+                # re-clustering rewrites the whole group — unsorted
+                # survivors would defeat the disjoint-range goal
+                small, big = list(fmetas), []
+            else:
+                small = [f for f in fmetas
+                         if f.get("bytes", target_file_bytes)
+                         < target_file_bytes]
+                big = [f for f in fmetas if f not in small]
             if len(small) < min_input_files:
                 keep.extend(fmetas)
                 continue
@@ -945,10 +961,18 @@ class SnapshotTable:
             n_out = max(1, math.ceil(
                 sum(f.get("bytes", 0) for f in small) / target_file_bytes))
             d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
-            df.coalesce(n_out).write.parquet(d)
+            if sort_by:
+                # range partition on the sort key -> disjoint per-file
+                # [min,max] ranges; sortWithinPartitions orders rows so
+                # parquet row-group stats are tight too
+                (df.repartitionByRange(n_out, *sort_by)
+                 .sortWithinPartitions(*sort_by).write.parquet(d))
+            else:
+                df.coalesce(n_out).write.parquet(d)
             for meta in self._harvest(d, fschema):
-                new_files.append({**meta, "partition": pcols,
-                                  "base": out_dir if pcols else None})
+                if meta["rows"] > 0:  # range partitions can come out empty
+                    new_files.append({**meta, "partition": pcols,
+                                      "base": out_dir if pcols else None})
         if not rewritten:
             return None
         # net-zero rewrite: concurrent appends compose safely (their

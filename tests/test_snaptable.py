@@ -389,6 +389,32 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert t.compact(target_file_bytes=1, min_input_files=2) is None
 
 
+def test_compact_sort_by_restores_pruning(spark, tmp_path):
+    """Interleaved appends make every file's key range overlap (no file
+    prunable); compact(sort_by) re-clusters into disjoint ranges."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # each append spans the FULL id range -> every file overlaps
+    for off in range(4):
+        t.append(spark.range(300).select(
+            (F.col("id") * 4 + off).alias("id")).coalesce(1))
+    _, before = t.scan(filters=[("id", "<", 100)])
+    assert before["files_read"] == before["files_total"] == 4
+
+    total_bytes = sum(f["bytes"] for f in t.files())
+    sid = t.compact(target_file_bytes=max(1, total_bytes // 4),
+                    min_input_files=2, sort_by=["id"])
+    assert sid is not None
+    df, after = t.scan(filters=[("id", "<", 100)])
+    assert after["files_total"] >= 2 and \
+        after["files_read"] < after["files_total"]
+    assert sorted(r["id"] for r in df.collect()) == list(range(100))
+    assert t.read().count() == 1200
+    # output ranges are disjoint
+    ranges = sorted(tuple(f["stats"]["id"]) for f in t.files())
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
 def test_compact_partitioned_table(spark, tmp_path):
     ext = str(tmp_path / "part")
     _df(spark, 0, 140).write.partitionBy("bucket").parquet(ext)
