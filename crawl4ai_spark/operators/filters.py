@@ -270,8 +270,9 @@ def is_crawler_trap(
 
     - adjacent repeated path segments (``/a/a/a`` — self-linking dirs),
     - pathological path depth (> ``max_depth`` segments),
-    - query-parameter explosion (> ``max_params`` params) or the same
-      parameter repeated (> ``max_param_repeats`` — session loops),
+    - query-parameter explosion (> ``max_params`` params) or same-name
+      duplicate params totalling >= ``max_param_repeats`` (session
+      loops),
     - calendar traps: more than ``max_date_segments`` 4-digit-year
       segments in one path (``/2026/01/2025/12/...`` infinite archive
       walks),
@@ -297,10 +298,12 @@ def is_crawler_trap(
     params = F.filter(F.split(query, "&"), lambda p: p != "")
     too_many_params = F.size(params) > max_params
     names = F.transform(params, lambda p: F.split(p, "=")[0])
-    repeated_param = F.exists(
-        names,
-        lambda nm: F.size(F.filter(names, lambda o: o == nm))
-        > max_param_repeats,
+    # total same-name duplicates beyond the budget. O(p) via
+    # array_distinct — the naive per-name count is O(p²) per row, which
+    # an adversarial 100k-param URL turns into a task stall inside the
+    # very filter that exists to shed adversarial URLs
+    repeated_param = (
+        F.size(names) - F.size(F.array_distinct(names)) >= max_param_repeats
     )
 
     date_segs = F.size(F.filter(segs, lambda s: s.rlike("^(19|20)\\d{2}$")))

@@ -163,6 +163,16 @@ def _per_host_topk(
     )
 
 
+def _truncate_table_to_round(table, max_round: int) -> None:
+    """Drop a crawl snapshot table's entries for rounds > ``max_round``
+    (metadata-only). Relies on snapshot ids being monotone in round, so
+    the earliest stale id minus one is a clean prefix cut."""
+    stale = [s["snapshot_id"] for s in table.snapshots()
+             if s.get("summary", {}).get("round", -1) > max_round]
+    if stale:
+        table.drop_snapshots_since(min(stale) - 1)
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (no Spark job)."""
     import glob as _glob
@@ -730,12 +740,12 @@ class CrawlRun:
         from pyspark.sql import types as T
 
         from .politeness import STATE_SCHEMA
+        from .seen import SEEN_SCHEMA
 
         # explicit schemas keep adoption strictly job-free: schema=None
         # would fall back to spark.read.parquet inference, which can
         # launch a footer-reading job over many files
-        seen_schema = T.StructType.fromDDL(
-            "url_hash bigint, url string, shard int")
+        seen_schema = T.StructType.fromDDL(SEEN_SCHEMA)
         pol_schema = T.StructType.fromDDL(STATE_SCHEMA)
         seen_dir = os.path.join(self.workdir, "url_seen")
         pol_dir = os.path.join(self.workdir, "politeness")
@@ -763,10 +773,7 @@ class CrawlRun:
         for name, path, schema, summary in entries:
             t = self.table(name)
             if name not in dropped:
-                stale = [s["snapshot_id"] for s in t.snapshots()
-                         if s.get("summary", {}).get("round", -1) >= r]
-                if stale:
-                    t.drop_snapshots_since(min(stale) - 1)
+                _truncate_table_to_round(t, r - 1)
                 dropped.add(name)
             # empty partitioned writes emit no data files — nothing to
             # adopt (and nothing to infer a schema from)
@@ -806,41 +813,47 @@ class CrawlRun:
         inputs — and truncates the snapshot tables to round <= k.
         With an unchanged config the replay is bit-identical (the
         engine is deterministic given frontier + seen + politeness
-        state), which is the north star's "resumes mid-[crawl] with
-        identical crawl ordering and URL-seen set" exercised as an
-        explicit rewind instead of a crash.
+        state; NB a shared result cache in a non-bypass ``cache_mode``
+        retains the forgotten rounds' entries, so the replay may
+        legitimately hit cache where the original fetched), which is
+        the north star's "resumes mid-[crawl] with identical crawl
+        ordering and URL-seen set" exercised as an explicit rewind
+        instead of a crash.
+
+        Crash-safe: rounds are forgotten one at a time DESCENDING, the
+        manifest first — so at every intermediate point the invariant
+        "manifest r exists ⇒ round r's outputs and all earlier state
+        are intact" holds; a kill mid-rewind leaves an ordinary
+        resumable crawl (re-issue the rewind to finish it). Round r's
+        possibly-half-deleted r+1 seen delta is re-cleaned by
+        run_round's own crash cleanup.
         """
         import shutil
 
+        if k < 0:
+            raise ValueError("rewind_to_round(k): k must be >= 0")
         last = self.latest_completed_round()
         if last is None or k >= last:
             return
-        if k < 0:
-            raise ValueError("rewind_to_round(k): k must be >= 0")
-        for r in range(k + 1, last + 1):
+        for r in range(last, k, -1):
             try:
-                os.unlink(self._manifest_path(r))
+                os.unlink(self._manifest_path(r))  # FIRST: marks r dirty
             except FileNotFoundError:
                 pass
             shutil.rmtree(self._results_path(r), ignore_errors=True)
             shutil.rmtree(self._metrics_path(r), ignore_errors=True)
-        for r in range(k + 2, last + 2):
-            shutil.rmtree(self._frontier_path(r), ignore_errors=True)
+            shutil.rmtree(self._frontier_path(r + 1), ignore_errors=True)
             for state_dir in ("url_seen", "politeness"):
                 shutil.rmtree(
-                    os.path.join(self.workdir, state_dir, f"round={r}"),
+                    os.path.join(self.workdir, state_dir, f"round={r + 1}"),
                     ignore_errors=True)
             shutil.rmtree(
-                os.path.join(self.seen.bloom_path, f"round={r}"),
+                os.path.join(self.seen.bloom_path, f"round={r + 1}"),
                 ignore_errors=True)
         self.seen.invalidate_cache()
         if self.config.snapshot_tables:
             for name in ("results", "frontier", "url_seen", "politeness"):
-                t = self.table(name)
-                stale = [s["snapshot_id"] for s in t.snapshots()
-                         if s.get("summary", {}).get("round", -1) > k]
-                if stale:
-                    t.drop_snapshots_since(min(stale) - 1)
+                _truncate_table_to_round(self.table(name), k)
 
     def results(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "results"))

@@ -110,7 +110,9 @@ def sitemap_entries(xml: Column | str) -> Column:
                 F.substring(field(b, "lastmod"), 1, 10), F.lit("yyyy-MM-dd")
             ).alias("lastmod"),
             field(b, "changefreq").alias("changefreq"),
-            field(b, "priority").cast("double").alias("priority"),
+            # try_cast: a junk <priority> in one sitemap must not kill
+            # the whole seeding job under ANSI mode (Spark 4 default)
+            field(b, "priority").try_cast("double").alias("priority"),
         ),
     )
 

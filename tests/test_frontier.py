@@ -618,6 +618,20 @@ def test_rewind_to_round_replays_identically(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         run.rewind_to_round(-1)
+    # negative k raises even on a fresh (round-less) run
+    fresh = CrawlRun(spark, pages, str(tmp_path / "fresh"), cfg)
+    with _pytest.raises(ValueError):
+        fresh.rewind_to_round(-1)
+
+    # crash-safety invariant: after forgetting ONLY the last round
+    # (what a kill mid-rewind leaves, since rewind walks descending),
+    # the state is an ordinary resumable crawl
+    run.rewind_to_round(last - 1)
+    assert run.latest_completed_round() == last - 1
+    for i in range(last):  # every remaining manifest readable
+        run.manifest(i)
+    run.run(max_rounds=last + 1)
+    assert fingerprint() == before
 
 
 def test_per_host_admission_quota(spark, sf_dir, tmp_path):

@@ -168,6 +168,14 @@ def test_sitemap_entries_full_protocol(spark):
     assert rows[1]["lastmod"] == datetime(2026, 1, 2)  # W3C datetime date part
     assert rows[2]["lastmod"] is None and rows[2]["priority"] is None
 
+    # junk <priority> must not kill the job under ANSI mode
+    junk = ("<urlset><url><loc>https://a.com/x</loc>"
+            "<priority>high</priority></url></urlset>")
+    row = spark.range(1).select(
+        F.explode(sitemap_entries(F.lit(junk))).alias("e")
+    ).select("e.*").first()
+    assert row["loc"] == "https://a.com/x" and row["priority"] is None
+
     lams = spark.createDataFrame(
         [("daily",), ("WEEKLY",), ("bogus",), (None,)], "cf string"
     ).select(changefreq_lambda("cf").alias("lam")).collect()
