@@ -1051,17 +1051,29 @@ class SnapshotTable:
                 pass
         return orphans
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Drop all but the last ``keep_last`` snapshots and physically
-        delete table-owned data files no retained snapshot references.
-        Files adopted via :meth:`add_files` (outside ``<path>/data/``)
-        are never deleted.  Returns the deleted paths."""
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> list[str]:
+        """Drop old snapshots and physically delete table-owned data
+        files no retained snapshot references. Files adopted via
+        :meth:`add_files` (outside ``<path>/data/``) are never deleted.
+        Returns the deleted paths.
+
+        Retention = the last ``keep_last`` snapshots, plus — when
+        ``older_than_ms`` is given — every snapshot committed at or
+        after that timestamp (Iceberg's expire_snapshots retention
+        pair). Commit timestamps are monotone, so the expired set is
+        always a history prefix and delta resolution stays sound."""
         for _ in range(self.MAX_COMMIT_RETRIES):
             meta, expected = self._load_versioned()
             snaps = meta["snapshots"]
-            if len(snaps) <= keep_last:
+            n_keep = max(keep_last, 1)
+            if older_than_ms is not None:
+                n_recent = sum(1 for s in snaps
+                               if s["timestamp_ms"] >= older_than_ms)
+                n_keep = max(n_keep, n_recent)
+            if len(snaps) <= n_keep:
                 return []
-            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            kept, dropped = snaps[-n_keep:], snaps[:-n_keep]
             resolved = self._resolve_all(snaps)
             live = {f["path"] for s in kept
                     for f in resolved[s["snapshot_id"]]}

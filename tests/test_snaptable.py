@@ -307,6 +307,24 @@ def test_expire_snapshots_deletes_unreferenced(spark, tmp_path):
     assert t.read().count() == 10  # current data intact
 
 
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Age-based retention keeps everything at/after the cutoff even
+    beyond keep_last, and still expires the pre-cutoff prefix."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, 10 * i, 10 * i + 10).coalesce(1))
+    snaps = t.snapshots()
+    cutoff = snaps[2]["timestamp_ms"]  # snapshots 3,4,5 are "recent"
+    dead = t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert [s["snapshot_id"] for s in t.snapshots()] == [3, 4, 5]
+    assert dead == []  # appends: expired prefix files still referenced
+    assert t.read().count() == 50
+    assert t.read(snapshot_id=3).count() == 30  # rebased survivor
+    # future cutoff degrades to keep_last
+    t.expire_snapshots(keep_last=2, older_than_ms=2**62)
+    assert [s["snapshot_id"] for s in t.snapshots()] == [4, 5]
+
+
 def test_concurrent_committers_optimistic(spark, tmp_path):
     """8 threads × 3 appends race on the version link; every commit must
     land exactly once (no lost updates, contiguous snapshot ids)."""
