@@ -377,6 +377,17 @@ class SnapshotTable:
             parent = meta["current_snapshot_id"]
             snap_id = (max(s["snapshot_id"] for s in meta["snapshots"]) + 1
                        if meta["snapshots"] else 1)
+            if op == "add_files" and parent is not None:
+                # double adoption would silently duplicate rows
+                cur = {f["path"] for f in
+                       self._resolve_all(meta["snapshots"])[parent]}
+                dup = sorted(f["path"] for f in new_files
+                             if f["path"] in cur)
+                if dup:
+                    raise ValueError(
+                        f"add_files: {len(dup)} file(s) already "
+                        f"referenced by the current snapshot, e.g. "
+                        f"{dup[0]}")
             committed = (T.StructType.fromJson(meta["schema"])
                          if meta["schema"] is not None else None)
             if df is not None:

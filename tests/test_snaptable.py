@@ -374,6 +374,10 @@ def test_add_files_adopts_crawl_round_output(spark, tmp_path):
     assert dead == []  # adopted files live outside <path>/data -> kept
     assert t.read().count() == 30
     assert os.path.exists(ext)
+    # double adoption of the same directory is refused, not duplicated
+    with pytest.raises(ValueError, match="already referenced"):
+        t.add_files(ext, d1.schema)
+    assert t.read().count() == 30
 
 
 def test_compact_rewrites_small_files(spark, tmp_path):
