@@ -269,6 +269,32 @@ class SnapshotTable:
             raise KeyError(f"snapshot {snapshot_id} not in {self.path}")
         return resolved[snapshot_id]
 
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Name a snapshot (Iceberg tag): ``read(tag=name)`` resolves it
+        after any number of later commits. Re-tagging an existing name
+        moves it. Tags are labels, not retention — expiring a tagged
+        snapshot orphans the tag (``refs()`` filters it out)."""
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        self._snapshot(snapshot_id)  # validate it exists
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            meta, expected = self._load_versioned()
+            refs = dict(meta.get("refs", {}))
+            refs[name] = snapshot_id
+            try:
+                self._commit({**meta, "refs": refs}, expected)
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"tag lost races on {self.path}")
+
+    def refs(self) -> dict:
+        """Current tag name -> snapshot id mapping (dropped tags whose
+        snapshot was expired are filtered out)."""
+        meta = self._load()
+        ids = {s["snapshot_id"] for s in meta["snapshots"]}
+        return {k: v for k, v in meta.get("refs", {}).items() if v in ids}
+
     def history(self) -> DataFrame:
         """Snapshot log as a DataFrame (id, parent, ts, op, files, rows)."""
         snaps = self.snapshots()
@@ -406,6 +432,7 @@ class SnapshotTable:
                 summary=summary or {},
             ).__dict__
             meta = {
+                **meta,  # carries refs (tags) and any future keys
                 "table_uuid": meta["table_uuid"] or uuid.uuid4().hex,
                 "schema": (declared.jsonValue() if declared is not None
                            else meta["schema"]),
@@ -535,8 +562,15 @@ class SnapshotTable:
         return out
 
     def read(self, snapshot_id: int | None = None,
-             as_of_ms: int | None = None) -> DataFrame:
-        """Current snapshot, or time travel by id / commit timestamp."""
+             as_of_ms: int | None = None,
+             tag: str | None = None) -> DataFrame:
+        """Current snapshot, or time travel by id / commit timestamp /
+        tag name."""
+        if tag is not None:
+            try:
+                snapshot_id = self.refs()[tag]
+            except KeyError:
+                raise KeyError(f"tag {tag!r} not in {self.path}") from None
         if as_of_ms is not None:
             eligible = [s for s in self.snapshots()
                         if s["timestamp_ms"] <= as_of_ms]

@@ -307,6 +307,29 @@ def test_expire_snapshots_deletes_unreferenced(spark, tmp_path):
     assert t.read().count() == 10  # current data intact
 
 
+def test_tags_name_snapshots(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10).coalesce(1))
+    t.tag("baseline")  # current
+    t.append(_df(spark, 10, 30).coalesce(1))
+    t.tag("full")
+    assert t.refs() == {"baseline": s1, "full": 2}
+    assert t.read(tag="baseline").count() == 10
+    assert t.read(tag="full").count() == 30
+    t.tag("baseline", 2)  # retag moves
+    assert t.read(tag="baseline").count() == 30
+    with pytest.raises(KeyError, match="nope"):
+        t.read(tag="nope")
+    with pytest.raises(KeyError):
+        t.tag("bad", 99)
+    # tags survive further commits; expiry orphans dropped targets
+    t.append(_df(spark, 30, 35).coalesce(1))
+    assert t.read(tag="full").count() == 30
+    t.tag("old", s1)
+    t.expire_snapshots(keep_last=1)
+    assert "old" not in t.refs()
+
+
 def test_expire_snapshots_older_than(spark, tmp_path):
     """Age-based retention keeps everything at/after the cutoff even
     beyond keep_last, and still expires the pre-cutoff prefix."""
