@@ -169,7 +169,9 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str,
                  stat_cols: list[str] | None = None):
         self.spark = spark
-        self.path = path
+        # absolute path: file identity (dup-adoption guard, expiry's
+        # table-owned check) is path-string based
+        self.path = os.path.abspath(path)
         self.stat_cols = stat_cols
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -276,6 +278,9 @@ class SnapshotTable:
         snapshot orphans the tag (``refs()`` filters it out)."""
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
+            if snapshot_id is None:
+                raise ValueError(f"tag {name!r}: table {self.path} has "
+                                 "no snapshot to tag")
         self._snapshot(snapshot_id)  # validate it exists
         for _ in range(self.MAX_COMMIT_RETRIES):
             meta, expected = self._load_versioned()
@@ -471,14 +476,16 @@ class SnapshotTable:
         their partition values recorded per file. ``schema=None``
         infers it from the directory (incl. partition columns).
         Adopted files are never deleted by :meth:`expire_snapshots`."""
+        directory = os.path.realpath(directory)
         if schema is None:
             schema = (self.schema() if self._load()["schema"] is not None
                       else self.spark.read.parquet(directory).schema)
-        meta = self._load()
-        if meta["schema"] is None:
-            # first commit fixes the schema
+        if self._load()["schema"] is None:
+            # first commit fixes the schema; derive the expected version
+            # from the SAME read as the metadata (a schema-less version
+            # can legitimately exist — e.g. nothing but failed commits)
             for _ in range(self.MAX_COMMIT_RETRIES):
-                meta = self._load()
+                meta, expected = self._load_versioned()
                 if meta["schema"] is not None:
                     break
                 files = self._harvest(directory, schema)
@@ -486,10 +493,12 @@ class SnapshotTable:
                                  "add_files", files, [], True,
                                  summary or {}).__dict__
                 try:
-                    self._commit({"table_uuid": uuid.uuid4().hex,
-                                  "schema": schema.jsonValue(),
-                                  "snapshots": [snap],
-                                  "current_snapshot_id": 1}, 0)
+                    self._commit(
+                        {**meta,
+                         "table_uuid": meta["table_uuid"] or uuid.uuid4().hex,
+                         "schema": schema.jsonValue(),
+                         "snapshots": meta["snapshots"] + [snap],
+                         "current_snapshot_id": 1}, expected)
                     return 1
                 except FileExistsError:
                     continue
@@ -564,8 +573,12 @@ class SnapshotTable:
     def read(self, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
              tag: str | None = None) -> DataFrame:
-        """Current snapshot, or time travel by id / commit timestamp /
-        tag name."""
+        """Current snapshot, or time travel by EXACTLY ONE of snapshot
+        id / commit timestamp / tag name."""
+        if sum(x is not None for x in (snapshot_id, as_of_ms, tag)) > 1:
+            raise ValueError(
+                "read(): snapshot_id, as_of_ms and tag are mutually "
+                "exclusive selectors")
         if tag is not None:
             try:
                 snapshot_id = self.refs()[tag]

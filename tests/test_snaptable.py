@@ -328,6 +328,26 @@ def test_tags_name_snapshots(spark, tmp_path):
     t.tag("old", s1)
     t.expire_snapshots(keep_last=1)
     assert "old" not in t.refs()
+    # selector exclusivity + empty-table tagging are hard errors
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read(tag="baseline", as_of_ms=2**62)
+    t2 = SnapshotTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no snapshot"):
+        t2.tag("x")
+
+
+def test_add_files_path_spelling_cannot_duplicate(spark, tmp_path,
+                                                  monkeypatch):
+    """The dup-adoption guard must hold across path spellings: relative
+    vs absolute references to the same directory are one identity."""
+    ext = str(tmp_path / "ext")
+    _df(spark, 0, 20).coalesce(1).write.parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    monkeypatch.chdir(tmp_path)
+    t.add_files("ext")  # relative spelling
+    with pytest.raises(ValueError, match="already referenced"):
+        t.add_files(ext)  # absolute spelling of the same dir
+    assert t.read().count() == 20
 
 
 def test_expire_snapshots_older_than(spark, tmp_path):
