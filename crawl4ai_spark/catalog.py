@@ -42,6 +42,7 @@ from .functions.urls import (
 )
 from .operators.dedup import (
     exact_dedup,
+    line_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -513,9 +514,30 @@ LEFT JOIN lsd ON lsd.doc_id = p.doc_id
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Doc-level exact dedup (first-seen content hash) + CCNet
+    line-level boilerplate removal (operators/dedup.py line_dedup) as
+    ONE tagged gate row, schemas unified on
+    (strategy, doc_id, kept_lines, removed_lines, h). The line tier
+    runs the real xxhash64-keyed scale path; the oracle groups on the
+    line string itself (equal by construction absent 64-bit hash
+    collisions, which the ~3k-distinct-line gate corpus cannot hit)."""
     df = _docs(spark, sf_dir).select("doc_id", "text")
     dup = df.withColumn("doc_id", _d() + 100000)
-    return exact_dedup(df.unionByName(dup), "text", "doc_id").select("doc_id")
+    docs = exact_dedup(df.unionByName(dup), "text", "doc_id").select(
+        F.lit("doc").alias("strategy"),
+        "doc_id",
+        F.lit(0).cast("long").alias("kept_lines"),
+        F.lit(0).cast("long").alias("removed_lines"),
+        F.lit("").alias("h"),
+    )
+    ln = line_dedup(df, "text", "doc_id", min_dup=2, line_len=10).select(
+        F.lit("line").alias("strategy"),
+        "doc_id",
+        "kept_lines",
+        "removed_lines",
+        F.md5(F.col("text")).alias("h"),
+    )
+    return docs.unionByName(ln)
 
 
 ORACLE_DEDUP_EXACT = """
@@ -525,8 +547,30 @@ WITH u AS (
   SELECT doc_id + 100000, text FROM documents),
 r AS (
   SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-  FROM u)
-SELECT doc_id FROM r WHERE rn = 1
+  FROM u),
+w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents),
+lines AS (
+  SELECT doc_id, t.i AS idx,
+         array_to_string(ws[(t.i*10+1):(t.i*10+10)], ' ') AS line
+  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) t(i)
+  WHERE len(ws) > 0),
+c AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+j AS (SELECT l.doc_id, l.idx, l.line, (c.n >= 2) AS dup
+      FROM lines l JOIN c USING (line)),
+a AS (SELECT doc_id,
+             count(*) FILTER (WHERE NOT dup) AS kept_lines,
+             count(*) FILTER (WHERE dup) AS removed_lines,
+             string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY idx) AS txt
+      FROM j GROUP BY doc_id)
+SELECT 'doc' AS strategy, doc_id, CAST(0 AS BIGINT) AS kept_lines,
+       CAST(0 AS BIGINT) AS removed_lines, '' AS h
+FROM r WHERE rn = 1
+UNION ALL
+SELECT 'line' AS strategy, d.doc_id,
+       CAST(coalesce(a.kept_lines, 0) AS BIGINT) AS kept_lines,
+       CAST(coalesce(a.removed_lines, 0) AS BIGINT) AS removed_lines,
+       md5(coalesce(a.txt, '')) AS h
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
 """
 
 

@@ -633,3 +633,106 @@ def resolve_duplicates(
             (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup: int = 2,
+    line_len: int = 10,
+    lines_col: str | None = None,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style cross-document line deduplication (boilerplate
+    removal).
+
+    Removes every line whose content occurs >= ``min_dup`` times across
+    the WHOLE corpus (nav bars, cookie banners, footers), then
+    reassembles each document from its surviving lines in order — the
+    paragraph/line tier of a webtext pipeline (CCNet, Wenzek et al.
+    LREC 2020 §3.1; RefinedWeb line-wise filtering) sitting below the
+    document-level ops in this module. The reference deduplicates
+    whole documents only (content-hash first-seen,
+    crawl4ai/async_database.py:527-541); it has no line-level notion.
+
+    Lines: pass ``lines_col`` (an ``array<string>`` column, e.g. a real
+    newline split) or let the default derive fixed ``line_len``-word
+    windows (functions/repetition.py ``word_lines`` — the synthetic
+    corpus has no newlines).
+
+    Scale design (100 TB):
+    - the duplicate-line table is built from the hash column only
+      (``xxhash64`` default): the count aggregation shuffles 8-byte
+      keys with map-side partial aggregation, never text;
+    - the corpus-side membership join is keyed by the line hash; the
+      duplicate side holds one row per DISTINCT duplicated line, so a
+      billion-fold boilerplate line is a single build row — probe-side
+      skew is AQE skew-join territory, and Spark broadcasts the build
+      side outright when the duplicated-line table is small;
+    - reassembly is one groupBy(id) collecting (idx, line) structs —
+      fine-grained keys, no skew. Two keyed shuffles of the corpus
+      total (membership join, reassembly), both unavoidable for a
+      global rewrite.
+
+    ``hash_kind``: ``"xxhash64"`` (cheapest), ``"md5"`` (16-hex prefix,
+    engine-portable for SQL-replay oracles), ``"raw"`` (key on the line
+    string itself — collision-free, widest shuffle).
+
+    Output: ``(id_col, text_col cleaned, kept_lines, removed_lines)``
+    for EVERY input document — all-boilerplate docs come back with
+    empty text and ``kept_lines = 0``.
+    """
+    from ..functions.repetition import word_lines
+
+    if lines_col is None:
+        arr = word_lines(F.split(F.col(text_col), " "), line_len)
+    else:
+        arr = F.col(lines_col)
+    lines = df.select(F.col(id_col), F.posexplode(arr).alias("_idx", "_line"))
+    if hash_kind == "xxhash64":
+        key = F.xxhash64(F.col("_line"))
+    elif hash_kind == "md5":
+        key = F.substring(F.md5(F.col("_line")), 1, 16)
+    elif hash_kind == "raw":
+        key = F.col("_line")
+    else:
+        raise ValueError(f"unknown hash_kind: {hash_kind!r}")
+    lines = lines.withColumn("_lk", key)
+    dup = (
+        lines.select("_lk")
+        .groupBy("_lk")
+        .count()
+        .filter(F.col("count") >= int(min_dup))
+        .select("_lk", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup, "_lk", "left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.when(~F.col("_dup"), F.lit(1))).alias("kept_lines"),
+        F.count(F.when(F.col("_dup"), F.lit(1))).alias("removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_dup"), F.struct("_idx", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("kept_lines"), F.lit(0)).cast("long").alias("kept_lines"),
+            F.coalesce(F.col("removed_lines"), F.lit(0)).cast("long").alias(
+                "removed_lines"
+            ),
+        )
+    )

@@ -295,3 +295,105 @@ def test_connected_components_duplicate_and_reversed_edges(spark):
         r["node"]: r["component"] for r in connected_components(noisy).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def _line_docs(spark):
+    # explicit lines: "nav" is corpus-wide boilerplate (3 docs), "foot"
+    # appears twice, everything else is unique
+    rows = [
+        (1, ["nav", "alpha one", "foot"]),
+        (2, ["nav", "beta two", "foot"]),
+        (3, ["nav", "gamma three"]),
+        (4, ["delta four"]),
+        (5, []),  # empty doc must survive with empty text
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lines"])
+
+
+def test_line_dedup_explicit_lines(spark):
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    out = line_dedup(
+        _line_docs(spark), "text", "doc_id", min_dup=2, lines_col="lines"
+    )
+    got = {r["doc_id"]: (r["text"], r["kept_lines"], r["removed_lines"])
+           for r in out.collect()}
+    assert got[1] == ("alpha one", 1, 2)
+    assert got[2] == ("beta two", 1, 2)
+    assert got[3] == ("gamma three", 1, 1)
+    assert got[4] == ("delta four", 1, 0)
+    assert got[5] == ("", 0, 0)
+
+
+def test_line_dedup_min_dup_threshold(spark):
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    # min_dup=3: only "nav" (3 occurrences) is boilerplate; "foot" (2) stays
+    out = line_dedup(
+        _line_docs(spark), "text", "doc_id", min_dup=3, lines_col="lines"
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "alpha one foot"
+    assert got[2] == "beta two foot"
+    assert got[3] == "gamma three"
+
+
+def test_line_dedup_all_boilerplate_doc(spark):
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    rows = [(1, ["x", "y"]), (2, ["x", "y"])]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = line_dedup(df, "text", "doc_id", min_dup=2, lines_col="lines")
+    for r in out.collect():
+        assert r["text"] == "" and r["kept_lines"] == 0 and r["removed_lines"] == 2
+
+
+def test_line_dedup_hash_kinds_agree(spark):
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    df = _line_docs(spark)
+    outs = [
+        sorted(
+            line_dedup(df, "text", "doc_id", lines_col="lines", hash_kind=k)
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        for k in ("xxhash64", "md5", "raw")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_line_dedup_word_windows_matches_python(spark, sf_dir):
+    """Default fixed-word-window path vs a pure-python replay on the
+    real documents table (order preservation + global counting)."""
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .toPandas()
+    )
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["doc_id"]: (r["text"], r["kept_lines"], r["removed_lines"])
+        for r in line_dedup(df, "text", "doc_id", min_dup=2, line_len=10).collect()
+    }
+
+    def wlines(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i * 10:(i + 1) * 10])
+                for i in range((len(ws) + 9) // 10)] if ws != [""] else [""]
+
+    from collections import Counter
+
+    counts = Counter(
+        ln for t in pdf["text"] for ln in wlines(t)
+    )
+    for _, row in pdf.iterrows():
+        keep = [ln for ln in wlines(row["text"]) if counts[ln] < 2]
+        drop = [ln for ln in wlines(row["text"]) if counts[ln] >= 2]
+        assert out[row["doc_id"]] == (" ".join(keep), len(keep), len(drop))
