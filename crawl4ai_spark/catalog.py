@@ -1367,7 +1367,50 @@ def q_link_analysis(spark, sf_dir):
         F.lit("authority").alias("metric"),
         F.col("authority").alias("score"),
     )
-    return pr.unionByName(hub).unionByName(auth)
+
+    # anchor-text aggregation (operators/linkgraph.py anchor_stats) on
+    # the same arithmetic edge set, anchors derived from (src, dst) so
+    # the oracle mirrors exactly; top-anchor identity is value-checked
+    # through its numeric suffix
+    from .operators.linkgraph import anchor_stats
+
+    an = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"),
+        )
+        .select(
+            "src", ((F.col("src") * 31 + F.col("j") * 97 + 7) % n).alias("dst")
+        )
+        .filter((F.col("dst") % 7 < 5) & (F.col("src") != F.col("dst")))
+        .select(
+            "src",
+            "dst",
+            F.concat(
+                F.lit("a"), ((F.col("src") + 7 * F.col("dst")) % 8).cast("string")
+            ).alias("anchor"),
+        )
+    )
+    st = anchor_stats(an, dst="dst", anchor="anchor").select(
+        F.col("dst").alias("doc_id"),
+        "n_inlinks",
+        "n_anchors",
+        F.substring("top_anchor", 2, 10).cast("long").alias("top_id"),
+        "top_anchor_cnt",
+    )
+    anchor_rows = None
+    for metric, col in [
+        ("anchor_inlinks", "n_inlinks"),
+        ("anchor_distinct", "n_anchors"),
+        ("anchor_top_id", "top_id"),
+        ("anchor_top_cnt", "top_anchor_cnt"),
+    ]:
+        part = st.select(
+            "doc_id", F.lit(metric).alias("metric"), F.col(col).alias("score")
+        )
+        anchor_rows = part if anchor_rows is None else anchor_rows.unionByName(part)
+
+    return pr.unionByName(hub).unionByName(auth).unionByName(anchor_rows)
 
 
 def _oracle_link_pagerank(iters: int = 3) -> str:
@@ -1446,12 +1489,38 @@ SELECT node AS doc_id, 'authority' AS metric, a AS score FROM s{iters}""")
     return "".join(parts)
 
 
+_ORACLE_ANCHOR_STATS = """
+WITH nn AS (SELECT count(*) AS N FROM documents),
+ae AS (SELECT doc_id AS src,
+              (doc_id*31 + j*97 + 7) % (SELECT N FROM nn) AS dst
+       FROM documents, unnest(generate_series(0, 5)) t(j)),
+af AS (SELECT src, dst, 'a' || CAST((src + 7*dst) % 8 AS VARCHAR) AS a
+       FROM ae WHERE dst % 7 < 5 AND src <> dst),
+pc AS (SELECT dst, a, count(*) AS cnt FROM af GROUP BY dst, a),
+tp AS (SELECT dst, cnt, a,
+              row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, a DESC) AS rn
+       FROM pc),
+ag AS (SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+              CAST(count(*) AS BIGINT) AS n_anchors
+       FROM pc GROUP BY dst)
+SELECT dst AS doc_id, 'anchor_inlinks' AS metric, n_inlinks AS score FROM ag
+UNION ALL
+SELECT dst, 'anchor_distinct', n_anchors FROM ag
+UNION ALL
+SELECT dst, 'anchor_top_id', CAST(substr(a, 2) AS BIGINT) FROM tp WHERE rn = 1
+UNION ALL
+SELECT dst, 'anchor_top_cnt', CAST(cnt AS BIGINT) FROM tp WHERE rn = 1
+"""
+
+
 def _oracle_link_analysis(iters: int = 3) -> str:
     return f"""
 SELECT doc_id, 'pagerank' AS metric, CAST(pr_e9 AS BIGINT) AS score
 FROM ({_oracle_link_pagerank(iters)})
 UNION ALL
 SELECT doc_id, metric, score FROM ({_oracle_link_hits(iters)})
+UNION ALL
+SELECT doc_id, metric, score FROM ({_ORACLE_ANCHOR_STATS})
 """
 
 

@@ -209,3 +209,57 @@ def hits(
         st = _renorm_phase(st, "d", "s", "a", "h").localCheckpoint()
     e.unpersist()
     return st.select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+
+
+def anchor_stats(
+    links: DataFrame,
+    dst: str = "dst",
+    anchor: str = "anchor",
+    normalize: bool = True,
+) -> DataFrame:
+    """Inbound anchor-text aggregation per link target — the classic
+    webgraph description signal (anchor text describes the TARGET
+    better than the target's own page; the scrape stage already
+    harvests it per link, functions/scrape.py links.text, mirroring
+    the reference's link dicts in
+    crawl4ai/content_scraping_strategy.py, but nothing aggregated it
+    corpus-wide).
+
+    Input: one row per (source page, link) with the link's target in
+    ``dst`` and its anchor text in ``anchor`` (e.g. the exploded
+    ``links`` array of crawl results). NULL anchors count as "".
+
+    Output per target: ``(dst, n_inlinks, n_anchors, top_anchor,
+    top_anchor_cnt)`` — total inbound links, distinct anchor strings,
+    and the most frequent anchor (ties broken by lexicographically
+    GREATEST anchor, the deterministic order ``max(struct)`` gives).
+
+    Scale design (100 TB): two groupBy stages, both with map-side
+    partial aggregation — (dst, anchor) counts first, then a per-dst
+    fold whose input is one row per DISTINCT anchor, so a target with
+    a billion identical inbound anchors ("google") costs one row in
+    stage 2; no windows, no skew-exposed wide keys.
+    """
+    a = F.coalesce(F.col(anchor), F.lit(""))
+    if normalize:
+        a = F.lower(F.trim(a))
+    per = (
+        links.select(F.col(dst).alias("_dst"), a.alias("_a"))
+        .groupBy("_dst", "_a")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        per.groupBy("_dst")
+        .agg(
+            F.sum("_cnt").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.max(F.struct(F.col("_cnt"), F.col("_a"))).alias("_top"),
+        )
+        .select(
+            F.col("_dst").alias(dst),
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.col("_top._a").alias("top_anchor"),
+            F.col("_top._cnt").cast("long").alias("top_anchor_cnt"),
+        )
+    )

@@ -188,3 +188,46 @@ def test_hits_empty_graph_keeps_init(spark):
     rows = hits(e, nodes=nd, node_col="id").collect()
     init = HSCALE // 4
     assert all(r["hub"] == init and r["authority"] == init for r in rows)
+
+
+# ------------------------------------------------------------- anchor stats
+
+
+def test_anchor_stats_counts_and_top(spark):
+    from crawl4ai_spark.operators.linkgraph import anchor_stats
+
+    rows = [
+        (1, 10, "Docs"),
+        (2, 10, "docs  "),   # normalizes to the same anchor
+        (3, 10, "home"),
+        (4, 20, "blog"),
+        (5, 20, None),       # null -> ""
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+    out = {r["dst"]: r for r in anchor_stats(df).collect()}
+    assert out[10]["n_inlinks"] == 3
+    assert out[10]["n_anchors"] == 2
+    assert out[10]["top_anchor"] == "docs"
+    assert out[10]["top_anchor_cnt"] == 2
+    assert out[20]["n_inlinks"] == 2
+    assert out[20]["n_anchors"] == 2
+    # tie at cnt=1: lexicographically greatest anchor wins ("blog" > "")
+    assert out[20]["top_anchor"] == "blog"
+
+
+def test_anchor_stats_tie_break_deterministic(spark):
+    from crawl4ai_spark.operators.linkgraph import anchor_stats
+
+    rows = [(i, 1, a) for i, a in enumerate(["x", "y", "x", "y"])]
+    df = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+    for _ in range(3):
+        (r,) = anchor_stats(df).collect()
+        assert (r["top_anchor"], r["top_anchor_cnt"]) == ("y", 2)
+
+
+def test_anchor_stats_no_normalize(spark):
+    from crawl4ai_spark.operators.linkgraph import anchor_stats
+
+    df = spark.createDataFrame([(1, 1, "A"), (2, 1, "a")], ["src", "dst", "anchor"])
+    (r,) = anchor_stats(df, normalize=False).collect()
+    assert r["n_anchors"] == 2
