@@ -1088,7 +1088,20 @@ def q_quality_classifier(spark, sf_dir):
         )
         .withColumn("keep", keep(F.col("score_milli")))
     )
-    return row.unionByName(voc)
+
+    # third strategy row: the CCNet LM-perplexity tier
+    # (functions/ngram_lm.py) — corpus-trained interpolated bigram
+    # model, mean token cost in milli-nats; keep = at-or-below the
+    # median-ish 3400 cutoff (CCNet keeps low-perplexity buckets)
+    from .functions.ngram_lm import lm_self_perplexity
+
+    lm = lm_self_perplexity(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.lit("lm_bigram").alias("strategy"),
+        F.col("avg_cost_milli").alias("score_milli"),
+        (F.col("avg_cost_milli") <= 3400).cast("int").alias("keep"),
+    )
+    return row.unionByName(voc).unionByName(lm)
 
 
 ORACLE_QUALITY_CLASSIFIER = """
@@ -1110,6 +1123,35 @@ SELECT doc_id, 'rowlocal' AS strategy, score_milli,
 UNION ALL
 SELECT doc_id, 'vocabjoin' AS strategy, score_milli,
        CAST(score_milli >= 0 AS INT) AS keep FROM f
+UNION ALL
+SELECT w.doc_id, 'lm_bigram' AS strategy,
+       CAST(coalesce(lma.tot // (1000 * lma.n), 0) AS BIGINT) AS score_milli,
+       CAST(coalesce(lma.tot // (1000 * lma.n), 0) <= 3400 AS INT) AS keep
+FROM w LEFT JOIN (
+  WITH lmt AS MATERIALIZED (
+    SELECT doc_id, ws[t.i] AS w1, ws[t.i+1] AS w2
+    FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+    WHERE len(ws) >= 2),
+  lmu AS MATERIALIZED (
+    SELECT w, count(*) AS c1
+    FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+  lmb AS MATERIALIZED (
+    SELECT w1, w2, count(*) AS c12 FROM lmt GROUP BY w1, w2),
+  lmtot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens,
+                   CAST(count(*) AS BIGINT) AS v_vocab FROM lmu),
+  lmc AS (
+    SELECT l.doc_id,
+           CAST(round(-ln(0.7 * (CAST(coalesce(b.c12, 0) AS DOUBLE) / u1.c1)
+                          + 0.3 * (CAST(u2.c1 + 1 AS DOUBLE)
+                                   / (tt.t_tokens + tt.v_vocab)))
+                      * 1000000 + 0.000000001) AS BIGINT) AS cost
+    FROM lmt l
+    LEFT JOIN lmb b ON b.w1 = l.w1 AND b.w2 = l.w2
+    JOIN lmu u1 ON u1.w = l.w1
+    JOIN lmu u2 ON u2.w = l.w2, lmtot tt)
+  SELECT doc_id, count(*) AS n, CAST(sum(cost) AS BIGINT) AS tot
+  FROM lmc GROUP BY doc_id
+) lma ON lma.doc_id = w.doc_id
 """
 
 
