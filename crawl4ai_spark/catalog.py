@@ -629,24 +629,84 @@ GROUP BY term
 
 
 def q_round_saturation(spark, sf_dir):
+    """Per-round saturation lag + host-level quality priors
+    (operators/hostprior.py) as one long-format gate row
+    (metric, key, v1, v2): round token totals with their lag, per-host
+    doc counts and integer mean token counts, the host keep decision
+    (>=3 docs AND mean >= 52 tokens), and the decision joined back to
+    a doc_id%7 sample of documents through ``apply_host_prior``."""
+    from .operators.hostprior import apply_host_prior, host_prior_stats
+
     df = _docs(spark, sf_dir).withColumn("round", _d() % 5)
-    per_round = df.groupBy("round").agg(F.sum(token_count("text")).alias("total_tokens"))
-    w = Window.orderBy("round")
-    return per_round.select(
-        "round",
-        "total_tokens",
-        F.lag("total_tokens").over(w).alias("prev_tokens"),
+    per_round = df.groupBy("round").agg(
+        F.sum(token_count("text")).alias("total_tokens")
     )
+    w = Window.orderBy("round")
+    rounds = per_round.select(
+        F.lit("round_tokens").alias("metric"),
+        F.col("round").cast("string").alias("key"),
+        F.col("total_tokens").cast("long").alias("v1"),
+        F.coalesce(F.lag("total_tokens").over(w), F.lit(-1))
+        .cast("long")
+        .alias("v2"),
+    )
+    docs = _docs(spark, sf_dir)
+    stats = host_prior_stats(docs, "source", token_count("text"))
+    hp = stats.select(
+        F.lit("host_prior").alias("metric"),
+        F.col("source").alias("key"),
+        F.col("n_docs").alias("v1"),
+        F.col("metric_mean").alias("v2"),
+    )
+    hk = stats.select(
+        F.lit("host_keep").alias("metric"),
+        F.col("source").alias("key"),
+        ((F.col("n_docs") >= 3) & (F.col("metric_mean") >= 52))
+        .cast("long")
+        .alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    dk = (
+        apply_host_prior(docs, stats, "source", min_docs=3, min_mean=52)
+        .filter(_d() % 7 == 0)
+        .select(
+            F.lit("doc_keep").alias("metric"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("host_keep").cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+    )
+    return rounds.unionByName(hp).unionByName(hk).unionByName(dk)
 
 
 ORACLE_ROUND_SATURATION = f"""
 WITH pr AS (
   SELECT doc_id % 5 AS round,
          CAST(sum(len({_TOKENIZE_SQL})) AS BIGINT) AS total_tokens
-  FROM documents GROUP BY doc_id % 5)
-SELECT round, total_tokens,
-       lag(total_tokens) OVER (ORDER BY round) AS prev_tokens
-FROM pr
+  FROM documents GROUP BY doc_id % 5),
+rr AS (
+  SELECT round, total_tokens,
+         lag(total_tokens) OVER (ORDER BY round) AS prev
+  FROM pr),
+hs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENIZE_SQL})) AS BIGINT) AS s
+  FROM documents GROUP BY source),
+hp AS (SELECT source, n_docs, s // n_docs AS mean FROM hs)
+SELECT 'round_tokens' AS metric, CAST(round AS VARCHAR) AS key,
+       total_tokens AS v1, CAST(coalesce(prev, -1) AS BIGINT) AS v2 FROM rr
+UNION ALL
+SELECT 'host_prior', source, n_docs, CAST(mean AS BIGINT) FROM hp
+UNION ALL
+SELECT 'host_keep', source,
+       CAST((n_docs >= 3 AND mean >= 52) AS BIGINT), CAST(0 AS BIGINT) FROM hp
+UNION ALL
+SELECT 'doc_keep', CAST(d.doc_id AS VARCHAR),
+       CAST(coalesce(k.keep, 0) AS BIGINT), CAST(0 AS BIGINT)
+FROM documents d LEFT JOIN (
+  SELECT source, CAST((n_docs >= 3 AND mean >= 52) AS INT) AS keep FROM hp
+) k ON k.source = d.source
+WHERE d.doc_id % 7 = 0
 """
 
 
