@@ -330,9 +330,21 @@ def q_entities_extract(spark, sf_dir):
             (_d() % 10).cast("string"),
         ),
     )
-    return extract_entities(
+    ext = extract_entities(
         df, "synth", labels=["email", "currency", "percentage", "date_iso"], id_cols=["doc_id"]
     )
+    # PII scrub (functions/entities.py redact_pii) on the same synth
+    # column: the email becomes <EMAIL>; the ISO date is a
+    # phone_intl-shaped digit run, demonstrating the documented
+    # overlap-order caveat (counts audit runs on the original text)
+    from .functions.entities import redact_pii
+
+    red = df.select(
+        "doc_id",
+        F.lit("pii_redacted").alias("label"),
+        redact_pii(F.col("synth")).alias("value"),
+    )
+    return ext.unionByName(red)
 
 
 ORACLE_ENTITIES_EXTRACT = """
@@ -344,6 +356,10 @@ UNION ALL
 SELECT doc_id, 'percentage', '15%' FROM documents
 UNION ALL
 SELECT doc_id, 'date_iso', '2024-03-1' || CAST(doc_id % 10 AS VARCHAR) FROM documents
+UNION ALL
+SELECT doc_id, 'pii_redacted',
+       text || ' contact <EMAIL> pay $12.50 or 15% due <PHONE_INTL>'
+FROM documents
 """
 
 

@@ -85,3 +85,63 @@ def extract_entities(
         )
         parts.append(part)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# PII labels a training-data pipeline scrubs by default (RefinedWeb
+# §"personally identifiable information"; BigCode/StarCoder PII
+# redaction uses the same email/ip/key classes). The reference only
+# EXTRACTS entities (extraction_strategy.py RegexExtractionStrategy);
+# redaction is the training-pipeline-side complement.
+PII_LABELS: tuple[str, ...] = (
+    # most-specific first: the greedy digit-run patterns (phone_*)
+    # would otherwise eat the tails of uuids / long IPv4s / cards
+    "uuid",
+    "mac_addr",
+    "ipv6",
+    "ipv4",
+    "email",
+    "credit_card",
+    "iban",
+    "phone_intl",
+    "phone_us",
+)
+
+
+def redact_pii(
+    text: Column | str,
+    labels: tuple[str, ...] = PII_LABELS,
+    patterns: dict[str, str] | None = None,
+) -> Column:
+    """Replace every PII match with a typed placeholder (`<EMAIL>`,
+    `<IPV4>`, ...) — the standard pre-training scrub, as one chain of
+    JVM-side ``regexp_replace`` calls (whole-stage codegen, no Python;
+    embarrassingly parallel at 100 TB — zero shuffle, cost is
+    O(len * len(labels)) per row).
+
+    Label order matters where patterns overlap (an email contains a
+    twitter_handle-shaped @suffix): pass ``labels`` most-specific
+    first, as :data:`PII_LABELS` does.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    pats = dict(DEFAULT_PATTERNS)
+    if patterns:
+        pats.update(patterns)
+    for label in labels:
+        c = F.regexp_replace(
+            c, _FLAGS + pats[label], f"<{label.upper()}>"
+        )
+    return c
+
+
+def pii_counts(
+    text: Column | str,
+    labels: tuple[str, ...] = PII_LABELS,
+) -> Column:
+    """Map<label, n_matches> audit column for the scrub — counts are
+    computed on the ORIGINAL text so overlapping-label replacement
+    order doesn't hide matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.map_from_arrays(
+        F.array(*[F.lit(l) for l in labels]),
+        F.array(*[F.size(matches(c, l)) for l in labels]),
+    )

@@ -1,0 +1,45 @@
+
+
+# --------------------------------------------------------------- PII scrub
+
+
+def test_redact_pii_typed_placeholders(spark):
+    from crawl4ai_spark.functions.entities import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co ip 10.0.0.1 mac 00:1A:2B:3C:4D:5E uuid "
+             "123e4567-e89b-12d3-a456-426614174000 end")],
+        ["id", "t"],
+    )
+    (r,) = df.select(redact_pii("t").alias("v")).collect()
+    assert r["v"] == (
+        "mail <EMAIL> ip <IPV4> mac <MAC_ADDR> uuid <UUID> end"
+    )
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    from crawl4ai_spark.functions.entities import redact_pii
+
+    df = spark.createDataFrame([(1, "plain words only here")], ["id", "t"])
+    (r,) = df.select(redact_pii("t").alias("v")).collect()
+    assert r["v"] == "plain words only here"
+
+
+def test_pii_counts_on_original_text(spark):
+    from crawl4ai_spark.functions.entities import pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co and c@d.org from 10.0.0.1")], ["id", "t"]
+    )
+    (r,) = df.select(pii_counts("t").alias("m")).collect()
+    assert r["m"]["email"] == 2
+    assert r["m"]["ipv4"] == 1
+    assert r["m"]["credit_card"] == 0
+
+
+def test_redact_pii_custom_labels_and_order(spark):
+    from crawl4ai_spark.functions.entities import redact_pii
+
+    df = spark.createDataFrame([(1, "see https://x.io/a?b=1 now")], ["id", "t"])
+    (r,) = df.select(redact_pii("t", labels=("url",)).alias("v")).collect()
+    assert r["v"] == "see <URL> now"
