@@ -3,12 +3,16 @@ user of this engine actually runs at 100 TB.
 
 Chains the library's stages in the standard order —
 
-    heuristic quality + model classifier     (row-local, no shuffle)
+    [line-level boilerplate scrub]           (optional; CCNet §3.1)
+    -> [host/domain prior]                   (optional; RefinedWeb)
+    -> heuristic quality + model classifier  (row-local, no shuffle)
+    -> [LM-perplexity band]                  (optional; CCNet §3.3)
     -> exact dedup                           (one content-hash shuffle)
     -> MinHash-LSH near-dedup + components   (banded, never all-pairs)
     -> benchmark decontamination             (broadcast eval shingles)
     -> stratified training-mix sampling      (row-local md5 coins)
     -> sequence packing                      (two-phase prefix sum)
+    -> [PII scrub on the release text]       (optional; BigCode order)
 
 — and reports the funnel as ONE aggregation instead of a count job per
 stage: every gate becomes a boolean lineage column on the corpus, the
@@ -78,6 +82,14 @@ class CorpusConfig:
                                  "fr": 1_000_000, "es": 1_000_000}
     )
     sample_default_e6: int = 0
+    # optional stages (None/False = off, keeping the minimal recipe):
+    line_dedup_min_dup: int | None = None   # CCNet boilerplate-line scrub
+    line_dedup_line_len: int = 10
+    host_min_docs: int | None = None        # RefinedWeb domain prior
+    host_min_mean_tokens: int = 0
+    lm_max_milli: int | None = None         # CCNet LM band (mean milli-nats)
+    lm_min_milli: int = 0
+    pii_scrub: bool = False                 # typed-placeholder redaction
     sample_salt: str = "corpus1"
     seq_len: int = 2048
     eos_tokens: int = 1
@@ -91,37 +103,104 @@ def corpus_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    host_col: str = "host",
 ) -> DataFrame:
     """The corpus with one boolean lineage column per gate.
 
-    Columns appended: q_keep, exact_keep, near_keep, clean, sampled —
-    each ALREADY conjoined with the gates before it (a row with
-    near_keep=true passed quality and exact dedup too), so funnel
-    counts are plain sums and the final corpus is `sampled`.
+    Columns appended: host_keep, q_keep, lm_keep, exact_keep,
+    near_keep, clean, sampled (plus `_lines_removed`) — each ALREADY
+    conjoined with the gates before it (a row with near_keep=true
+    passed every earlier gate too), so funnel counts are plain sums
+    and the final corpus is `sampled`. Optional stages that are off
+    pass everything through (their gate equals the previous one).
+
+    Stage order follows the published recipes: boilerplate-line scrub
+    rewrites text first (CCNet §3.1 — every later signal must see the
+    cleaned text), the domain prior is the cheapest corpus-level gate
+    (RefinedWeb), heuristic+classifier quality precedes the LM band
+    (CCNet §3.3), and dedup runs on what survives.
     """
     t = F.col(text_col)
-    q = (
+
+    # optional stage 0: CCNet cross-document boilerplate-line removal
+    # (rewrites text_col; downstream quality/LM/dedup see clean text)
+    if cfg.line_dedup_min_dup:
+        from .operators.dedup import line_dedup
+
+        cleaned = line_dedup(
+            docs.select(id_col, text_col),
+            text_col,
+            id_col,
+            min_dup=cfg.line_dedup_min_dup,
+            line_len=cfg.line_dedup_line_len,
+        ).select(
+            id_col,
+            F.col(text_col).alias("_clean_text"),
+            F.col("removed_lines").alias("_lines_removed"),
+        )
+        docs = (
+            docs.join(cleaned, id_col)
+            .withColumn(text_col, F.col("_clean_text"))
+            .drop("_clean_text")
+        )
+    else:
+        docs = docs.withColumn("_lines_removed", F.lit(0).cast("long"))
+
+    # optional stage 1: host/domain prior (corpus-level support gate)
+    if cfg.host_min_docs:
+        from .operators.hostprior import apply_host_prior, host_prior_stats
+
+        stats = host_prior_stats(docs, host_col, token_count(t))
+        docs = apply_host_prior(
+            docs,
+            stats,
+            host_col,
+            min_docs=cfg.host_min_docs,
+            min_mean=cfg.host_min_mean_tokens,
+        ).withColumn("host_keep", F.col("host_keep") == 1)
+    else:
+        docs = docs.withColumn("host_keep", F.lit(True))
+
+    q = F.col("host_keep") & (
         (quality_score(t) * 1_000_000 >= cfg.quality_min_e6)
         & (classifier_score_milli(F.split(t, " ")) >= cfg.classifier_min_milli)
-    ).alias("q_keep")
+    )
     flagged = docs.withColumn("q_keep", q)
+
+    # optional stage 2: LM-perplexity band (corpus-self-trained bigram
+    # model; CCNet keeps the low-to-middle-cost buckets)
+    if cfg.lm_max_milli is not None:
+        from .functions.ngram_lm import lm_self_perplexity
+
+        lm = lm_self_perplexity(
+            flagged.select(id_col, text_col), text_col, id_col
+        ).select(id_col, "avg_cost_milli")
+        flagged = flagged.join(lm, id_col).withColumn(
+            "lm_keep",
+            F.col("q_keep")
+            & F.col("avg_cost_milli").between(
+                int(cfg.lm_min_milli), int(cfg.lm_max_milli)
+            ),
+        ).drop("avg_cost_milli")
+    else:
+        flagged = flagged.withColumn("lm_keep", F.col("q_keep"))
 
     # exact dedup among quality survivors: first id per content hash.
     # Dropped rows get a per-row singleton key instead of one shared
     # NULL — a shared key would funnel every rejected doc through a
     # single window task (the skew trap this library keeps out of its
     # plans); singletons hash-spread like any other key.
-    sha = F.when(F.col("q_keep"), F.sha2(t, 256)).otherwise(
+    sha = F.when(F.col("lm_keep"), F.sha2(t, 256)).otherwise(
         F.concat(F.lit("drop:"), F.col(id_col).cast("string"))
     )
     flagged = (
         flagged.withColumn("_sha", sha)
         .withColumn(
             "exact_keep",
-            F.col("q_keep")
+            F.col("lm_keep")
             & (
                 F.col(id_col)
-                == F.min(F.when(F.col("q_keep"), F.col(id_col))).over(
+                == F.min(F.when(F.col("lm_keep"), F.col(id_col))).over(
                     Window.partitionBy("_sha")
                 )
             ),
@@ -186,8 +265,10 @@ def corpus_funnel(flags: DataFrame) -> DataFrame:
     cnt = lambda c: F.sum(F.col(c).cast("long")).alias(c)  # noqa: E731
     return flags.agg(
         F.count("*").alias("input_docs"),
-        cnt("q_keep"), cnt("exact_keep"), cnt("near_keep"),
+        cnt("host_keep"), cnt("q_keep"), cnt("lm_keep"),
+        cnt("exact_keep"), cnt("near_keep"),
         cnt("clean"), cnt("sampled"),
+        F.sum("_lines_removed").cast("long").alias("lines_removed"),
     )
 
 
@@ -198,6 +279,7 @@ def build_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    host_col: str = "host",
 ) -> dict[str, DataFrame]:
     """Run the whole pipeline. Returns {corpus, funnel, assignment,
     pack_stats} — all lazy; `flags` is computed once and reused by
@@ -207,15 +289,25 @@ def build_corpus(
     flags; pack_stats reads assignment twice) under a bounded registry
     evicted at the next build_corpus call — without this, every
     consumer re-runs the MinHash banding and the component iterations.
+
+    With ``cfg.pii_scrub`` the released corpus text is redacted with
+    typed placeholders (functions/entities.py) AFTER all content
+    signals — dedup/LM must see the original bytes, the trainer must
+    not (the BigCode/RefinedWeb ordering).
     """
     cfg = cfg or CorpusConfig()
     _evict_stage_caches()
     flags = _cache_stage(
-        corpus_flags(docs, eval_docs, cfg, text_col, id_col, lang_col)
+        corpus_flags(docs, eval_docs, cfg, text_col, id_col, lang_col, host_col)
     )
     corpus = flags.filter(F.col("sampled")).drop(
-        "q_keep", "exact_keep", "near_keep", "clean", "sampled"
+        "host_keep", "q_keep", "lm_keep", "exact_keep", "near_keep",
+        "clean", "sampled", "_lines_removed",
     )
+    if cfg.pii_scrub:
+        from .functions.entities import redact_pii
+
+        corpus = corpus.withColumn(text_col, redact_pii(F.col(text_col)))
     assignment = _cache_stage(
         pack_concat_chunk(
             corpus,

@@ -132,3 +132,71 @@ def test_deterministic_rerun(result, docs, eval_docs):
     a = sorted(tuple(r) for r in result["assignment"].collect())
     b = sorted(tuple(r) for r in again["assignment"].collect())
     assert a == b
+
+
+def test_full_recipe_optional_stages(spark):
+    """All optional stages on: line scrub -> host prior -> quality ->
+    LM band -> dedup -> sample -> pack, with PII scrub on the release
+    text. Asserts the extended funnel chain, that boilerplate lines
+    were actually removed (the corpus has ~135 natural duplicate
+    10-word windows), and that no raw email survives in the corpus."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ).alias("text"),
+            "lang",
+            F.col("source").alias("host"),
+        )
+    )
+    cfg = CorpusConfig(
+        quality_min_e6=200_000,
+        line_dedup_min_dup=2,
+        host_min_docs=3,
+        host_min_mean_tokens=10,
+        lm_max_milli=8_000,
+        pii_scrub=True,
+    )
+    out = build_corpus(docs, None, cfg, host_col="host")
+    f = out["funnel"].collect()[0]
+    assert (
+        f.input_docs >= f.host_keep >= f.q_keep >= f.lm_keep
+        >= f.exact_keep >= f.near_keep >= f.clean >= f.sampled > 0
+    )
+    assert f.lines_removed > 0
+    corpus = out["corpus"].select("text").collect()
+    assert corpus
+    assert all("@example.com" not in r["text"] for r in corpus)
+    assert any("<EMAIL>" in r["text"] for r in corpus)
+
+
+def test_full_recipe_gates_actually_gate(spark):
+    """Each optional gate binds: turning it on strictly reduces (or
+    holds) the corresponding funnel count vs the stage-off run."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang", F.col("source").alias("host"))
+    )
+    base = build_corpus(
+        docs, None, CorpusConfig(quality_min_e6=200_000), host_col="host"
+    )["funnel"].collect()[0]
+    tight = build_corpus(
+        docs,
+        None,
+        CorpusConfig(
+            quality_min_e6=200_000,
+            host_min_docs=3,
+            host_min_mean_tokens=52,
+            lm_max_milli=3_400,
+        ),
+        host_col="host",
+    )["funnel"].collect()[0]
+    assert base.host_keep == base.input_docs      # off -> pass-through
+    assert base.lm_keep == base.q_keep
+    assert tight.host_keep < tight.input_docs     # 52-token mean splits hosts
+    assert tight.lm_keep < tight.q_keep           # 3400 is the LM median
