@@ -179,13 +179,16 @@ def build_warc_indexed(
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("latin-1") + payload
         rid = r.get("record_id") or f"<urn:uuid:{i:032x}>"
+        rec_ctype = r.get(
+            "warc_content_type", "application/http;msgtype=response"
+        )
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {wtype}\r\n"
             f"WARC-Record-ID: {rid}\r\n"
             f"WARC-Date: {date}\r\n"
             f"WARC-Target-URI: {r.get('url', '')}\r\n"
-            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Type: {rec_ctype}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("latin-1")
         rec = head + payload + b"\r\n\r\n"
@@ -226,11 +229,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 for headers, payload in iter_warc_records(bytes(content)):
                     wtype = headers.get("warc-type", "")
-                    status, ctype, body = (None, "", payload)
                     if headers.get("content-type", "").startswith(
                         "application/http"
                     ):
                         status, ctype, body = _split_http_payload(payload)
+                    else:
+                        # non-http record (conversion/warcinfo/...):
+                        # surface the WARC header's own content type
+                        status, body = None, payload
+                        ctype = headers.get("content-type", "")
                     rows["url"].append(headers.get("warc-target-uri"))
                     rows["warc_ts"].append(
                         _parse_warc_date(headers.get("warc-date", ""))
@@ -379,4 +386,67 @@ def fetch_warc_ranges(
         .repartition(n, "filename")
         .sortWithinPartitions("filename", "offset")
         .mapInPandas(fetch, "url string, warc_ts timestamp, html binary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion archives — CC's *.warc.wet.gz layout)
+# ---------------------------------------------------------------------------
+
+def write_wet(df: DataFrame, out_dir: str, prefix: str = "part") -> int:
+    """Write (url, warc_ts, text) rows as WET archives — WARC files of
+    ``WARC-Type: conversion`` / ``Content-Type: text/plain`` records,
+    one gzip member per record, ``.warc.wet.gz`` per partition.
+
+    WET is Common Crawl's extracted-text distribution (ISO 28500 §6.8
+    conversion records): the natural OUTPUT format for this engine's
+    scrape stage (text_extracted) and the natural INPUT for every
+    text-side operator (dedup, LM, quality) when a consumer wants to
+    skip HTML. Same executor-side per-partition write pattern as
+    :func:`write_warc` — no shuffle, no driver bytes.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        recs: list[dict] = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs.append(
+                    {
+                        "url": row["url"],
+                        "warc_ts": row["warc_ts"],
+                        "warc_type": "conversion",
+                        "warc_content_type": "text/plain",
+                        "payload": (row["text"] or "").encode("utf-8"),
+                    }
+                )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            fname = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.wet.gz")
+            with open(fname, "wb") as f:
+                f.write(build_warc(recs))
+            yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
+
+    manifest = df.select("url", "warc_ts", "text").mapInPandas(
+        dump, "file string, n_records long"
+    )
+    return manifest.count()
+
+
+def wet_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET archives back as (url, warc_ts, text) — the text-side
+    twin of :func:`warc_pages`. The binary payload decodes as UTF-8
+    JVM-side (cast, no Python)."""
+    rec = read_warc(spark, path)
+    return (
+        rec.filter(
+            (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
+        )
+        .select("url", "warc_ts", F.col("payload").cast("string").alias("text"))
     )

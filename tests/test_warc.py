@@ -183,3 +183,65 @@ def test_crawl_over_warc_archive_matches_parquet_pages(spark, sf_dir, tmp_path):
         )
     assert runs["warc"] == runs["parquet"]
     assert runs["warc"][0][-1]["fetched_ok"] > 0
+
+
+# ------------------------------------------------------------------ WET
+
+
+def test_wet_record_bytes_are_conversion_text_plain():
+    from crawl4ai_spark.sources.warc import build_warc
+
+    blob = build_warc(
+        [
+            {
+                "url": "https://a.com/p",
+                "warc_ts": TS,
+                "warc_type": "conversion",
+                "warc_content_type": "text/plain",
+                "payload": "extracted text here".encode(),
+            }
+        ]
+    )
+    ((headers, payload),) = list(iter_warc_records(blob))
+    assert headers["warc-type"] == "conversion"
+    assert headers["content-type"] == "text/plain"
+    assert payload == b"extracted text here"
+
+
+def test_wet_write_read_roundtrip(spark, tmp_path):
+    from crawl4ai_spark.sources.warc import wet_text, write_wet
+
+    rows = [
+        (f"https://a.com/p{i}", TS, f"doc {i} text with words")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet")
+    n_files = write_wet(df.repartition(3), out)
+    assert 1 <= n_files <= 3
+    back = wet_text(spark, out + "/*.warc.wet.gz")
+    a = sorted((r["url"], r["text"]) for r in back.collect())
+    b = sorted((u, t) for u, _, t in rows)
+    assert a == b
+    # timestamps survive the UTC round-trip
+    assert back.select(F.min("warc_ts")).first()[0] == TS.replace(tzinfo=None)
+
+
+def test_scrape_to_wet_to_dedup_pipeline(spark, tmp_path):
+    """The intended flow: scrape pages -> write WET -> text-side
+    operators read WET without touching HTML again."""
+    from crawl4ai_spark.functions.scrape import scrape_stage
+    from crawl4ai_spark.operators.dedup import exact_dedup
+    from crawl4ai_spark.sources.warc import wet_text, write_wet
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001").limit(50)
+    scraped = scrape_stage(pages).select(
+        "url", "warc_ts", F.col("text_extracted").alias("text")
+    )
+    out = str(tmp_path / "wet2")
+    write_wet(scraped, out)
+    texts = wet_text(spark, out + "/*.warc.wet.gz")
+    assert texts.count() == 50
+    kept = exact_dedup(texts, "text", "url")
+    assert kept.count() <= 50 and kept.count() > 0
