@@ -156,3 +156,56 @@ def test_per_host_quota_topk_is_salted(spark):
     counts = {r["host"]: r["n"] for r in
               out.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert counts["h0"] == 3
+
+
+def test_line_dedup_count_agg_shuffles_hash_keys_only(spark, docs):
+    from crawl4ai_spark.operators.dedup import line_dedup
+
+    out = line_dedup(docs, "text", "doc_id", min_dup=2)
+    plan = _final_plan(out)
+    # duplicate-line counting must partial-aggregate map-side and
+    # shuffle only the 8-byte xxhash64 key — never line text
+    assert "partial_count" in plan
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(_lk" in ln
+    ]
+    assert ex, "count agg no longer keyed by the line hash"
+    # no Python in the plan: the whole operator is JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_stats_two_phase_no_window(spark):
+    from crawl4ai_spark.operators.linkgraph import anchor_stats
+
+    links = spark.range(5_000).select(
+        (F.col("id") % 40).alias("dst"),
+        F.concat(F.lit("a"), (F.col("id") % 7).cast("string")).alias("anchor"),
+    )
+    plan = _final_plan(anchor_stats(links))
+    # per-target top-anchor selection must be groupBy max(struct),
+    # never a row_number window over a hot target's inbound links
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_host_prior_joinback_broadcasts_small_stats(spark, docs):
+    from crawl4ai_spark.operators.hostprior import (
+        apply_host_prior,
+        host_prior_stats,
+    )
+
+    d = docs.withColumn("host", F.concat(F.lit("h"), (F.col("doc_id") % 5)))
+    st = host_prior_stats(d, "host", F.size(F.split("text", " ")))
+    plan = _final_plan(apply_host_prior(d, st, "host", 2, 1))
+    assert "BroadcastHashJoin [host" in plan
+    assert "SortMergeJoin [host" not in plan
+
+
+def test_lm_scoring_stays_jvm_side(spark, docs):
+    from crawl4ai_spark.functions.ngram_lm import lm_self_perplexity
+
+    plan = _final_plan(lm_self_perplexity(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # totals ride along broadcast, never through a shuffle of the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
