@@ -3364,3 +3364,29 @@ def q_corpus_pipeline(spark, sf_dir):
 
 
 PYTEST_ONLY_QUERIES["corpus_pipeline"] = q_corpus_pipeline
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + encode (operators/bpe.py) — pytest-covered
+# (the merge loop is iterative-on-vocab; a SQL replay of k merges is a
+# k-level nested CTE, so this stays outside the oracle gate, verified
+# by the pure-python differential in tests/test_bpe.py instead)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_train_encode(spark, sf_dir):
+    """Train 40 merges on the documents corpus, encode it, report the
+    per-doc exact token counts next to the regex proxy."""
+    from .functions.text import bpe_ish_token_count
+    from .operators.bpe import bpe_token_count, train_bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = train_bpe(docs, num_merges=40)
+    return bpe_token_count(docs, merges).select(
+        "doc_id",
+        "bpe_n_tokens",
+        bpe_ish_token_count(F.col("text")).alias("proxy_n_tokens"),
+    )
+
+
+PYTEST_ONLY_QUERIES["bpe_train_encode"] = q_bpe_train_encode
