@@ -93,13 +93,17 @@ def extract_entities(
 # EXTRACTS entities (extraction_strategy.py RegexExtractionStrategy);
 # redaction is the training-pipeline-side complement.
 PII_LABELS: tuple[str, ...] = (
-    # most-specific first: the greedy digit-run patterns (phone_*)
-    # would otherwise eat the tails of uuids / long IPv4s / cards
+    # outermost container first, then most-specific: email leads
+    # because an address can CONTAIN inner patterns ("john@192.168.0.1"
+    # — ipv4-first would leave the identifying "john@" behind); after
+    # that the fixed-shape patterns (uuid/mac/ip/card/iban) run before
+    # the greedy digit-run phones, which would otherwise eat their
+    # tails
+    "email",
     "uuid",
     "mac_addr",
     "ipv6",
     "ipv4",
-    "email",
     "credit_card",
     "iban",
     "phone_intl",

@@ -47,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-LAMBDA_BI = 0.7  # bigram weight; 1-LAMBDA_BI backs off to the unigram
+LAMBDA_BI = 0.7   # bigram weight
+LAMBDA_UNI = 0.3  # unigram backoff weight — an EXPLICIT literal, not
+# 1.0 - LAMBDA_BI: that expression is 0.30000000000000004 in IEEE
+# doubles, one ulp off the 0.3 the SQL oracle and python replays use,
+# which would break the bit-exact cross-engine contract at the
+# round-to-micro-nats seam
 
 
 def _key(col: Column, hash_keys: bool) -> Column:
@@ -130,7 +135,7 @@ def lm_doc_scores(
     # one sum, then ln — quantized per token before any aggregation
     p = F.lit(LAMBDA_BI) * (
         F.coalesce(F.col("c12"), F.lit(0)).cast("double") / F.col("c1")
-    ) + F.lit(1.0 - LAMBDA_BI) * (
+    ) + F.lit(LAMBDA_UNI) * (
         (F.col("c2") + F.lit(1)).cast("double")
         / (F.col("t_tokens") + F.col("v_vocab"))
     )

@@ -142,13 +142,15 @@ def train_bpe(
     driver.
     """
     wf = word_frequencies(docs, text_col)
-    n = wf.limit(int(max_vocab_rows) + 1).count()
-    if n > max_vocab_rows:
+    # one job: the limited collect both enforces the guard and returns
+    # the vocab (a separate count() would re-run the corpus aggregation)
+    rows = wf.limit(int(max_vocab_rows) + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
             f"distinct-word table exceeds max_vocab_rows={max_vocab_rows}; "
             "pre-filter rare words or raise the guard"
         )
-    vocab = {r["word"]: r["count"] for r in wf.collect()}
+    vocab = {r["word"]: r["count"] for r in rows}
     return merges_from_vocab(vocab, num_merges, min_pair_count)
 
 

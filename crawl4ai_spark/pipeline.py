@@ -172,16 +172,27 @@ def corpus_flags(
     if cfg.lm_max_milli is not None:
         from .functions.ngram_lm import lm_self_perplexity
 
+        # the LM branch fans out over everything above (unigram counts,
+        # bigram counts, transitions, and the outer join side all read
+        # the line-scrubbed/host-joined upstream) — cache it or the
+        # line-dedup shuffles re-execute once per branch
+        flagged = _cache_stage(flagged)
         lm = lm_self_perplexity(
             flagged.select(id_col, text_col), text_col, id_col
-        ).select(id_col, "avg_cost_milli")
+        ).select(id_col, "n_transitions", "avg_cost_milli")
         flagged = flagged.join(lm, id_col).withColumn(
             "lm_keep",
             F.col("q_keep")
-            & F.col("avg_cost_milli").between(
-                int(cfg.lm_min_milli), int(cfg.lm_max_milli)
+            & (
+                # <2-token docs carry the no-evidence sentinel 0, which
+                # is NOT a measured cost — pass them through instead of
+                # letting lm_min_milli > 0 silently drop every short doc
+                (F.col("n_transitions") == 0)
+                | F.col("avg_cost_milli").between(
+                    int(cfg.lm_min_milli), int(cfg.lm_max_milli)
+                )
             ),
-        ).drop("avg_cost_milli")
+        ).drop("avg_cost_milli", "n_transitions")
     else:
         flagged = flagged.withColumn("lm_keep", F.col("q_keep"))
 

@@ -163,7 +163,7 @@ def build_warc_indexed(
     for i, r in enumerate(records):
         wtype = r.get("warc_type", "response")
         ts = r.get("warc_ts")
-        if ts is None:
+        if ts is None or ts != ts:  # None or pandas NaT (NaT != NaT)
             date = "1970-01-01T00:00:00Z"
         else:
             # Arrow hands session-UTC timestamps to workers tz-naive
@@ -269,28 +269,24 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_warc(
-    df: DataFrame, out_dir: str, prefix: str = "part",
+def _write_archives(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str,
+    suffix: str,
+    row_to_record,
     cdx_sidecar: bool = False,
 ) -> int:
-    """Write (url, warc_ts, html|payload, [http_status, content_type])
-    rows as per-partition ``.warc.gz`` files (one gzip member per
-    record — the CC layout). Returns the number of files written.
-
-    Files are written executor-side, one per non-empty partition — the
-    same pattern as a parquet write; on a cluster ``out_dir`` is shared
-    storage. With ``cdx_sidecar`` each archive also gets a
-    ``.cdxj`` index shard carrying (filename, offset, length) per
-    capture, making the output directly servable to
-    :func:`fetch_warc_ranges` / :mod:`.cdx`.
-    """
+    """Shared per-partition archive sink (write_warc / write_wet):
+    executor-side files, one per non-empty partition — the same
+    pattern as a parquet write; on a cluster ``out_dir`` is shared
+    storage. ``row_to_record`` maps a pandas row to a build_warc
+    record dict. Returns the number of files written."""
     import os
 
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-    cols = df.columns
-    body_col = "payload" if "payload" in cols else "html"
 
     def dump(batches):
         from pyspark import TaskContext
@@ -298,22 +294,10 @@ def write_warc(
         recs: list[dict] = []
         for pdf in batches:
             for _, row in pdf.iterrows():
-                recs.append(
-                    {
-                        "url": row["url"],
-                        "warc_ts": row["warc_ts"],
-                        "payload": bytes(row[body_col]),
-                        "http_status": int(row["http_status"])
-                        if "http_status" in cols
-                        else 200,
-                        "content_type": row["content_type"]
-                        if "content_type" in cols
-                        else "text/html",
-                    }
-                )
+                recs.append(row_to_record(row))
         if recs:
             pid = TaskContext.get().partitionId()
-            base = f"{prefix}-{pid:05d}.warc.gz"
+            base = f"{prefix}-{pid:05d}{suffix}"
             fname = os.path.join(out_dir, base)
             blob, index = build_warc_indexed(recs)
             with open(fname, "wb") as f:
@@ -323,12 +307,46 @@ def write_warc(
 
                 for r in index:
                     r["filename"] = base
-                with open(fname[: -len(".warc.gz")] + ".cdxj", "w") as f:
+                with open(fname[: -len(suffix)] + ".cdxj", "w") as f:
                     f.write(build_cdxj(index))
             yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
 
     manifest = df.mapInPandas(dump, "file string, n_records long")
     return manifest.count()
+
+
+def write_warc(
+    df: DataFrame, out_dir: str, prefix: str = "part",
+    cdx_sidecar: bool = False,
+) -> int:
+    """Write (url, warc_ts, html|payload, [http_status, content_type])
+    rows as per-partition ``.warc.gz`` files (one gzip member per
+    record — the CC layout). Returns the number of files written.
+
+    With ``cdx_sidecar`` each archive also gets a ``.cdxj`` index
+    shard carrying (filename, offset, length) per capture, making the
+    output directly servable to :func:`fetch_warc_ranges` /
+    :mod:`.cdx`.
+    """
+    cols = df.columns
+    body_col = "payload" if "payload" in cols else "html"
+
+    def to_record(row):
+        return {
+            "url": row["url"],
+            "warc_ts": row["warc_ts"],
+            "payload": bytes(row[body_col]),
+            "http_status": int(row["http_status"])
+            if "http_status" in cols
+            else 200,
+            "content_type": row["content_type"]
+            if "content_type" in cols
+            else "text/html",
+        }
+
+    return _write_archives(
+        df, out_dir, prefix, ".warc.gz", to_record, cdx_sidecar=cdx_sidecar
+    )
 
 
 def fetch_warc_ranges(
@@ -402,41 +420,26 @@ def write_wet(df: DataFrame, out_dir: str, prefix: str = "part") -> int:
     conversion records): the natural OUTPUT format for this engine's
     scrape stage (text_extracted) and the natural INPUT for every
     text-side operator (dedup, LM, quality) when a consumer wants to
-    skip HTML. Same executor-side per-partition write pattern as
-    :func:`write_warc` — no shuffle, no driver bytes.
+    skip HTML. Shares :func:`write_warc`'s per-partition sink — no
+    shuffle, no driver bytes.
     """
-    import os
 
-    import pandas as pd
+    def to_record(row):
+        return {
+            "url": row["url"],
+            "warc_ts": row["warc_ts"],
+            "warc_type": "conversion",
+            "warc_content_type": "text/plain",
+            "payload": (row["text"] or "").encode("utf-8"),
+        }
 
-    os.makedirs(out_dir, exist_ok=True)
-
-    def dump(batches):
-        from pyspark import TaskContext
-
-        recs: list[dict] = []
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs.append(
-                    {
-                        "url": row["url"],
-                        "warc_ts": row["warc_ts"],
-                        "warc_type": "conversion",
-                        "warc_content_type": "text/plain",
-                        "payload": (row["text"] or "").encode("utf-8"),
-                    }
-                )
-        if recs:
-            pid = TaskContext.get().partitionId()
-            fname = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.wet.gz")
-            with open(fname, "wb") as f:
-                f.write(build_warc(recs))
-            yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
-
-    manifest = df.select("url", "warc_ts", "text").mapInPandas(
-        dump, "file string, n_records long"
+    return _write_archives(
+        df.select("url", "warc_ts", "text"),
+        out_dir,
+        prefix,
+        ".warc.wet.gz",
+        to_record,
     )
-    return manifest.count()
 
 
 def wet_text(spark: SparkSession, path: str) -> DataFrame:

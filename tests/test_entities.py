@@ -43,3 +43,15 @@ def test_redact_pii_custom_labels_and_order(spark):
     df = spark.createDataFrame([(1, "see https://x.io/a?b=1 now")], ["id", "t"])
     (r,) = df.select(redact_pii("t", labels=("url",)).alias("v")).collect()
     assert r["v"] == "see <URL> now"
+
+
+def test_redact_pii_email_containing_ip_fully_redacted(spark):
+    """An address whose domain is an IP must redact as ONE email —
+    inner-pattern-first ordering would leave 'john.doe@' behind."""
+    from crawl4ai_spark.functions.entities import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact john.doe@192.168.0.1 or 10.1.2.3")], ["id", "t"]
+    )
+    (r,) = df.select(redact_pii("t").alias("v")).collect()
+    assert r["v"] == "contact <EMAIL> or <IPV4>"

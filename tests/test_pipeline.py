@@ -200,3 +200,18 @@ def test_full_recipe_gates_actually_gate(spark):
     assert base.lm_keep == base.q_keep
     assert tight.host_keep < tight.input_docs     # 52-token mean splits hosts
     assert tight.lm_keep < tight.q_keep           # 3400 is the LM median
+
+
+def test_lm_band_passes_no_evidence_short_docs(spark):
+    """lm_min_milli > 0 must not drop <2-token docs: their score is the
+    no-evidence sentinel 0, not a measured perplexity."""
+    from crawl4ai_spark.pipeline import corpus_flags
+
+    rows = [(1, "hi", "en", "h1"), (2, "the cat sat on the mat rug", "en", "h1"),
+            (3, "the cat sat on the mat rug", "en", "h1")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "host"])
+    cfg = CorpusConfig(quality_min_e6=0, classifier_min_milli=-10_000,
+                       lm_min_milli=500, lm_max_milli=50_000)
+    got = {r["doc_id"]: (r["q_keep"], r["lm_keep"])
+           for r in corpus_flags(docs, None, cfg).collect()}
+    assert got[1] == (True, True)   # short doc passes through
