@@ -1411,17 +1411,71 @@ LIMIT 20
 """
 
 
+def q_sim_cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py
+    cosine_topk_pq): 64-dim vectors -> 4 subspace codes from sampled
+    codebooks, integer micro-unit ADC candidate scan, exact rerank of
+    the top 80."""
+    from .operators.similarity import cosine_topk_pq
+
+    df = _emb(spark, sf_dir)
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_pq(
+        df, "embedding", qvec, k=20, m_subspaces=4, n_codes=16, rerank=4
+    ).select("vec_id", "cosine_sim")
+
+
+ORACLE_SIM_COSINE_TOPK_PQ = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+sub AS (SELECT vec_id, t.m, v[(t.m*16+1):(t.m*16+16)] AS sv
+        FROM e, unnest([0, 1, 2, 3]) t(m)),
+cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < 16),
+d2 AS (SELECT s.vec_id, s.m, c.code,
+              round(list_dot_product(s.sv, s.sv)
+                    - 2.0 * list_dot_product(s.sv, c.cw)
+                    + list_dot_product(c.cw, c.cw), 6) AS dd
+       FROM sub s JOIN cb c ON c.m = s.m),
+enc AS (SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dd ASC, code ASC) AS rn
+          FROM d2) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qsub AS (SELECT t.m, (SELECT qv FROM q)[(t.m*16+1):(t.m*16+16)] AS qs
+         FROM unnest([0, 1, 2, 3]) t(m)),
+lut AS (SELECT c.m, c.code,
+               CAST(round(list_dot_product(qs.qs, c.cw) * 1000000
+                          + 0.000000001) AS BIGINT) AS w
+        FROM cb c JOIN qsub qs ON qs.m = c.m),
+adc AS (SELECT enc.vec_id, CAST(sum(l.w) AS BIGINT) AS approx_e6
+        FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+        GROUP BY enc.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY approx_e6 DESC, vec_id ASC LIMIT 80)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
 def q_sim_cosine_topk_ann(spark, sf_dir):
-    """Both ANN top-k paths (hyperplane-LSH multiprobe + IVF inverted
-    lists, each previously its own green row) as ONE tagged-union gate
-    row — same two full SQL replays, one driver slot."""
+    """All three ANN top-k paths (hyperplane-LSH multiprobe, IVF
+    inverted lists, PQ asymmetric-distance) as ONE tagged-union gate
+    row — three full SQL replays, one driver slot."""
     lsh = q_sim_cosine_topk_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("algo"), "vec_id", "cosine_sim"
     )
     ivf = q_sim_cosine_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("algo"), "vec_id", "cosine_sim"
     )
-    return lsh.unionByName(ivf)
+    pq = q_sim_cosine_topk_pq(spark, sf_dir).select(
+        F.lit("pq").alias("algo"), "vec_id", "cosine_sim"
+    )
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 def _oracle_sim_cosine_topk_ann() -> str:
@@ -1431,6 +1485,9 @@ FROM ({_oracle_sim_cosine_topk_lsh()})
 UNION ALL
 SELECT 'ivf' AS algo, vec_id, cosine_sim
 FROM ({ORACLE_SIM_COSINE_TOPK_IVF})
+UNION ALL
+SELECT 'pq' AS algo, vec_id, cosine_sim
+FROM ({ORACLE_SIM_COSINE_TOPK_PQ})
 """
 
 

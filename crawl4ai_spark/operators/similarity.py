@@ -237,3 +237,128 @@ def embedding_neardup_pairs(
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
     return int(row["n"])
+
+
+def pq_codebooks_from_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m_subspaces: int,
+    n_codes: int,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: the sub-vectors of the rows with
+    ``id_col < n_codes`` are the codewords of every subspace (the same
+    sampled-quantizer convention as :func:`cosine_topk_ivf` — a
+    k-means refinement would converge engine-dependently and break the
+    SQL replay; plug refined codebooks in via the ``codebooks``
+    parameter when bit-stability across engines isn't required)."""
+    rows = (
+        df.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect()
+    )
+    if not rows:
+        raise ValueError("no codebook rows found")
+    dim = len(rows[0][vec_col])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d = dim // m_subspaces
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(m_subspaces):
+        books.append(
+            sorted(
+                (int(r[id_col]),
+                 [float(x) for x in r[vec_col][m * d:(m + 1) * d]])
+                for r in rows
+            )
+        )
+    return books
+
+
+def cosine_topk_pq(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    *,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """ANN top-k via product quantization (Jégou et al., TPAMI 2011)
+    with asymmetric-distance candidate scoring and exact rerank.
+
+    The memory tier of the ANN stack (next to the LSH prefilter and
+    the IVF partition pruner): each vector compresses to
+    ``m_subspaces`` code ids (here 4 bytes vs 256 for a float64[64] —
+    at 100 TB the code table fits where the vectors don't), the query
+    scans CODES against a broadcast lookup table (one element_at per
+    subspace, whole-stage codegen), and only the top ``k * rerank``
+    ADC candidates touch the real vectors again.
+
+    Determinism / SQL replay: codewords are the deterministic sample
+    (see :func:`pq_codebooks_from_sample`); encode picks the minimal
+    6-decimal-quantized L2² per subspace (lowest code on ties, the
+    ``a - 2b + c`` expression written identically in the oracle); the
+    ADC score is a SUM OF INTEGER micro-unit terms — each per-subspace
+    LUT entry is quantized to e6 BEFORE summing, so the total is
+    order-independent across engines and partitionings.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks_from_sample(
+            df, vec_col, id_col, m_subspaces, n_codes
+        )
+    d = len(codebooks[0][0][1])
+    v = F.col(vec_col).cast("array<double>")
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    # encode: per subspace the 6-dec-quantized L2^2 argmin (ties -> code)
+    codes = []
+    for m, book in enumerate(codebooks):
+        sv = F.slice(v, m * d + 1, d)
+        d2 = F.array(
+            *[
+                F.round(
+                    dot(sv, sv)
+                    - F.lit(2.0) * dot(sv, _vec_lit(cw))
+                    + F.lit(sum(float(x) * float(x) for x in cw)),
+                    6,
+                )
+                for _, cw in book
+            ]
+        )
+        idx = F.array_position(d2, F.array_min(d2)).cast("int")
+        cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in book])
+        codes.append(F.element_at(cid_arr, idx))
+
+    # ADC lookup tables: query-subvector x codeword inner products,
+    # python-computed (same sequential-sum IEEE order as the engines),
+    # micro-unit-quantized BEFORE the sum
+    lut_cols = []
+    for m, book in enumerate(codebooks):
+        qs = qv[m * d:(m + 1) * d]
+        lut = {
+            cid: int(round(sum(a * b for a, b in zip(qs, cw)) * 1e6 + 1e-9))
+            for cid, cw in book
+        }
+        arr = F.array(*[F.lit(lut[cid]).cast("long") for cid, _ in book])
+        pos_arr = F.array(*[F.lit(int(cid)) for cid, _ in book])
+        lut_cols.append(
+            F.element_at(arr, F.array_position(pos_arr, codes[m]).cast("int"))
+        )
+    approx_e6 = lut_cols[0]
+    for c in lut_cols[1:]:
+        approx_e6 = approx_e6 + c
+
+    sim = F.round(dot(v, _vec_lit(qv)) / (l2_norm(v) * F.lit(qn)), 6)
+    cand = (
+        df.withColumn("_adc_e6", approx_e6)
+        .orderBy(F.desc("_adc_e6"), F.asc(id_col))
+        .limit(int(k) * int(rerank))
+    )
+    return (
+        cand.select(id_col, sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -397,3 +397,47 @@ def test_line_dedup_word_windows_matches_python(spark, sf_dir):
         keep = [ln for ln in wlines(row["text"]) if counts[ln] < 2]
         drop = [ln for ln in wlines(row["text"]) if counts[ln] >= 2]
         assert out[row["doc_id"]] == (" ".join(keep), len(keep), len(drop))
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from crawl4ai_spark.operators.similarity import cosine_topk, cosine_topk_pq
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(df, "embedding", qvec, k=5, id_cols=["vec_id"]).collect()]
+    approx = [r["vec_id"] for r in
+              cosine_topk_pq(df, "embedding", qvec, k=20,
+                             m_subspaces=4, n_codes=16, rerank=4).collect()]
+    # the query row itself (cos=1) must always survive ADC + rerank
+    assert 0 in approx
+    # sane recall at these params: most of the exact top-5 retrieved
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_pq_deterministic_and_reranked(spark, sf_dir):
+    from crawl4ai_spark.operators.similarity import cosine_topk_pq
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    a = cosine_topk_pq(df, "embedding", qvec, k=10).collect()
+    b = cosine_topk_pq(df, "embedding", qvec, k=10).collect()
+    assert a == b
+    sims = [r["cosine_sim"] for r in a]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_codebook_shape_and_dim_guard(spark, sf_dir):
+    import pytest as _pytest
+
+    from crawl4ai_spark.operators.similarity import pq_codebooks_from_sample
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks_from_sample(df, "embedding", "vec_id", 4, 16)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(cw) == 16 for b in books for _, cw in b)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_from_sample(df, "embedding", "vec_id", 5, 16)
