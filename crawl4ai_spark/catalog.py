@@ -668,20 +668,29 @@ def q_round_saturation(spark, sf_dir):
     )
     docs = _docs(spark, sf_dir)
     stats = host_prior_stats(docs, "source", token_count("text"))
-    hp = stats.select(
-        F.lit("host_prior").alias("metric"),
-        F.col("source").alias("key"),
-        F.col("n_docs").alias("v1"),
-        F.col("metric_mean").alias("v2"),
-    )
-    hk = stats.select(
-        F.lit("host_keep").alias("metric"),
-        F.col("source").alias("key"),
-        ((F.col("n_docs") >= 3) & (F.col("metric_mean") >= 52))
-        .cast("long")
-        .alias("v1"),
-        F.lit(0).cast("long").alias("v2"),
-    )
+    # both host-row kinds from ONE stats computation (explode of a
+    # 2-struct array) — separate selects would re-run the aggregation
+    # once per union branch
+    hpk = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("host_prior").alias("metric"),
+                    F.col("source").alias("key"),
+                    F.col("n_docs").alias("v1"),
+                    F.col("metric_mean").alias("v2"),
+                ),
+                F.struct(
+                    F.lit("host_keep").alias("metric"),
+                    F.col("source").alias("key"),
+                    ((F.col("n_docs") >= 3) & (F.col("metric_mean") >= 52))
+                    .cast("long")
+                    .alias("v1"),
+                    F.lit(0).cast("long").alias("v2"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
     dk = (
         apply_host_prior(docs, stats, "source", min_docs=3, min_mean=52)
         .filter(_d() % 7 == 0)
@@ -692,7 +701,7 @@ def q_round_saturation(spark, sf_dir):
             F.lit(0).cast("long").alias("v2"),
         )
     )
-    return rounds.unionByName(hp).unionByName(hk).unionByName(dk)
+    return rounds.unionByName(hpk).unionByName(dk)
 
 
 ORACLE_ROUND_SATURATION = f"""
