@@ -313,20 +313,23 @@ def cosine_topk_pq(
     qv = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in qv))
 
-    # encode: per subspace the 6-dec-quantized L2^2 argmin (ties -> code)
+    # encode: per subspace the 6-dec-quantized L2^2 argmin (ties -> code).
+    # The codeword table is ONE array<array<double>> literal iterated by
+    # a runtime transform() — unrolling 16 python-side dot expressions
+    # would re-inline the sliced subvector ~33x per subspace and blow up
+    # codegen (Catalyst re-inlines non-cheap expressions at every
+    # reference; whole-stage compile time then dominates the query)
     codes = []
     for m, book in enumerate(codebooks):
         sv = F.slice(v, m * d + 1, d)
-        d2 = F.array(
-            *[
-                F.round(
-                    dot(sv, sv)
-                    - F.lit(2.0) * dot(sv, _vec_lit(cw))
-                    + F.lit(sum(float(x) * float(x) for x in cw)),
-                    6,
-                )
-                for _, cw in book
-            ]
+        cw_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for _, cw in book]
+        )
+        d2 = F.transform(
+            cw_arr,
+            lambda cw: F.round(
+                dot(sv, sv) - F.lit(2.0) * dot(sv, cw) + dot(cw, cw), 6
+            ),
         )
         idx = F.array_position(d2, F.array_min(d2)).cast("int")
         cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in book])
