@@ -104,6 +104,15 @@ class CrawlConfig:
     # (priority desc, url), computed with the same salted two-phase
     # window as the politeness budgets (no hot-host task funnel).
     max_urls_per_host: int | None = None
+    # URL priority priors: a DataFrame of (url | url_hash, prior:double)
+    # added to every seed's and discovered link's priority — the wiring
+    # point for corpus-level signals this library computes elsewhere:
+    # linkgraph.pagerank authority (its node ids ARE url_hash longs),
+    # recrawl.py staleness, hostprior keep-scores. Joined on url_hash
+    # (the same key the in-round dedup window partitions by, so the
+    # exchange is reused); small prior tables broadcast automatically.
+    # Duplicate keys are collapsed to their max prior defensively.
+    url_priors: object | None = None  # DataFrame | None
     # register each round's results/next-frontier outputs as snapshots
     # of Iceberg-style tables at workdir/tables/{results,frontier}
     # (snaptable.SnapshotTable.add_files — metadata-only, no byte copy,
@@ -160,6 +169,21 @@ def _per_host_topk(
         pre.withColumn("_qrn", F.row_number().over(w_exact))
         .filter(F.col("_qrn") <= k)
         .drop("_qrn")
+    )
+
+
+def _priors_by_hash(priors) -> "DataFrame":
+    """Normalize a (url|url_hash, prior) table to (url_hash, _prior),
+    max-collapsing duplicate keys so the frontier join can't multiply
+    rows. One partial-aggregable groupBy; at scale the caller computes
+    priors once per crawl, not per round."""
+    p = priors
+    if "url_hash" not in p.columns:
+        p = p.select(url_hash("url").alias("url_hash"), "prior")
+    return (
+        p.select("url_hash", F.col("prior").cast("double").alias("_prior"))
+        .groupBy("url_hash")
+        .agg(F.max("_prior").alias("_prior"))
     )
 
 
@@ -319,6 +343,19 @@ class CrawlRun:
             F.lit(0).alias("round"),
             "dfs_key",
         )
+        if self.config.url_priors is not None:
+            df = (
+                df.join(_priors_by_hash(self.config.url_priors), "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.col("priority") + F.coalesce(F.col("_prior"), F.lit(0.0)),
+                )
+                .drop("_prior")
+                .select(  # keep the frontier column order stable
+                    "url", "url_hash", "host", "priority", "depth",
+                    "parent_url_hash", "round", "dfs_key",
+                )
+            )
         df.coalesce(1).sortWithinPartitions(F.desc("priority"), "url").write.mode(
             "overwrite"
         ).parquet(self._frontier_path(0))
@@ -595,6 +632,20 @@ class CrawlRun:
         scored = scored.withColumn("url_hash", url_hash("url")).withColumn(
             "host", host_no_port("url")
         )
+        if cfg.url_priors is not None:
+            # authority/staleness prior added AFTER the keyword
+            # threshold gate (the threshold keeps its reference
+            # semantics over the scorer output) and BEFORE the in-round
+            # dedup window / per-host quota, both of which order by the
+            # boosted priority
+            scored = (
+                scored.join(_priors_by_hash(cfg.url_priors), "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.col("priority") + F.coalesce(F.col("_prior"), F.lit(0.0)),
+                )
+                .drop("_prior")
+            )
 
         # in-round dedup: keep highest-priority, lowest-parent occurrence
         from pyspark.sql import Window

@@ -670,3 +670,70 @@ def test_per_host_admission_quota(spark, sf_dir, tmp_path):
     for host, _, _ in frontiers["free"]:
         free_counts[host] = free_counts.get(host, 0) + 1
     assert max(free_counts.values()) > k
+
+
+def test_url_priors_boost_seed_and_link_priorities(spark, corpus, tmp_path):
+    """CrawlConfig.url_priors adds to both seed and discovered-link
+    priorities (keywords off -> priority == prior exactly), and absent
+    urls stay at 0."""
+    pages, langs = corpus
+    seed0, seed7 = page_url(0, langs[0]), page_url(7, langs[7])
+    # boost seed7 and one link every page links to (target of doc 0)
+    from crawl4ai_spark.synth import outlink_targets
+
+    # first outlink target of doc 0 that is NOT itself a seed (a seeded
+    # url is already in the seen set and never re-enters the frontier)
+    tgt = next(t for t in outlink_targets(0, N_DOCS) if t not in (0, 7))
+    tgt_url = page_url(tgt, langs[tgt])
+    priors = spark.createDataFrame(
+        [(seed7, 3.5), (tgt_url, 1.25)], ["url", "prior"]
+    )
+    cfg = CrawlConfig(max_depth=2, round_seconds=8.0, url_priors=priors)
+    wd = str(tmp_path / "priors")
+    run = CrawlRun(spark, pages, wd, cfg)
+    run.seed([seed0, seed7])
+    f0 = {r["url"]: r["priority"]
+          for r in spark.read.parquet(f"{wd}/frontier/round=0").collect()}
+    assert f0[seed7] == 3.5 and f0[seed0] == 0.0
+    run.run_round(0)
+    f1 = {r["url"]: r["priority"]
+          for r in spark.read.parquet(f"{wd}/frontier/round=1").collect()}
+    assert f1.get(tgt_url) == 1.25
+    others = [v for u, v in f1.items() if u != tgt_url]
+    assert others and all(v == 0.0 for v in others)
+
+
+def test_url_priors_pagerank_wiring(spark, corpus, tmp_path):
+    """linkgraph.pagerank output (node ids ARE url_hash longs) feeds
+    url_priors directly via its url_hash column — the corpus-level
+    authority prior the north star's 'crawl prioritization' names."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import url_hash
+    from crawl4ai_spark.operators.linkgraph import pagerank
+
+    pages, langs = corpus
+    seeds = [page_url(0, langs[0])]
+    # authority over the synth link graph, keyed by url_hash
+    from crawl4ai_spark.synth import outlink_targets
+
+    edge_rows = [
+        (page_url(s, langs[s]), page_url(d, langs[d]))
+        for s in range(40)
+        for d in outlink_targets(s, N_DOCS)
+    ]
+    edges = spark.createDataFrame(edge_rows, ["src_url", "dst_url"]).select(
+        url_hash("src_url").alias("src"), url_hash("dst_url").alias("dst")
+    )
+    pr = pagerank(edges, "src", "dst", iters=2).select(
+        F.col("node").alias("url_hash"),
+        (F.col("pr") / F.lit(1e9)).alias("prior"),
+    )
+    cfg = CrawlConfig(max_depth=1, round_seconds=8.0, url_priors=pr)
+    wd = str(tmp_path / "prwire")
+    run = CrawlRun(spark, pages, wd, cfg)
+    run.seed(seeds)
+    run.run_round(0)
+    f1 = spark.read.parquet(f"{wd}/frontier/round=1")
+    boosted = f1.filter(F.col("priority") > 0).count()
+    assert boosted > 0  # authority scores actually reached the frontier
