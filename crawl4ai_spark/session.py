@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # decode() malformed bytes -> U+FFFD replacement instead of a
+        # task-killing MALFORMED_CHARACTER_CODING error: a crawler MUST
+        # survive garbage bytes (same degradation contract as the
+        # scrape stage's tolerant parser; functions/encoding.py relies
+        # on this for charset-sniffed WARC payload decoding)
+        .config("spark.sql.legacy.codingErrorAction", "true")
+        # allow the full JVM charset set in encode/decode (Spark 4
+        # whitelists 7 charsets by default): the web's second-most
+        # common single-byte encoding is windows-1252, which WHATWG
+        # even makes the decoder for pages LABELLED iso-8859-1
+        .config("spark.sql.legacy.javaCharsets", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
