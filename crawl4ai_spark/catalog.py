@@ -404,24 +404,62 @@ def q_text_signals(spark, sf_dir):
     text_fingerprint / text_bpe_count gate entries (identical per-doc
     shape) to free correctness-window slots; each signal keeps its own
     unit tests."""
-    from .functions.text import bpe_ish_token_count
+    from .functions.text import (
+        blocklist_hits,
+        bpe_ish_token_count,
+        gopher_quality_flags,
+    )
 
+    g = gopher_quality_flags("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
         lang_id("text").alias("detected_lang"),
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe"),
         doc_fingerprint_portable("text").alias("fp"),
+        blocklist_hits("text", ("slow", "big", "bogusword")).alias(
+            "blocklist_hits"
+        ),
+        g["mean_word_len_e2"].alias("mean_word_len_e2"),
+        g["alpha_word_frac_e6"].alias("alpha_word_frac_e6"),
+        g["gopher_keep"].alias("gopher_keep"),
     )
+
+
+_ORACLE_GOPHER_SIGNALS = f"""
+WITH gw AS (SELECT doc_id, {_TOKENIZE_SQL} AS ws FROM documents),
+gs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+              CAST(len(list_filter(ws, w -> w IN ('slow', 'big', 'bogusword')))
+                   AS BIGINT) AS bl,
+              CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+                AS tc,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '(?i)[a-z]')))
+                   AS BIGINT) AS al
+       FROM gw)
+SELECT doc_id, bl AS blocklist_hits,
+       CAST(CASE WHEN n > 0 THEN (100 * tc) // n ELSE 0 END AS BIGINT)
+         AS mean_word_len_e2,
+       CAST(CASE WHEN n > 0 THEN (1000000 * al) // n ELSE 0 END AS BIGINT)
+         AS alpha_word_frac_e6,
+       CAST((n BETWEEN 50 AND 100000)
+            AND ((CASE WHEN n > 0 THEN (100 * tc) // n ELSE 0 END)
+                 BETWEEN 300 AND 1000)
+            AND ((CASE WHEN n > 0 THEN (1000000 * al) // n ELSE 0 END)
+                 >= 800000) AS INT) AS gopher_keep
+FROM gs
+"""
 
 
 def _oracle_text_signals() -> str:
     return f"""
-SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, f.fp
+SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, f.fp,
+       g.blocklist_hits, g.mean_word_len_e2, g.alpha_word_frac_e6,
+       g.gopher_keep
 FROM ({_oracle_lang_id()}) l
 JOIN ({ORACLE_TEXT_TOKEN_COUNT}) t ON t.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_BPE_COUNT_FWD}) b ON b.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
+JOIN ({_ORACLE_GOPHER_SIGNALS}) g ON g.doc_id = l.doc_id
 """
 
 

@@ -191,3 +191,54 @@ def shingle_hashes(text: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, out).otherwise(
         F.array(F.xxhash64(F.array_join(t, " ")))
     )
+
+
+def blocklist_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """C4-style content-blocklist hit count: how many of the document's
+    tokens appear in ``words`` (C4 drops any page with >= 1 hit against
+    its "bad words" list; Raffel et al. 2020 §2.2). Kept as a COUNT so
+    callers can audit before dropping; row-local, zero shuffle."""
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(text), lambda w: F.array_contains(lit, w))
+    ).cast("long")
+
+
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_e2: int = 300,
+    max_mean_word_len_e2: int = 1000,
+    min_alpha_word_frac_e6: int = 800_000,
+) -> Column:
+    """Gopher §A1 document-quality rules (Rae et al. 2021) as a struct
+    of integer signals + the keep conjunction: word-count bounds, mean
+    word length in [3, 10] characters, and >= 80 % of words containing
+    an alphabetic character. Integer units (e2 / e6) keep the signals
+    engine-exact; the floor-of-double divisions are exact here because
+    a non-integer rational a/n sits >= 1/n from any integer while the
+    double error is ~q*2^-53 — orders below 1/n for any real document.
+    """
+    ws = tokens(text)
+    n = F.size(ws).cast("long")
+    total_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl_e2 = F.when(
+        n > 0, F.floor(F.lit(100) * total_chars / n).cast("long")
+    ).otherwise(F.lit(0))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("(?i)[a-z]"))).cast("long")
+    frac_e6 = F.when(
+        n > 0, F.floor(F.lit(1_000_000) * alpha / n).cast("long")
+    ).otherwise(F.lit(0))
+    keep = (
+        n.between(int(min_words), int(max_words))
+        & mwl_e2.between(int(min_mean_word_len_e2), int(max_mean_word_len_e2))
+        & (frac_e6 >= int(min_alpha_word_frac_e6))
+    ).cast("int")
+    return F.struct(
+        mwl_e2.alias("mean_word_len_e2"),
+        frac_e6.alias("alpha_word_frac_e6"),
+        keep.alias("gopher_keep"),
+    )
