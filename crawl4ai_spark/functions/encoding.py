@@ -30,20 +30,44 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# labels seen in the wild -> JVM charset names (decode targets)
+# labels seen in the wild -> JVM charset names (decode targets),
+# following the WHATWG rules rather than the labels' face value:
+# - a meta/xml UTF-16 label is REWRITTEN to UTF-8 ("get an encoding
+#   from meta" step 3: if the ASCII prescan could read the label, the
+#   bytes cannot actually be UTF-16 — real UTF-16 is caught by BOM);
+# - iso-8859-1 / latin-1 / ascii labels decode as windows-1252 (the
+#   WHATWG alias table; Windows-authored pages labelled latin-1 use
+#   0x80-0x9F curly quotes that latin-1 would turn into C1 controls).
 _CANON = {
     "utf-8": "UTF-8",
     "utf8": "UTF-8",
-    "utf-16le": "UTF-16LE",
-    "utf-16be": "UTF-16BE",
-    "utf-16": "UTF-16LE",  # BOM-less utf-16 label: WHATWG says LE
-    "iso-8859-1": "ISO-8859-1",
-    "latin-1": "ISO-8859-1",
-    "latin1": "ISO-8859-1",
+    "utf-16le": "UTF-8",
+    "utf-16be": "UTF-8",
+    "utf-16": "UTF-8",
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
     "windows-1252": "windows-1252",
     "cp1252": "windows-1252",
-    "us-ascii": "US-ASCII",
-    "ascii": "US-ASCII",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+}
+
+# explicit-charset spelling aliases (decode_html(charset=...)): face
+# value, no WHATWG meta rewrites — the caller is describing the bytes
+_EXPLICIT = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "utf-16le": "utf-16le",
+    "utf-16be": "utf-16be",
+    "utf-16": "utf-16le",
+    "iso-8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "us-ascii": "us-ascii",
+    "ascii": "us-ascii",
 }
 
 _META_RX = (
@@ -83,9 +107,22 @@ def decode_html(data: Column | str, charset: Column | None = None) -> Column:
     The BOM, when present, is stripped before decoding. The decode is
     a when-chain over the supported JVM charsets — `F.decode` needs a
     literal charset, so per-row charsets dispatch through the chain.
+    A caller-supplied ``charset`` column is normalized (lowercase +
+    spelling aliases) so "UTF-16LE" / "latin-1" / "cp1252" dispatch
+    correctly instead of silently falling through to UTF-8 — but the
+    WHATWG utf-16→utf-8 META rewrite is NOT applied here: it exists
+    because a prescan-readable label can't be real UTF-16, whereas an
+    explicit caller charset is a statement about the actual bytes.
     """
     c = F.col(data) if isinstance(data, str) else data
-    cs = charset if charset is not None else sniff_charset(c)
+    if charset is not None:
+        canon_map = F.create_map(
+            *[F.lit(x) for kv in _EXPLICIT.items() for x in kv]
+        )
+        low = F.lower(charset)
+        cs = F.coalesce(F.element_at(canon_map, low), low)
+    else:
+        cs = sniff_charset(c)
     bom3 = F.hex(F.substring(c, 1, 3))
     bom2 = F.hex(F.substring(c, 1, 2))
     body = (

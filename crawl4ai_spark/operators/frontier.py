@@ -295,6 +295,15 @@ class CrawlRun:
             filter_kind=self.config.seen_filter_kind,
         )
         self.politeness = PolitenessState(spark, workdir)
+        # normalize + persist the priors table ONCE per run: every
+        # round (and the seed) joins it, and without the persist the
+        # priors' full upstream lineage (e.g. a pagerank iteration
+        # chain) would re-execute per round. Cached for the run's
+        # lifetime — MEMORY_AND_DISK, so a 10^10-row prior table
+        # spills rather than OOMs on a real cluster.
+        self._priors = None
+        if self.config.url_priors is not None:
+            self._priors = _priors_by_hash(self.config.url_priors).persist()
         os.makedirs(workdir, exist_ok=True)
 
     # -- paths / manifests ---------------------------------------------------
@@ -345,7 +354,7 @@ class CrawlRun:
         )
         if self.config.url_priors is not None:
             df = (
-                df.join(_priors_by_hash(self.config.url_priors), "url_hash", "left")
+                df.join(self._priors, "url_hash", "left")
                 .withColumn(
                     "priority",
                     F.col("priority") + F.coalesce(F.col("_prior"), F.lit(0.0)),
@@ -639,7 +648,7 @@ class CrawlRun:
             # dedup window / per-host quota, both of which order by the
             # boosted priority
             scored = (
-                scored.join(_priors_by_hash(cfg.url_priors), "url_hash", "left")
+                scored.join(self._priors, "url_hash", "left")
                 .withColumn(
                     "priority",
                     F.col("priority") + F.coalesce(F.col("_prior"), F.lit(0.0)),

@@ -159,7 +159,13 @@ def measure(
                     if lo["urls_per_sec"]
                     else 0.0
                 )
-                if hi2["urls_per_sec"] / lo2["urls_per_sec"] > cur:
+                # guard against the opposite failure: a pair whose LOW
+                # point caught the stall would inflate the ratio. Only
+                # adopt a pair whose low run is within the documented
+                # noise band of the best-of low — a max-ratio selection
+                # alone would reward exactly the drift this controls for
+                plausible_lo = lo2["urls_per_sec"] >= 0.75 * lo["urls_per_sec"]
+                if plausible_lo and hi2["urls_per_sec"] / lo2["urls_per_sec"] > cur:
                     lo, hi = lo2, hi2
 
         ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0

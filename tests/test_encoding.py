@@ -29,9 +29,9 @@ def _cases():
         (3, DOC.encode("utf-16-le"), "utf-8", None),  # BOM-less utf-16: undetectable
         (4, ("﻿" + DOC).encode("utf-16-le"), "utf-16le", DOC),
         (5, ("﻿" + DOC).encode("utf-16-be"), "utf-16be", DOC),
-        (6, meta_l1.encode("iso-8859-1"), "iso-8859-1", meta_l1),
+        (6, meta_l1.encode("iso-8859-1"), "windows-1252", meta_l1),  # WHATWG alias
         (7, meta_1252.encode("windows-1252"), "windows-1252", meta_1252),
-        (8, xml_l1.encode("iso-8859-1"), "iso-8859-1", xml_l1),
+        (8, xml_l1.encode("iso-8859-1"), "windows-1252", xml_l1),
         (9, b'<meta charset=BOGUS-enc><body>x</body>', "utf-8", None),
         (10, DOC.encode("utf-8"), "utf-8", DOC),  # meta-less utf-8 default
     ]
@@ -92,3 +92,39 @@ def test_warc_pages_decode_integration(spark, tmp_path):
     )
     (r,) = scrape_stage(pages).select("text_extracted").collect()
     assert "“fancy”" in r["text_extracted"]
+
+
+def test_meta_utf16_label_rewritten_to_utf8(spark):
+    """WHATWG: a prescan-readable utf-16 label can't be real UTF-16 —
+    decode the (actually UTF-8) bytes as UTF-8, not as mojibake."""
+    doc = '<meta charset="utf-16"><body>plain ascii body</body>'
+    df = spark.createDataFrame([(1, doc.encode("utf-8"))], "id int, html binary")
+    (r,) = df.select(sniff_charset("html").alias("cs"),
+                     decode_html("html").alias("t")).collect()
+    assert r["cs"] == "utf-8"
+    assert r["t"] == doc
+
+
+def test_latin1_labelled_curly_quotes_decode_as_1252(spark):
+    """Pages labelled iso-8859-1 with 0x93/0x94 bytes (Windows curly
+    quotes) must yield the quotes, not C1 control characters."""
+    raw = ('<meta charset="iso-8859-1"><body>' .encode("ascii")
+           + b"\x93quoted\x94" + b"</body>")
+    df = spark.createDataFrame([(1, raw)], "id int, html binary")
+    (r,) = df.select(decode_html("html").alias("t")).collect()
+    assert "“quoted”" in r["t"]
+
+
+def test_explicit_charset_spellings_dispatch(spark):
+    doc = "höhe “x”"
+    rows = [
+        (1, doc.encode("utf-16-le"), "UTF-16LE"),
+        (2, doc.encode("windows-1252"), "cp1252"),
+        (3, doc.encode("windows-1252"), "latin-1"),  # face value: latin-1
+    ]
+    df = spark.createDataFrame(rows, "id int, html binary, cs string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", decode_html("html", F.col("cs")).alias("t")).collect()}
+    assert got[1] == doc
+    assert got[2] == doc
+    assert got[3] != doc  # explicit latin-1 honored literally (C1 chars)
