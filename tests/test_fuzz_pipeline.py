@@ -172,3 +172,40 @@ def test_fuzz_lm_total_is_python_exact(spark):
             for a, b in zip(ws, ws[1:])
         ]
         assert got[i] == (len(costs), sum(costs)), i
+
+
+def test_fuzz_decode_never_crashes_or_nulls(spark):
+    """300 random byte blobs (including BOM-prefixed garbage and
+    truncated multibyte tails): sniff+decode must always yield a
+    non-null string — one bad page must never kill a task."""
+    from crawl4ai_spark.functions.encoding import decode_html, sniff_charset
+
+    rng = random.Random(23)
+    blobs = []
+    for i in range(300):
+        body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 64)))
+        prefix = rng.choice(
+            [b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+             b'<meta charset="utf-16le">', b'<meta charset="junk-lbl">']
+        )
+        blobs.append((i, prefix + body))
+    df = spark.createDataFrame(blobs, "id int, html binary")
+    rows = df.select(
+        "id", sniff_charset("html").alias("cs"), decode_html("html").alias("t")
+    ).collect()
+    assert len(rows) == 300
+    assert all(r["t"] is not None and r["cs"] for r in rows)
+
+
+def test_priors_by_hash_collapses_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.frontier import _priors_by_hash
+
+    df = spark.createDataFrame(
+        [("https://a/x", 1.0), ("https://a/x", 4.0), ("https://b/y", 2.0)],
+        ["url", "prior"],
+    )
+    out = _priors_by_hash(df).collect()
+    assert len(out) == 2  # dup url collapsed
+    assert sorted(r["_prior"] for r in out) == [2.0, 4.0]  # max wins
