@@ -1,7 +1,16 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE compact JSON line (< 1800 chars — the
+recording harness parses a bounded window of stdout):
 
-    {"metric": "crawl_urls_per_sec", "value": N, "unit": "urls/sec",
-     "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+    {"metric": "extract_urls_per_sec", "value": N, "unit": "urls/sec",
+     "queries": {...per-query seconds...}, "sf": ..., "cpus": ...,
+     "crawl": {...}, "extract": {...}, "scaling": {...},
+     "submit_scaling": {...}, "seen_bloom": {...},
+     "detail": "bench_detail.json"}
+
+The FULL nested result (per-trial scaling points, per-partition
+throughput, shuffle-exchange counts) is written to the
+`bench_detail.json` sidecar next to this file
+(override: $SPARK_GRAFT_BENCH_DETAIL).
 
 Three sections:
 1. catalog suite — headline operator queries at $SPARK_GRAFT_SF_DIR
@@ -229,6 +238,88 @@ def bench_extract(cpus: int, replicate: int = 16) -> dict:
         spark.stop()
 
 
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+)
+# The harness that records the stdout JSON parses only the first ~2000
+# characters of the line; round 3 shipped parsed:null because the full
+# result outgrew that window. Everything below compacts the stdout line
+# (scalars + per-query seconds only) and routes the full nested result
+# to the DETAIL_PATH sidecar.
+STDOUT_BUDGET = 1800
+
+
+def compact_result(full: dict) -> dict:
+    """Compress the full bench result into a stdout-safe summary.
+
+    Keeps the driver-contract keys (metric/value/unit/queries/sf) plus
+    one-level scalar summaries of each evidence section; nested
+    per-trial / per-partition detail lives only in the sidecar.
+    """
+
+    def _sc(section: dict) -> dict:
+        s = section or {}
+        out = {}
+        if "efficiency" in s:
+            out["efficiency"] = s["efficiency"]
+        if "speedup" in s:
+            out["speedup"] = s["speedup"]
+        for side in ("low", "high"):
+            p = s.get(side) or {}
+            if "urls_per_sec" in p:
+                out[f"{side}_ups"] = round(p["urls_per_sec"], 1)
+            if "cpus" in p:
+                out[f"{side}_cpus"] = p["cpus"]
+        if "error" in s:
+            out["error"] = str(s["error"])[:120]
+        return out
+
+    queries = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in (full.get("queries") or {}).items()
+    }
+    crawl = full.get("crawl") or {}
+    extract = full.get("extract") or {}
+    seen = full.get("seen_bloom") or {}
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": queries,
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "crawl": {
+            k: crawl[k]
+            for k in ("cpus", "fetched_ok", "wall_sec", "urls_per_sec")
+            if k in crawl
+        },
+        "extract": {
+            k: extract[k]
+            for k in ("cpus", "n_urls", "wall_sec", "urls_per_sec")
+            if k in extract
+        },
+        "scaling": _sc(full.get("scaling") or {}),
+        "submit_scaling": _sc(full.get("submit_scaling") or {}),
+        "seen_bloom": {
+            k: seen[k] for k in ("exact_sec", "bloom_sec", "cuckoo_sec") if k in seen
+        },
+        "detail": os.path.basename(DETAIL_PATH),
+    }
+    # belt-and-braces: degrade gracefully rather than ever exceed the
+    # parse window (full detail is in the sidecar regardless)
+    if len(json.dumps(compact)) > STDOUT_BUDGET:
+        compact["queries"] = {
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in queries.items()
+        }
+    for drop in ("seen_bloom", "extract", "crawl", "submit_scaling"):
+        if len(json.dumps(compact)) <= STDOUT_BUDGET:
+            break
+        compact.pop(drop, None)
+    return compact
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
@@ -326,7 +417,14 @@ def main() -> None:
         "submit_scaling": submit,
         "seen_bloom": seen_bloom,
     }
-    print(json.dumps(result))
+    try:
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        print(f"bench: sidecar write failed: {e}", file=sys.stderr)
+    line = json.dumps(compact_result(result))
+    assert len(line) <= STDOUT_BUDGET, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -125,9 +125,14 @@ def decode_html(data: Column | str, charset: Column | None = None) -> Column:
         cs = sniff_charset(c)
     bom3 = F.hex(F.substring(c, 1, 3))
     bom2 = F.hex(F.substring(c, 1, 2))
+    # strip a BOM only when it belongs to the charset actually being
+    # decoded: windows-1252/latin-1/ascii text legitimately starting
+    # with 'ÿþ'/'þÿ' (FF FE / FE FF) or 'ï»¿' must keep those chars
     body = (
-        F.when(bom3 == "EFBBBF", F.substring(c, 4, 2147483647))
-        .when(bom2.isin("FFFE", "FEFF"), F.substring(c, 3, 2147483647))
+        F.when((bom3 == "EFBBBF") & (cs == "utf-8"),
+               F.substring(c, 4, 2147483647))
+        .when(bom2.isin("FFFE", "FEFF") & cs.isin("utf-16le", "utf-16be"),
+              F.substring(c, 3, 2147483647))
         .otherwise(c)
     )
     out = F.decode(body, "UTF-8")

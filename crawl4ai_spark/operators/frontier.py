@@ -352,7 +352,7 @@ class CrawlRun:
             F.lit(0).alias("round"),
             "dfs_key",
         )
-        if self.config.url_priors is not None:
+        if self._priors is not None:
             df = (
                 df.join(self._priors, "url_hash", "left")
                 .withColumn(
@@ -641,7 +641,7 @@ class CrawlRun:
         scored = scored.withColumn("url_hash", url_hash("url")).withColumn(
             "host", host_no_port("url")
         )
-        if cfg.url_priors is not None:
+        if self._priors is not None:
             # authority/staleness prior added AFTER the keyword
             # threshold gate (the threshold keeps its reference
             # semantics over the scorer output) and BEFORE the in-round
@@ -915,6 +915,13 @@ class CrawlRun:
             for name in ("results", "frontier", "url_seen", "politeness"):
                 _truncate_table_to_round(self.table(name), k)
 
+    def close(self) -> None:
+        """Release session-lifetime resources (the persisted priors
+        table). Idempotent; the run object stays usable — a later
+        round would just recompute the priors lineage."""
+        if self._priors is not None:
+            self._priors.unpersist(blocking=False)
+
     def results(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "results"))
 
@@ -932,8 +939,11 @@ def run_crawl(
 ) -> list[dict]:
     """Convenience wrapper: seed (unless resuming) and run the loop."""
     run = CrawlRun(spark, pages, workdir, config)
-    if run.latest_completed_round() is None and not os.path.exists(
-        run._frontier_path(0)
-    ):
-        run.seed(seeds)
-    return run.run(max_rounds)
+    try:
+        if run.latest_completed_round() is None and not os.path.exists(
+            run._frontier_path(0)
+        ):
+            run.seed(seeds)
+        return run.run(max_rounds)
+    finally:
+        run.close()

@@ -175,12 +175,21 @@ def packing_stats(assignment: DataFrame, seq_len: int) -> DataFrame:
     )
     agg = assignment.agg(
         F.countDistinct("seq_id").cast("long").alias("n_seqs"),
-        F.sum("n_piece").cast("long").alias("tokens_placed"),
+        F.coalesce(F.sum("n_piece"), F.lit(0)).cast("long")
+        .alias("tokens_placed"),
     )
     cap = F.col("n_seqs") * F.lit(L)
     pad = (cap - F.col("tokens_placed")) * F.lit(1_000_000)
-    # integer floor division on nonnegative operands (engine-portable)
-    pad_ppm = ((pad - pad % cap) / cap).cast("long")
+    # integer floor division on nonnegative operands (engine-portable);
+    # cap == 0 (empty assignment) must yield a zero-stats row, not a
+    # null (or an ANSI divide-by-zero)
+    pad_ppm = F.when(
+        cap > 0, ((pad - pad % cap) / cap).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     return agg.crossJoin(splits).select(
-        "n_seqs", "tokens_placed", pad_ppm.alias("pad_ppm"), "split_docs"
+        "n_seqs",
+        "tokens_placed",
+        pad_ppm.alias("pad_ppm"),
+        F.coalesce(F.col("split_docs"), F.lit(0).cast("long"))
+        .alias("split_docs"),
     )

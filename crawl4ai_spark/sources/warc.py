@@ -42,6 +42,14 @@ WARC_SCHEMA = (
 )
 
 
+def _coalesce(value, default):
+    """``value`` unless it is None or NaN (pandas hands nulls through as
+    either, and a float NaN is the only value where x != x)."""
+    if value is None or value != value:
+        return default
+    return value
+
+
 # ---------------------------------------------------------------------------
 # byte-level format
 # ---------------------------------------------------------------------------
@@ -171,9 +179,13 @@ def build_warc_indexed(
                 ts = ts.astimezone(timezone.utc)
             date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         payload = r.get("payload", b"")
+        # coalesce, don't dict-get: real crawl rows routinely carry the
+        # KEY with a null/NaN value (dict-get defaults only cover a
+        # missing key)
+        status = _coalesce(r.get("http_status"), 200)
+        ctype = _coalesce(r.get("content_type"), "text/html")
         if wtype == "response" and not payload.startswith(b"HTTP/"):
-            status = int(r.get("http_status", 200))
-            ctype = r.get("content_type", "text/html")
+            status = int(status)
             payload = (
                 f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
                 f"Content-Length: {len(payload)}\r\n\r\n"
@@ -197,8 +209,8 @@ def build_warc_indexed(
             {
                 "url": r.get("url", ""),
                 "warc_ts": r.get("warc_ts"),
-                "status": r.get("http_status", 200),
-                "mime": r.get("content_type", "text/html").split(";")[0],
+                "status": _coalesce(r.get("http_status"), 200),
+                "mime": str(ctype).split(";")[0],
                 "offset": out.tell(),
                 "length": len(blob),
             }
@@ -296,19 +308,31 @@ def _write_archives(
             for _, row in pdf.iterrows():
                 recs.append(row_to_record(row))
         if recs:
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            # task-attempt temp + atomic rename: a retried/speculative
+            # attempt may run concurrently with the original on the
+            # same partition id — writing the final path directly from
+            # both would interleave. os.replace makes last-commit-wins
+            # atomic (same rule as Spark's file committers).
+            attempt = ctx.taskAttemptId()
             base = f"{prefix}-{pid:05d}{suffix}"
             fname = os.path.join(out_dir, base)
+            tmp = f"{fname}.attempt-{attempt}.tmp"
             blob, index = build_warc_indexed(recs)
-            with open(fname, "wb") as f:
+            with open(tmp, "wb") as f:
                 f.write(blob)
+            os.replace(tmp, fname)
             if cdx_sidecar:
                 from .cdx import build_cdxj
 
                 for r in index:
                     r["filename"] = base
-                with open(fname[: -len(suffix)] + ".cdxj", "w") as f:
+                cdx_final = fname[: -len(suffix)] + ".cdxj"
+                cdx_tmp = f"{cdx_final}.attempt-{attempt}.tmp"
+                with open(cdx_tmp, "w") as f:
                     f.write(build_cdxj(index))
+                os.replace(cdx_tmp, cdx_final)
             yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
 
     manifest = df.mapInPandas(dump, "file string, n_records long")
@@ -332,16 +356,20 @@ def write_warc(
     body_col = "payload" if "payload" in cols else "html"
 
     def to_record(row):
+        # coalesce row VALUES, not just missing keys: crawl results
+        # routinely carry http_status/content_type as null (pandas None
+        # or NaN), and int(NaN) / None.split would kill the write task
         return {
             "url": row["url"],
             "warc_ts": row["warc_ts"],
             "payload": bytes(row[body_col]),
-            "http_status": int(row["http_status"])
-            if "http_status" in cols
-            else 200,
-            "content_type": row["content_type"]
-            if "content_type" in cols
-            else "text/html",
+            "http_status": int(
+                _coalesce(row["http_status"] if "http_status" in cols else None, 200)
+            ),
+            "content_type": _coalesce(
+                row["content_type"] if "content_type" in cols else None,
+                "text/html",
+            ),
         }
 
     return _write_archives(

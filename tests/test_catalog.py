@@ -54,10 +54,12 @@ def test_query_matches_oracle(name, spark, ddb):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_is_oracle_backed():
+    """All driver-catalog entries carry a DuckDB oracle — a rows-only
+    entry would silently weaken the CORRECTNESS gate. (This used to be
+    an empty parametrize, which pytest reports as a permanent SKIP in
+    every full-suite run.)"""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
 
 
 @pytest.mark.parametrize("name", sorted(PYTEST_ONLY_QUERIES))

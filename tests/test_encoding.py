@@ -115,6 +115,27 @@ def test_latin1_labelled_curly_quotes_decode_as_1252(spark):
     assert "“quoted”" in r["t"]
 
 
+def test_bom_bytes_kept_for_single_byte_charsets(spark):
+    """FF FE / FE FF / EF BB BF are only BOMs in the charset they
+    belong to: explicitly windows-1252/latin-1 text starting with
+    'ÿþ' / 'þÿ' / 'ï»¿' must keep those leading characters."""
+    rows = [
+        (1, "ÿþ rest".encode("windows-1252"), "windows-1252", "ÿþ rest"),
+        (2, "þÿ rest".encode("iso-8859-1"), "iso-8859-1", "þÿ rest"),
+        (3, "ï»¿ rest".encode("windows-1252"), "windows-1252", "ï»¿ rest"),
+        # and the BOM IS still stripped for its own charset
+        (4, "﻿x".encode("utf-8"), "utf-8", "x"),
+        (5, "﻿x".encode("utf-16-le"), "utf-16le", "x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, cs) for i, b, cs, _ in rows], "id int, html binary, cs string"
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", decode_html("html", F.col("cs")).alias("t")).collect()}
+    for i, _, _, want in rows:
+        assert got[i] == want, (i, got[i])
+
+
 def test_explicit_charset_spellings_dispatch(spark):
     doc = "höhe “x”"
     rows = [

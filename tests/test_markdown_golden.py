@@ -69,16 +69,31 @@ def test_differential_vs_reference_converter():
     import sys
 
     pkg_dir = "/root/reference/crawl4ai/html2text"
+    # fresh, collision-proof module identity: an earlier test run (or
+    # residue of a prior failed import) must never leave a half-built
+    # "ref_html2text" package that poisons the relative imports inside
+    # exec_module — and if the import STILL fails while the reference
+    # exists, that is an error, not a silent skip (this differential is
+    # the byte-parity evidence; round 3 lost it to a silent skip)
+    mod_name = f"ref_html2text_{os.getpid()}"
+    for stale in [k for k in sys.modules if k.startswith("ref_html2text")]:
+        del sys.modules[stale]
     spec = importlib.util.spec_from_file_location(
-        "ref_html2text", pkg_dir + "/__init__.py",
+        mod_name, pkg_dir + "/__init__.py",
         submodule_search_locations=[pkg_dir],
     )
     mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_html2text"] = mod
+    sys.modules[mod_name] = mod
     try:
         spec.loader.exec_module(mod)
-    except Exception:
-        pytest.skip("reference converter failed to import")
+    except Exception as e:
+        raise AssertionError(
+            f"reference converter exists but failed to import: "
+            f"{type(e).__name__}: {e}"
+        ) from e
+    finally:
+        for k in [k for k in sys.modules if k.startswith(mod_name)]:
+            del sys.modules[k]
 
     def ref_conv(html, base):
         h = mod.CustomHTML2Text(baseurl=base)

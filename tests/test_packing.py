@@ -130,6 +130,19 @@ def test_truncate_pad_caps_and_stats(docs):
     assert st.pad_ppm == expected_ppm
 
 
+def test_stats_empty_assignment_is_zero_row(spark):
+    """cap = n_seqs * L is 0 on an empty assignment: stats must be a
+    zero row, not nulls (or an ANSI division error)."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, seq_id long, doc_offset long, "
+            "seq_offset long, n_piece long"
+    )
+    (st,) = packing_stats(empty, L).collect()
+    assert (st.n_seqs, st.tokens_placed, st.pad_ppm, st.split_docs) == (
+        0, 0, 0, 0,
+    )
+
+
 def test_concat_chunk_stats_near_full(docs):
     cc = _assignment(docs)
     st = packing_stats(cc, L).collect()[0]

@@ -120,6 +120,27 @@ def test_write_then_read_roundtrip(spark, tmp_path):
     assert scraped.filter(F.col("success")).count() == 20
 
 
+def test_write_warc_null_status_and_ctype(spark, tmp_path):
+    """Rows carrying NULL http_status/content_type (routine in real
+    crawl results — e.g. a failed fetch) must coalesce to defaults, not
+    crash the write task (None.split / int(NaN))."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/ok", TS, b"<html>ok</html>", 200,
+             "text/html; charset=utf-8"),
+            ("https://a.com/nulls", TS, b"<html>n</html>", None, None),
+        ],
+        "url string, warc_ts timestamp, payload binary, "
+        "http_status int, content_type string",
+    ).coalesce(1)
+    out = str(tmp_path / "w")
+    assert write_warc(df, out, cdx_sidecar=True) == 1
+    rows = {r["url"]: r for r in read_warc(spark, out + "/*.warc.gz").collect()}
+    assert rows["https://a.com/nulls"]["http_status"] == 200
+    assert rows["https://a.com/nulls"]["content_type"] == "text/html"
+    assert rows["https://a.com/ok"]["content_type"].startswith("text/html")
+
+
 def test_cdx_sidecar_and_ranged_fetch(spark, tmp_path):
     """write_warc(cdx_sidecar=True) output is self-indexing: the CDXJ
     shards drive fetch_warc_ranges straight to the member bytes."""
