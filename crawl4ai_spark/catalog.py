@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.encoding import decode_html, sniff_charset
 from .functions.entities import extract_entities
 
 from .functions.text import (
@@ -399,23 +400,48 @@ FROM w GROUP BY doc_id
 
 def q_text_signals(spark, sf_dir):
     """Per-document scalar signals in one row: detected language,
-    token count, BPE-ish subword count, min-shingle fingerprint.
-    Merges the former text_lang_id / text_token_count /
-    text_fingerprint / text_bpe_count gate entries (identical per-doc
-    shape) to free correctness-window slots; each signal keeps its own
-    unit tests."""
+    token count, BPE-ish subword count, REAL trained-BPE token count,
+    min-shingle fingerprint. Merges the former text_lang_id /
+    text_token_count / text_fingerprint / text_bpe_count gate entries
+    (identical per-doc shape) to free correctness-window slots; each
+    signal keeps its own unit tests.
+
+    r4 widening: ``bpe_real_n`` runs the full operators/bpe.py pipeline
+    — distributed word-frequency training (train_bpe over the corpus'
+    DISTINCT words, each count 1, which makes the learned merge list a
+    pure function of the vocabulary SET and therefore identical at
+    every scale factor) followed by the broadcast-ranks mapInPandas
+    encode of every document. The oracle replays the encode as a
+    rank-ordered chain of left-to-right string replaces over
+    '#'-wrapped symbol strings (sequential merge application — provably
+    equivalent to lowest-rank-first inference for genuinely-trained
+    merge lists, pinned per-word by tests/test_bpe.py) using the baked
+    ``_BPE_MERGES`` constant, which tests/test_bpe.py re-derives from
+    every sf dir."""
     from .functions.text import (
         blocklist_hits,
         bpe_ish_token_count,
         gopher_quality_flags,
     )
+    from .operators.bpe import bpe_token_count, train_bpe
 
+    docs = _docs(spark, sf_dir)
+    train_words = (
+        docs.select(F.explode(F.split("text", " ")).alias("text"))
+        .filter(F.length("text") > 0)
+        .distinct()
+    )
+    merges = train_bpe(
+        train_words, text_col="text", num_merges=24, min_pair_count=2
+    )
+    enc = bpe_token_count(docs, merges)
     g = gopher_quality_flags("text")
-    return _docs(spark, sf_dir).select(
+    return enc.select(
         "doc_id",
         lang_id("text").alias("detected_lang"),
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe"),
+        F.col("bpe_n_tokens").alias("bpe_real_n"),
         doc_fingerprint_portable("text").alias("fp"),
         blocklist_hits("text", ("slow", "big", "bogusword")).alias(
             "blocklist_hits"
@@ -424,6 +450,45 @@ def q_text_signals(spark, sf_dir):
         g["alpha_word_frac_e6"].alias("alpha_word_frac_e6"),
         g["gopher_keep"].alias("gopher_keep"),
     )
+
+
+# The merge list train_bpe learns from the corpus' distinct-word
+# vocabulary (count=1 each; num_merges=24, min_pair_count=2 — training
+# exhausts at 20). Baked here so the DuckDB oracle can replay the
+# encode; tests/test_bpe.py::test_catalog_merges_match_every_sf
+# re-derives it from each sf dir and fails if the testdata vocabulary
+# ever drifts.
+_BPE_MERGES = [
+    ("e", "</w>"), ("e", "r"), ("er", "</w>"), ("i", "n"), ("o", "r"),
+    ("o", "w"), ("ow", "</w>"), ("s", "t"), ("a", "</w>"), ("a", "l"),
+    ("a", "r"), ("a", "t"), ("g", "</w>"), ("h", "</w>"), ("n", "</w>"),
+    ("p", "</w>"), ("p", "ar"), ("t", "</w>"), ("u", "p</w>"),
+    ("y", "</w>"),
+]
+
+
+def _oracle_bpe_counts() -> str:
+    """Per-doc real-BPE token counts: wrap each distinct word's symbols
+    as '#sym##sym#...#', apply the merges in rank order as left-to-right
+    non-overlapping string replaces, count symbols as (#-count)/2, then
+    sum per document."""
+    expr = "'#' || array_to_string(list_append(string_split(w, ''), '</w>'), '##') || '#'"
+    for a, b in _BPE_MERGES:
+        pat = f"#{a}##{b}#".replace("'", "''")
+        rep = f"#{a}{b}#".replace("'", "''")
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+WITH bw AS (SELECT DISTINCT w FROM
+              (SELECT unnest({_TOKENIZE_SQL}) AS w FROM documents)
+            WHERE w <> ''),
+be AS (SELECT w, {expr} AS e FROM bw),
+bn AS (SELECT w, (length(e) - length(replace(e, '#', ''))) // 2 AS n FROM be),
+dw AS (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w FROM documents),
+ds AS (SELECT dw.doc_id, sum(bn.n) AS s FROM dw JOIN bn USING (w)
+       GROUP BY dw.doc_id)
+SELECT d.doc_id, CAST(coalesce(ds.s, 0) AS BIGINT) AS bpe_real_n
+FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+"""
 
 
 _ORACLE_GOPHER_SIGNALS = f"""
@@ -452,12 +517,13 @@ FROM gs
 
 def _oracle_text_signals() -> str:
     return f"""
-SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, f.fp,
+SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, r.bpe_real_n, f.fp,
        g.blocklist_hits, g.mean_word_len_e2, g.alpha_word_frac_e6,
        g.gopher_keep
 FROM ({_oracle_lang_id()}) l
 JOIN ({ORACLE_TEXT_TOKEN_COUNT}) t ON t.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_BPE_COUNT_FWD}) b ON b.doc_id = l.doc_id
+JOIN ({_oracle_bpe_counts()}) r ON r.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
 JOIN ({_ORACLE_GOPHER_SIGNALS}) g ON g.doc_id = l.doc_id
 """
@@ -739,7 +805,64 @@ def q_round_saturation(spark, sf_dir):
             F.lit(0).cast("long").alias("v2"),
         )
     )
-    return rounds.unionByName(hpk).unionByName(dk)
+    # r4 widening: the Cho & Garcia-Molina recrawl scheduler
+    # (operators/recrawl.py) over a deterministic capture history —
+    # doc d gets 2 + d%3 captures spaced 1 + d%5 days apart, with the
+    # digest changing in exactly the first d % n_caps transition slots
+    # (digest_k = 'g' || min(k, d % n_caps)). Both the bias-corrected
+    # change intensity and the Poisson staleness at a fixed 'now' are
+    # closed-form in doc_id, so the oracle mirrors them analytically;
+    # micro-unit quantization (round(x*1e6 + 1e-9)) absorbs cross-engine
+    # log/exp ulp noise, same convention as bm25_corpus / the LM costs.
+    from .operators.recrawl import recrawl_priorities
+
+    n_caps = F.pmod("doc_id", F.lit(3)) + 2
+    caps = (
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("https://rc.example.com/p"), _d().cast("string"))
+            .alias("url"),
+            (F.pmod("doc_id", F.lit(5)) + 1).alias("_ivl"),
+            F.pmod("doc_id", n_caps).alias("_c"),
+            F.explode(
+                F.sequence(F.lit(0), F.pmod("doc_id", F.lit(3)) + 1)
+            ).alias("k"),
+        )
+        .select(
+            "url",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") * 60
+                + F.col("k") * F.col("_ivl") * 86400
+            ).alias("warc_ts"),
+            F.concat(
+                F.lit("g"), F.least(F.col("k"), F.col("_c")).cast("string")
+            ).alias("digest"),
+        )
+    )
+    pr = recrawl_priorities(caps, now="2024-03-01 00:00:00")
+    rc = pr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recrawl").alias("metric"),
+                    F.col("url").alias("key"),
+                    F.round(F.col("staleness") * 1e6 + F.lit(1e-9), 0)
+                    .cast("long")
+                    .alias("v1"),
+                    F.round(F.col("lambda_per_day") * 1e6 + F.lit(1e-9), 0)
+                    .cast("long")
+                    .alias("v2"),
+                ),
+                F.struct(
+                    F.lit("recrawl_obs").alias("metric"),
+                    F.col("url").alias("key"),
+                    F.col("n_obs").cast("long").alias("v1"),
+                    F.col("n_changes").cast("long").alias("v2"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return rounds.unionByName(hpk).unionByName(dk).unionByName(rc)
 
 
 ORACLE_ROUND_SATURATION = f"""
@@ -770,6 +893,27 @@ FROM documents d LEFT JOIN (
   SELECT source, CAST((n_docs >= 3 AND mean >= 52) AS INT) AS keep FROM hp
 ) k ON k.source = d.source
 WHERE d.doc_id % 7 = 0
+UNION ALL
+SELECT 'recrawl', 'https://rc.example.com/p' || CAST(doc_id AS VARCHAR),
+       CAST(round(1000000 * (1 - exp(-lam * age)) + 1e-9) AS BIGINT),
+       CAST(round(1000000 * lam + 1e-9) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         -ln((slots - x + 0.5) / (slots + 0.5))
+           / (((slots * ivl * 86400) / 86400.0) / slots) AS lam,
+         (1709251200 - (1704067200 + doc_id * 60
+                        + CAST(slots * ivl AS BIGINT) * 86400))
+           / 86400.0 AS age
+  FROM (SELECT doc_id,
+               CAST(1 + doc_id % 3 AS DOUBLE) AS slots,
+               CAST(1 + doc_id % 5 AS DOUBLE) AS ivl,
+               CAST(doc_id % (2 + doc_id % 3) AS DOUBLE) AS x
+        FROM documents))
+UNION ALL
+SELECT 'recrawl_obs', 'https://rc.example.com/p' || CAST(doc_id AS VARCHAR),
+       CAST(2 + doc_id % 3 AS BIGINT),
+       CAST(doc_id % (2 + doc_id % 3) AS BIGINT)
+FROM documents
 """
 
 
@@ -1821,10 +1965,44 @@ ORACLES: dict[str, str] = {
 def q_pages_meta(spark, sf_dir):
     """The synthetic pages table minus the rendered html — URL/host/
     timestamp derivation is SQL-expressible, so the corpus layer itself
-    gets an oracle."""
+    gets an oracle.
+
+    r4 widening: the charset sniff + tolerant decode layer
+    (functions/encoding.py — the byte boundary every WARC page crosses
+    before any text operator, mirroring the reference's charset
+    detection seam, async_crawler_strategy.py:2387-2389) rides the same
+    row: each page deterministically gets raw bytes in one of seven
+    real-crawl encoding shapes (plain utf-8, meta windows-1252 /
+    iso-8859-1 labels, an XML declaration, a UTF-8 BOM, a bogus label,
+    BOM'd UTF-16LE), and the query emits the sniffed label plus the
+    decoded text. The oracle mirrors the construction analytically —
+    the corpus being single-spaced ASCII means every expected decode is
+    exactly the constructed string."""
 
     pages = _pages(spark, sf_dir)
-    return pages.select("url", "warc_ts", "text", "lang")
+    # pages drops doc_id; the synth url embeds it as '/p{doc_id}.html'
+    did = F.regexp_extract("url", r"/p(\d+)\.html$", 1).cast("long")
+    m = F.pmod(did, F.lit(7))
+    s = F.substring("text", 1, 64)
+    str_prefix = (
+        F.when(m == 0, "<html><body>")
+        .when(m == 1, '<meta charset="windows-1252">')
+        .when(m == 2, "<meta charset='ISO-8859-1'>")
+        .when(m == 3, '<?xml version="1.0" encoding="UTF-8"?>')
+        .when(m == 5, '<meta charset="KLINGON-8">')
+        .otherwise("")  # 4 and 6: BOM cases, no label prefix
+    )
+    raw = (
+        F.when(m == 4, F.concat(
+            F.lit(bytes([0xEF, 0xBB, 0xBF])), F.encode(s, "UTF-8")))
+        .when(m == 6, F.encode(F.concat(F.lit("﻿"), s), "UTF-16LE"))
+        .otherwise(F.encode(F.concat(str_prefix, s), "UTF-8"))
+    )
+    return pages.select(
+        "url", "warc_ts", "text", "lang",
+        sniff_charset(raw).alias("sniffed_charset"),
+        decode_html(raw).alias("decoded_text"),
+    )
 
 
 ORACLE_PAGES_META = """
@@ -1833,7 +2011,22 @@ SELECT 'https://h' ||
        || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR) || '.html'
          AS url,
        TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
-       text, lang
+       text, lang,
+       CASE doc_id % 7
+         WHEN 1 THEN 'windows-1252'
+         WHEN 2 THEN 'windows-1252'
+         WHEN 6 THEN 'utf-16le'
+         ELSE 'utf-8'
+       END AS sniffed_charset,
+       CASE doc_id % 7
+         WHEN 0 THEN '<html><body>' || substring(text, 1, 64)
+         WHEN 1 THEN '<meta charset="windows-1252">' || substring(text, 1, 64)
+         WHEN 2 THEN '<meta charset=''ISO-8859-1''>' || substring(text, 1, 64)
+         WHEN 3 THEN '<?xml version="1.0" encoding="UTF-8"?>'
+                     || substring(text, 1, 64)
+         WHEN 5 THEN '<meta charset="KLINGON-8">' || substring(text, 1, 64)
+         ELSE substring(text, 1, 64)
+       END AS decoded_text
 FROM documents
 """
 

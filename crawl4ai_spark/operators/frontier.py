@@ -113,6 +113,13 @@ class CrawlConfig:
     # exchange is reused); small prior tables broadcast automatically.
     # Duplicate keys are collapsed to their max prior defensively.
     url_priors: object | None = None  # DataFrame | None
+    # pluggable fetch stage (operators/fetch.py): an object with
+    # .fetch(df, url_col) -> df + (html, http_status, final_url,
+    # fetch_error), or a bare per-URL callable. None = the default
+    # pages-table lookup join (PagesJoinFetcher semantics). This is the
+    # S1/S2 seam: swap in UrllibFetcher for live HTTP, a recorded
+    # fetcher in tests — the crawl loop is identical either way.
+    fetcher: object | None = None
     # register each round's results/next-frontier outputs as snapshots
     # of Iceberg-style tables at workdir/tables/{results,frontier}
     # (snaptable.SnapshotTable.add_files — metadata-only, no byte copy,
@@ -500,10 +507,19 @@ class CrawlRun:
             .drop("_prio_eff")
         )
 
-        # "fetch": lookup of the page body (S2 — frontier ⋈ pages)
-        fetched = layout.join(
-            self.pages.select("url", "html", "warc_ts"), "url", "left"
-        ).withColumn("_has_html", F.col("html").isNotNull())
+        # "fetch": the pluggable seam (operators/fetch.py). Default =
+        # lookup of the page body (S2 — frontier ⋈ pages); cfg.fetcher
+        # swaps in a live/mapInPandas fetcher with identical columns.
+        if cfg.fetcher is not None:
+            from .fetch import fetch_stage
+
+            fetched = fetch_stage(layout, cfg.fetcher).withColumn(
+                "_has_html", F.col("html").isNotNull()
+            )
+        else:
+            fetched = layout.join(
+                self.pages.select("url", "html", "warc_ts"), "url", "left"
+            ).withColumn("_has_html", F.col("html").isNotNull())
 
         # drop the raw bytes from the stage output: the results table
         # persists extractions, not input bytes (halves Arrow egress)

@@ -94,3 +94,56 @@ def test_real_corpus_compression(spark, sf_dir):
     ).first()["w"]
     assert c60 <= c10
     assert c60 >= words
+
+
+def test_catalog_merges_match_every_sf():
+    """The catalog's baked _BPE_MERGES (the oracle's encode table) must
+    equal what training on each sf dir's DISTINCT-word vocabulary
+    (count=1 each) produces — the construction that makes the merge
+    list scale-factor-invariant. Pure python: trains merges_from_vocab
+    on the actual parquet vocabularies."""
+    import duckdb
+
+    from crawl4ai_spark.catalog import _BPE_MERGES
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        words = [
+            r[0]
+            for r in con.sql(
+                "SELECT DISTINCT unnest(regexp_split_to_array(text, ' ')) w"
+                f" FROM read_parquet('{path}')"
+            ).fetchall()
+            if r[0]
+        ]
+        got = merges_from_vocab({w: 1 for w in words}, 24, 2)
+        assert got == list(map(tuple, _BPE_MERGES)), sf
+
+
+def test_sequential_replace_equals_lowest_rank_first():
+    """The oracle applies merges sequentially in rank order (string
+    replaces); encode_word applies lowest-rank-pair-first. For a
+    genuinely trained merge list these are equivalent (a merge's inputs
+    always predate it in rank order) — pin it per word on the real
+    vocabulary."""
+    import duckdb
+
+    from crawl4ai_spark.catalog import _BPE_MERGES, _oracle_bpe_counts
+
+    ranks = {tuple(p): i for i, p in enumerate(_BPE_MERGES)}
+    con = duckdb.connect()
+    path = "/root/testdata/sf0.001/documents.parquet"
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    # per-doc totals from the oracle SQL vs pure-python encode_word sums
+    got = {
+        r[0]: r[1] for r in con.sql(_oracle_bpe_counts()).fetchall()
+    }
+    docs = con.sql("SELECT doc_id, text FROM documents").fetchall()
+    for doc_id, text in docs:
+        want = sum(
+            len(encode_word(w, ranks)) for w in text.split(" ") if w
+        )
+        assert got[doc_id] == want, doc_id
