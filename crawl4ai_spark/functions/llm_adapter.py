@@ -1,0 +1,146 @@
+"""Provider-agnostic LLM adapter: the model-call seam behind
+LLMExtractionStrategy / LLMContentFilter.
+
+The reference routes every model call through
+``perform_completion_with_backoff`` (utils.py:1721-1790 — litellm
+completion, 3 attempts, exponential backoff on rate limits) and
+accounts per-request token usage into running totals
+(extraction_strategy.py:626-656 TokenUsage; show_usage at :781+).
+No network or provider SDK exists in this sandbox, so the adapter is
+the pluggable boundary: anything with
+``complete(prompt, instruction) -> LLMResponse`` plugs into the same
+Spark pipeline — the deterministic fake in tests, a recorded
+transcript for replay, or a real HTTP client in production. Retry and
+usage logic live HERE (engine side), not in the provider, mirroring
+the reference's split.
+
+Usage accounting is Spark-shaped: instead of driver-side mutable
+totals (which can't cross executors), ``llm_extract_stage`` emits a
+per-row usage struct and totals are one ``agg`` away — the distributed
+equivalent of ``show_usage``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+
+class RateLimitedError(Exception):
+    """Adapter-raised signal that the provider throttled the request —
+    the ONE error class the backoff loop retries (reference: litellm
+    RateLimitError)."""
+
+
+@dataclass
+class TokenUsage:
+    completion_tokens: int = 0
+    prompt_tokens: int = 0
+    total_tokens: int = 0
+
+
+@dataclass
+class LLMResponse:
+    content: str
+    usage: TokenUsage
+
+
+class FakeAdapter:
+    """Deterministic hermetic stand-in (wraps llm_stub.fake_llm):
+    stable JSON blocks, usage estimated by whitespace token counts."""
+
+    def complete(self, prompt: str, instruction: str = "") -> LLMResponse:
+        from .llm_stub import fake_llm
+
+        content = fake_llm(prompt, instruction)
+        p = len(prompt.split()) + len(instruction.split())
+        c = len(content.split())
+        return LLMResponse(
+            content=content,
+            usage=TokenUsage(
+                completion_tokens=c, prompt_tokens=p, total_tokens=p + c
+            ),
+        )
+
+
+class RecordedAdapter:
+    """Replay adapter: responses keyed by (instruction, prompt) —
+    the transcript shape a production run records. Unknown prompts
+    raise (a recorded run must be complete); optional injected
+    failures exercise the retry path."""
+
+    def __init__(self, transcript: dict, fail_first: int = 0):
+        self.transcript = dict(transcript)
+        self.fail_first = int(fail_first)
+        self.calls = 0
+
+    def complete(self, prompt: str, instruction: str = "") -> LLMResponse:
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise RateLimitedError("recorded 429")
+        content = self.transcript[(instruction, prompt)]
+        p = len(prompt.split()) + len(instruction.split())
+        c = len(content.split())
+        return LLMResponse(
+            content=content,
+            usage=TokenUsage(
+                completion_tokens=c, prompt_tokens=p, total_tokens=p + c
+            ),
+        )
+
+
+def complete_with_backoff(
+    adapter,
+    prompt: str,
+    instruction: str = "",
+    max_attempts: int = 3,
+    base_delay: float = 2.0,
+    sleep=time.sleep,
+) -> LLMResponse:
+    """The reference's retry contract (utils.py:1752-1753): up to
+    ``max_attempts`` tries, exponential delay ``base_delay * 2**n``,
+    retrying ONLY rate-limit signals — other errors propagate to the
+    caller, which turns them into error blocks, not task failures.
+    ``sleep`` is injectable so tests don't wait."""
+    for attempt in range(int(max_attempts)):
+        try:
+            return adapter.complete(prompt, instruction)
+        except RateLimitedError:
+            if attempt == max_attempts - 1:
+                raise
+            sleep(base_delay * (2 ** attempt))
+    raise RuntimeError("unreachable")
+
+
+def parse_blocks(content: str, ix: int) -> list[dict]:
+    """Reference block-shaping (extraction_strategy.py:658-688): parse
+    the JSON response; a dict wrapping a single list unwraps to that
+    list; a bare dict becomes a one-block list; every parsed block is
+    stamped error=False; unparseable content becomes the reference's
+    error block."""
+    try:
+        blocks = json.loads(content)
+        if isinstance(blocks, dict):
+            if len(blocks) == 1 and isinstance(next(iter(blocks.values())), list):
+                blocks = next(iter(blocks.values()))
+            else:
+                blocks = [blocks]
+        if not isinstance(blocks, list):
+            blocks = [{"content": blocks}]
+        out = []
+        for b in blocks:
+            if not isinstance(b, dict):
+                b = {"content": b}
+            b = dict(b)
+            b.setdefault("index", ix)
+            b["error"] = False
+            out.append(b)
+        return out
+    except (json.JSONDecodeError, StopIteration):
+        return [error_block(ix, content)]
+
+
+def error_block(ix: int, message: str) -> dict:
+    """The reference's error block shape (extraction_strategy.py:704)."""
+    return {"index": ix, "error": True, "tags": ["error"], "content": str(message)}

@@ -74,41 +74,102 @@ def llm_extract_stage(
     chunk_token_threshold: int = 512,
     overlap: int = 32,
     llm=fake_llm,
+    adapter=None,
     out_col: str = "extracted_content",
+    usage_col: str = "llm_usage",
+    max_attempts: int = 3,
+    base_delay: float = 2.0,
 ):
     """Chunk-merge -> per-section model call -> JSON block list, as one
     Arrow-batched mapInPandas with an in-batch md5 memo (the reference's
-    disk cache analog)."""
+    disk cache analog, extraction_strategy.py:537-556).
+
+    Two call paths share the identical pipeline plumbing:
+
+    - ``llm=`` (default): a bare ``(prompt, instruction) -> str`` callable;
+      blocks are the parsed JSON verbatim and no usage column is emitted.
+    - ``adapter=``: an ``llm_adapter`` object (``complete() -> LLMResponse``).
+      Calls go through ``complete_with_backoff`` (3 attempts, exponential
+      delay on rate limits — utils.py:1721-1790), responses are shaped by
+      ``parse_blocks`` (dict-unwrap + index/error stamping,
+      extraction_strategy.py:658-688), non-retryable provider errors become
+      the reference's error block (:704) instead of failing the task, and a
+      ``usage_col`` struct (prompt/completion/total tokens) is appended per
+      row — the distributed equivalent of TokenUsage running totals
+      (extraction_strategy.py:626-656): totals are one ``agg`` away. Memo
+      hits account zero usage, mirroring the reference's cache-hit path.
+    """
     out_ddl = ", ".join(
         f.name + " " + f.dataType.simpleString() for f in df.schema.fields
     ) + f", {out_col} string"
+    if adapter is not None:
+        out_ddl += (
+            f", {usage_col} struct<prompt_tokens:bigint,"
+            "completion_tokens:bigint,total_tokens:bigint>"
+        )
+
+    def run_sections(sections, memo):
+        """Legacy callable path: parsed JSON verbatim, no usage."""
+        blocks = []
+        for s in sections:
+            key = hashlib.md5((instruction + "\x00" + s).encode()).hexdigest()
+            if key not in memo:
+                memo[key] = llm(s, instruction)
+            blocks.append(json.loads(memo[key]))
+        return blocks, None
+
+    def run_sections_adapter(sections, memo):
+        from .llm_adapter import complete_with_backoff, error_block, parse_blocks
+
+        blocks = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
+        for ix, s in enumerate(sections):
+            key = hashlib.md5((instruction + "\x00" + s).encode()).hexdigest()
+            if key in memo:
+                blocks.extend(parse_blocks(memo[key], ix))
+                continue
+            try:
+                resp = complete_with_backoff(
+                    adapter,
+                    s,
+                    instruction,
+                    max_attempts=max_attempts,
+                    base_delay=base_delay,
+                )
+            except Exception as e:  # noqa: BLE001 — degrade, don't kill the task
+                blocks.append(error_block(ix, f"{type(e).__name__}: {e}"))
+                continue
+            memo[key] = resp.content
+            usage["prompt_tokens"] += resp.usage.prompt_tokens
+            usage["completion_tokens"] += resp.usage.completion_tokens
+            usage["total_tokens"] += resp.usage.total_tokens
+            blocks.extend(parse_blocks(resp.content, ix))
+        return blocks, usage
+
+    runner = run_sections if adapter is None else run_sections_adapter
 
     def process(batches):
-        import pandas as pd
-
         memo: dict[str, str] = {}
         for pdf in batches:
             vals = []
+            usages = []
             for text in pdf[text_col]:
                 if text is None:
                     vals.append(None)
+                    usages.append(None)
                     continue
                 sections = merge_chunks(
                     text.split("\n\n") if "\n\n" in text else [text],
                     target_size=chunk_token_threshold,
                     overlap=overlap,
                 )
-                blocks = []
-                for s in sections:
-                    key = hashlib.md5(
-                        (instruction + "\x00" + s).encode()
-                    ).hexdigest()
-                    if key not in memo:
-                        memo[key] = llm(s, instruction)
-                    blocks.append(json.loads(memo[key]))
+                blocks, usage = runner(sections, memo)
                 vals.append(json.dumps(blocks, ensure_ascii=False))
+                usages.append(usage)
             out = pdf.copy()
             out[out_col] = vals
+            if adapter is not None:
+                out[usage_col] = usages
             yield out
 
     return df.mapInPandas(process, schema=out_ddl)
