@@ -257,6 +257,66 @@ def _deferred_count(
     return n
 
 
+def _driver_metrics(path: str, max_bytes: int = 256 << 20):
+    """Per-partition round metrics aggregated DRIVER-side from the
+    just-written results parquet (columns partition_id/host/success/
+    n_links only — the heavy markdown/text columns are never touched,
+    parquet being columnar). Replaces a 3-4-job Spark aggregation whose
+    input the driver re-reads anyway for the manifest counters.
+
+    Web-scale guard (same pattern as ``_deferred_count``): when the four
+    columns' compressed chunks exceed ``max_bytes`` the function returns
+    None and the caller falls back to the distributed aggregation — at
+    100 TB a round's results are GBs even in narrow columns, so the big
+    path stays on executors.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = ["partition_id", "host", "success", "n_links"]
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    budget = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        idx = [pf.schema_arrow.names.index(c) for c in cols]
+        for g in range(pf.num_row_groups):
+            rg = pf.metadata.row_group(g)
+            budget += sum(rg.column(i).total_compressed_size for i in idx)
+            if budget > max_bytes:
+                return None
+    tables = [pq.read_table(f, columns=cols) for f in files]
+    t = pa.concat_tables(tables) if tables else pa.table(
+        {"partition_id": pa.array([], pa.int32()),
+         "host": pa.array([], pa.string()),
+         "success": pa.array([], pa.bool_()),
+         "n_links": pa.array([], pa.int32())}
+    )
+    agg = t.group_by("partition_id").aggregate(
+        [("partition_id", "count"), ("host", "count_distinct"),
+         ("success", "sum"), ("n_links", "sum")]
+    )
+    # mirror the Spark aggregation's output schema exactly (bigint
+    # counters) so rounds written by either path union cleanly
+    return pa.table(
+        {
+            "partition_id": agg.column("partition_id"),
+            "n_urls": pc.cast(agg.column("partition_id_count"), pa.int64()),
+            "n_hosts": pc.cast(agg.column("host_count_distinct"), pa.int64()),
+            "n_ok": pc.cast(
+                pc.coalesce(agg.column("success_sum"), pa.scalar(0)),
+                pa.int64(),
+            ),
+            "n_links": pc.cast(
+                pc.coalesce(agg.column("n_links_sum"), pa.scalar(0)),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _parquet_table(path: str, columns: list[str]):
     """Column-pruned driver-side read of a SMALL just-written parquet
     directory via pyarrow — replaces a tiny Spark aggregation job.
@@ -379,6 +439,13 @@ class CrawlRun:
 
     # -- one round -----------------------------------------------------------
 
+    def _sec(self, r: int, name: str) -> None:
+        """Tag the jobs of the next action with a per-section group id
+        (Spark-UI attribution + the jobs-per-round budget test)."""
+        self.spark.sparkContext.setJobGroup(
+            f"crawl-r{r}-{name}", f"crawl round {r}: {name}"
+        )
+
     def run_round(self, r: int) -> dict:
         cfg = self.config
         t0 = time.perf_counter()
@@ -498,25 +565,45 @@ class CrawlRun:
         n_part = cfg.shuffle_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
-        layout = (
-            selected.repartition(
-                n_part, F.col("host"), F.pmod(F.col("url_hash"), F.lit(cfg.salt))
-            )
-            .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
-            .withColumn("partition_id", F.spark_partition_id())
-            .drop("_prio_eff")
-        )
 
         # "fetch": the pluggable seam (operators/fetch.py). Default =
         # lookup of the page body (S2 — frontier ⋈ pages); cfg.fetcher
         # swaps in a live/mapInPandas fetcher with identical columns.
         if cfg.fetcher is not None:
+            # a REAL fetcher runs inside the layout partitions, so the
+            # salted repartition + priority sort genuinely control
+            # fetch locality and order
+            layout = (
+                selected.repartition(
+                    n_part, F.col("host"),
+                    F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
+                )
+                .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
+                .withColumn("partition_id", F.spark_partition_id())
+                .drop("_prio_eff")
+            )
             from .fetch import fetch_stage
 
             fetched = fetch_stage(layout, cfg.fetcher).withColumn(
                 "_has_html", F.col("html").isNotNull()
             )
         else:
+            # join-mode: the fetch join reshuffles by url anyway (the
+            # scrape runs on the JOIN output), so a physical salted
+            # exchange here would buy nothing but the partition_id
+            # lineage — which is a pure column: pmod(murmur3(host,
+            # slice), n) is bit-identical to what repartition's
+            # HashPartitioning would have assigned (pinned by
+            # tests/test_plan_audit.py). One shuffle per round saved.
+            layout = selected.withColumn(
+                "partition_id",
+                F.pmod(
+                    F.hash(
+                        F.col("host"), F.pmod(F.col("url_hash"), F.lit(cfg.salt))
+                    ),
+                    F.lit(n_part),
+                ),
+            ).drop("_prio_eff")
             fetched = layout.join(
                 self.pages.select("url", "html", "warc_ts"), "url", "left"
             ).withColumn("_has_html", F.col("html").isNotNull())
@@ -596,6 +683,7 @@ class CrawlRun:
         # abandoned + hits) back to the round's width WITHOUT moving
         # rows between executors, and the salted fetch layout keeps
         # partition_id lineage within each file.
+        self._sec(r, "results")
         all_results.select(*RESULT_COLS).coalesce(n_part).write.mode(
             "overwrite"
         ).parquet(self._results_path(r))
@@ -606,17 +694,33 @@ class CrawlRun:
 
         # cache write (S10): append fresh fetches not already cached
         if cache is not None:
+            self._sec(r, "cache")
             cache.write(
                 persisted.filter(F.col("fetch_status") == "fetched"), cache_mode
             )
 
-        # per-partition throughput metrics (A9)
-        persisted.groupBy("partition_id").agg(
-            F.count("*").alias("n_urls"),
-            F.countDistinct("host").alias("n_hosts"),
-            F.sum(F.col("success").cast("int")).alias("n_ok"),
-            F.sum("n_links").alias("n_links"),
-        ).coalesce(1).write.mode("overwrite").parquet(self._metrics_path(r))
+        # per-partition throughput metrics (A9): driver-side pyarrow
+        # aggregation of the narrow columns when the round is small
+        # enough (it re-reads them for the manifest counters anyway),
+        # distributed Spark agg beyond the 256 MB guard
+        mtable = _driver_metrics(self._results_path(r))
+        if mtable is not None:
+            import pyarrow.parquet as _pq
+
+            mpath = self._metrics_path(r)
+            shutil.rmtree(mpath, ignore_errors=True)
+            os.makedirs(mpath, exist_ok=True)
+            tmp = os.path.join(mpath, "._part-00000.parquet.tmp")
+            _pq.write_table(mtable, tmp)
+            os.replace(tmp, os.path.join(mpath, "part-00000.parquet"))
+        else:
+            self._sec(r, "metrics")
+            persisted.groupBy("partition_id").agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("host").alias("n_hosts"),
+                F.sum(F.col("success").cast("int")).alias("n_ok"),
+                F.sum("n_links").alias("n_links"),
+            ).coalesce(1).write.mode("overwrite").parquet(self._metrics_path(r))
 
         # -- link discovery -> next frontier ---------------------------------
         links = (
@@ -721,21 +825,33 @@ class CrawlRun:
             )
         )
 
+        self._sec(r, "frontier")
         next_frontier.repartition(max(n_part // 4, 1), "url_hash").sortWithinPartitions(
             F.desc("priority"), "url"
         ).write.mode("overwrite").parquet(self._frontier_path(r + 1))
 
-        # seen delta = next-frontier rows not yet in the seen set (the
-        # deferred rows are already there); idempotent on round re-run
+        # seen delta = next-frontier rows not yet in the seen set. Those
+        # are EXACTLY the rows stamped round = r+1: `fresh` already
+        # passed the seen anti-join above, and deferred rows (round <=
+        # r) entered the seen set when first admitted — so a pushed-down
+        # filter scan of the just-written (small) frontier file replaces
+        # what used to be a second full anti-join against every seen
+        # shard. Idempotent on round re-run: the r+1 delta is deleted at
+        # round start and the frontier file is overwritten.
         frontier_next = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(r + 1)
         )
-        self.seen.add(self.seen.anti_join(frontier_next), r + 1)
+        self._sec(r, "seen")
+        self.seen.add(
+            frontier_next.filter(F.col("round") == r + 1), r + 1,
+            assume_unique=True,  # fresh = row_number window + anti-join
+        )
         budgeted.unpersist(blocking=False)
         if self.seen.use_bloom:
             deduped.unpersist(blocking=False)
 
         # politeness fold
+        self._sec(r, "politeness")
         new_state = update_state(
             state,
             persisted.filter(

@@ -154,33 +154,37 @@ def update_state(
     fail_count increments on all-failed rounds, resets on success.
     Jitter is xxhash64(host, round)-derived — deterministic.
     """
-    per_host = (
-        results.groupBy(host_col)
-        .agg(
-            F.sum(F.col(success_col).cast("int")).alias("_ok"),
-            F.count("*").alias("_n"),
-        )
-        .withColumnRenamed(host_col, "_rh")
+    # one-exchange fold: instead of (groupBy exchange) + (full_outer
+    # sort-merge = two more exchanges), union the raw round rows with
+    # the state rows and aggregate ONCE on host — the round side
+    # contributes outcome counters (map-side partials), the state side
+    # contributes its delay/fail columns through null-skipping max()
+    # over its single row per host. Equivalent because state is unique
+    # per host (it is the output of this very fold) and a host absent
+    # from the round sums to n=0, matching the old full_outer nulls
+    # after coalesce.
+    round_side = results.select(
+        F.col(host_col).alias("_host"),
+        F.col(success_col).cast("long").alias("_ok_i"),
+        F.lit(1).cast("long").alias("_n_i"),
+        F.lit(None).cast("double").alias("_delay_i"),
+        F.lit(None).cast("int").alias("_fc_i"),
     )
-    # no count job: a full_outer join against an EMPTY state table is
-    # equivalent to the no-state branch, so presence is all that matters
     if state is not None:
-        st = (
-            state.withColumnRenamed("host", "_sh")
-            .withColumnRenamed("current_delay", "_delay")
-            .withColumnRenamed("fail_count", "_fc")
+        state_side = state.select(
+            F.col("host").alias("_host"),
+            F.lit(0).cast("long").alias("_ok_i"),
+            F.lit(0).cast("long").alias("_n_i"),
+            F.col("current_delay").alias("_delay_i"),
+            F.col("fail_count").alias("_fc_i"),
         )
-        # full_outer can't broadcast either side in Spark; the join key
-        # (host) is the natural shuffle key at any scale
-        merged = per_host.join(
-            st, F.col("_rh") == F.col("_sh"), "full_outer"
-        ).withColumn("_host", F.coalesce(F.col("_rh"), F.col("_sh")))
-    else:
-        merged = (
-            per_host.withColumn("_delay", F.lit(None).cast("double"))
-            .withColumn("_fc", F.lit(None).cast("int"))
-            .withColumn("_host", F.col("_rh"))
-        )
+        round_side = round_side.unionByName(state_side)
+    merged = round_side.groupBy("_host").agg(
+        F.sum("_ok_i").alias("_ok"),
+        F.sum("_n_i").alias("_n"),
+        F.max("_delay_i").alias("_delay"),
+        F.max("_fc_i").alias("_fc"),
+    )
 
     delay = F.coalesce(F.col("_delay"), F.lit(BASE_DELAY))
     ok = F.coalesce(F.col("_ok"), F.lit(0))

@@ -292,23 +292,29 @@ class SeenFilter:
         )
 
     def add(self, rows: DataFrame, round_no: int,
-            url_hash_col: str = "url_hash", url_col: str = "url") -> None:
+            url_hash_col: str = "url_hash", url_col: str = "url",
+            assume_unique: bool = False) -> None:
         """Write this round's delta of newly-seen URLs.
 
         One subdir per round, overwritten (not appended) so a crashed
         round can be re-run idempotently; directory-partitioned by
         shard. With ``use_bloom``, a per-shard bloom sidecar is built
         from the written delta (one extra small job per round).
+
+        ``assume_unique=True`` skips the defensive dropDuplicates
+        exchange — for callers whose rows are unique by url_hash by
+        construction (the crawl round's fresh links come out of a
+        row_number window + anti-join), saving one shuffle per round.
         """
-        delta = (
-            rows.select(
-                F.col(url_hash_col).alias("url_hash"),
-                F.col(url_col).alias("url"),
-                shard_of(F.col(url_hash_col), self.n_shards).alias("shard"),
-            )
-            .dropDuplicates(["url_hash"])
-            .repartition(self.n_shards, "shard")
-            .sortWithinPartitions("url_hash")
+        delta = rows.select(
+            F.col(url_hash_col).alias("url_hash"),
+            F.col(url_col).alias("url"),
+            shard_of(F.col(url_hash_col), self.n_shards).alias("shard"),
+        )
+        if not assume_unique:
+            delta = delta.dropDuplicates(["url_hash"])
+        delta = delta.repartition(self.n_shards, "shard").sortWithinPartitions(
+            "url_hash"
         )
         delta_path = os.path.join(self.path, f"round={round_no}")
         delta.write.partitionBy("shard").mode("overwrite").parquet(delta_path)

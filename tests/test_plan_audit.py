@@ -209,3 +209,61 @@ def test_lm_scoring_stays_jvm_side(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # totals ride along broadcast, never through a shuffle of the corpus
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_crawl_round_job_budget(spark, tmp_path):
+    """The per-round Spark-job count is the crawl's fixed cost (the AQE
+    floor dominated sf0.1 wall time in r3). Pin the structural budget:
+    every run_round section is job-group-tagged, and a steady-state
+    round must stay within 20 jobs — r4 cuts were metrics (Spark agg ->
+    guarded driver pyarrow), seen (anti-join -> round-stamp filter +
+    assume_unique), politeness (full_outer join -> one-exchange union
+    fold), and the join-mode salted exchange (partition_id as a pure
+    hash column, verified bit-identical to HashPartitioning below)."""
+    from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001").cache()
+    pages.count()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(30).collect()
+    ]
+    run = CrawlRun(
+        spark, pages, str(tmp_path / "wd"),
+        CrawlConfig(max_depth=3, round_seconds=1e6),
+    )
+    run.seed(seeds)
+    tracker = spark.sparkContext.statusTracker
+    sections = ["results", "cache", "metrics", "frontier", "seen", "politeness"]
+    try:
+        for r in range(2):
+            run.run_round(r)
+        # steady-state round (round 1: non-empty frontier, existing state)
+        per_sec = {
+            s: len(tracker().getJobIdsForGroup(f"crawl-r1-{s}")) for s in sections
+        }
+        total = sum(per_sec.values())
+        assert total <= 20, f"crawl round job budget blown: {per_sec}"
+        # the driver-side metrics path must have engaged at this scale
+        assert per_sec["metrics"] == 0, per_sec
+    finally:
+        run.close()
+        pages.unpersist()
+
+
+def test_partition_id_column_matches_hash_partitioning(spark):
+    """pmod(hash(cols), n) must equal spark_partition_id() after
+    repartition(n, cols) — the join-mode fetch layout relies on it."""
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("h"), (F.col("id") % 41).cast("string")).alias("host"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).alias("slice"),
+    )
+    n = 16
+    a = df.repartition(n, "host", "slice").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    b = df.withColumn("pid2", F.pmod(F.hash("host", "slice"), F.lit(n)))
+    assert (
+        a.join(b, ["host", "slice"]).filter(F.col("pid") != F.col("pid2")).count()
+        == 0
+    )
