@@ -45,9 +45,15 @@ def start_stream_extract(
     checkpoint_dir: str,
     *,
     max_files_per_trigger: int = 4,
+    available_now: bool = False,
 ):
     """Start the streaming fetch+extract: frontier parquet files ->
-    results parquet sink. Returns the StreamingQuery."""
+    results parquet sink. Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything already in the directory
+    in back-to-back micro-batches (still rate-limited by
+    ``max_files_per_trigger``) and stops — the batch-drain mode the
+    streaming bench times; the default is a continuous 1 s trigger."""
     os.makedirs(frontier_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(FRONTIER_SCHEMA)
@@ -71,12 +77,14 @@ def start_stream_extract(
         )
         out.write.mode("append").parquet(out_dir)
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="1 second")
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
 
 
 POLITENESS_STATE_SCHEMA = "current_delay double, fail_count int, rounds int"

@@ -28,6 +28,7 @@ def _full_result() -> dict:
     queries.update({f"extra_query_with_a_long_name_{i}": 99.999 for i in range(4)})
     queries["crawl_3rounds"] = 21.934
     queries["extract_pass"] = 6.789
+    queries["streaming_pass"] = 19.876
     return {
         "metric": "extract_urls_per_sec",
         "value": 13036.12,
@@ -63,6 +64,10 @@ def _full_result() -> dict:
             "exact_shuffle_exchanges": 0, "bloom_shuffle_exchanges": 0,
             "cuckoo_shuffle_exchanges": 0,
         },
+        "streaming": {
+            "cpus": 32, "n_rows": 40_000, "expected": 40_000, "batches": 8,
+            "wall_sec": 19.876, "rows_per_sec": 2012.48,
+        },
     }
 
 
@@ -77,6 +82,7 @@ def test_compact_line_fits_budget():
     assert parsed["scaling"]["efficiency"] == 0.958
     assert parsed["submit_scaling"]["efficiency"] == 0.905
     assert parsed["seen_bloom"]["cuckoo_sec"] == 1.192
+    assert parsed["streaming"]["rows_per_sec"] == 2012.48
     assert parsed["detail"] == "bench_detail.json"
 
 

@@ -220,3 +220,27 @@ def test_stream_metrics_watermarked_windows(spark, tmp_path):
     rows = emitted()
     w0 = base
     assert (("h1", w0, 3, 2) in rows) and (("h2", w0, 1, 1) in rows)
+
+
+def test_stream_extract_available_now_drains_and_stops(spark, sf_dir, tmp_path):
+    """availableNow mode (the streaming-bench drain): everything already
+    in the directory is processed in rate-limited micro-batches, then
+    the query stops on its own — exactly once, no residual trigger."""
+    pages = generate_pages(spark, sf_dir).cache()
+    urls = sorted(r["url"] for r in pages.select("url").collect())[:20]
+    fdir = str(tmp_path / "frontier")
+    odir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for b in range(3):
+        _frontier_batch(spark, urls, b).coalesce(1).write.mode(
+            "append"
+        ).parquet(fdir)
+    q = start_stream_extract(
+        spark, pages, fdir, odir, ckpt,
+        max_files_per_trigger=1, available_now=True,
+    )
+    assert q.awaitTermination(120), "drain did not terminate"
+    assert not q.isActive
+    out = spark.read.parquet(odir)
+    assert out.count() == 60  # 3 batches x 20 urls, exactly once
+    assert out.filter(F.col("success")).count() == 60
