@@ -35,6 +35,7 @@ import glob
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -371,6 +372,8 @@ class CrawlRun:
         self._priors = None
         if self.config.url_priors is not None:
             self._priors = _priors_by_hash(self.config.url_priors).persist()
+        self._robots_max = None  # lazy once-per-run rules-dim max delay
+        self._run_tag = uuid.uuid4().hex[:8]  # job-group namespace
         os.makedirs(workdir, exist_ok=True)
 
     # -- paths / manifests ---------------------------------------------------
@@ -439,11 +442,62 @@ class CrawlRun:
 
     # -- one round -----------------------------------------------------------
 
+    def _robots_max_delay(self) -> float | None:
+        """Largest Crawl-delay in the robots rules dim (0.0 when no
+        rules). Computed once per run — the rules table is a broadcast
+        -sized dimension. None = unknown (fast path must not engage)."""
+        if self.config.robots_rules is None:
+            return 0.0
+        if self._robots_max is None:
+            try:
+                row = self.config.robots_rules.agg(
+                    F.max("crawl_delay").alias("m")
+                ).first()
+                self._robots_max = float(row["m"] or 0.0)
+            except Exception:
+                self._robots_max = -1.0  # sentinel: unknown
+        return None if self._robots_max < 0 else self._robots_max
+
+    def _budget_provably_non_binding(
+        self, r: int, frontier_count: int, state_rows: int
+    ) -> bool:
+        """True when this round's politeness split is the identity —
+        provable from metadata alone (politeness state row-group
+        statistics + the rules dim's max Crawl-delay), so the two-phase
+        salted top-k and the state join can be skipped. Conservative:
+        any missing statistic disables the fast path."""
+        import math
+
+        from .politeness import BASE_DELAY, MAX_RETRIES
+
+        rmax = self._robots_max_delay()
+        if rmax is None:
+            return False
+        max_delay, max_fail = BASE_DELAY, 0
+        if state_rows:
+            bounds = self.politeness.footer_bounds(r)
+            if bounds is None:
+                return False
+            max_delay = max(bounds[0], BASE_DELAY)
+            max_fail = bounds[1]
+        eff = max(max_delay, rmax)
+        return (
+            max_fail <= MAX_RETRIES
+            and math.floor(self.config.round_seconds / eff) >= frontier_count
+        )
+
+    def job_group(self, r: int, name: str) -> str:
+        """The job-group id `_sec` tags a section's jobs with. Includes
+        a per-run nonce — statusTracker group lookups span the whole
+        application, so two CrawlRuns in one session must not share
+        group names (the jobs-per-round budget test counts by group)."""
+        return f"crawl-{self._run_tag}-r{r}-{name}"
+
     def _sec(self, r: int, name: str) -> None:
         """Tag the jobs of the next action with a per-section group id
         (Spark-UI attribution + the jobs-per-round budget test)."""
         self.spark.sparkContext.setJobGroup(
-            f"crawl-r{r}-{name}", f"crawl round {r}: {name}"
+            self.job_group(r, name), f"crawl round {r}: {name}"
         )
 
     def run_round(self, r: int) -> dict:
@@ -532,15 +586,29 @@ class CrawlRun:
         else:
             hits = None
 
-        # politeness budget split
+        # politeness budget split — unless footer statistics PROVE it
+        # non-binding for this round: if even the slowest host's token
+        # count (round_seconds / max(max state delay, max robots
+        # Crawl-delay)) covers the whole frontier and no host is past
+        # MAX_RETRIES, the split is the identity (all selected, none
+        # deferred/dropped) and the two-phase windows + state join are
+        # skipped. Stats come from parquet row-group footers (state) and
+        # a once-per-run scan of the tiny rules dim — no round jobs.
         state = self.politeness.load(r)
-        budgeted = select_within_budget(
-            pool, state, round_seconds=cfg.round_seconds,
-            order_cols=("_prio_eff", "url"),
-            robots_delay_col="robots_crawl_delay",
-            salt=cfg.salt,
-            state_rows=self.politeness.count_rows(r) if state is not None else 0,
-        ).persist()  # consumed by the results write AND the next-frontier
+        state_rows = self.politeness.count_rows(r) if state is not None else 0
+        if self._budget_provably_non_binding(r, frontier_count, state_rows):
+            budgeted = pool.withColumn("_selected", F.lit(True)).withColumn(
+                "_dropped", F.lit(False)
+            ).persist()
+        else:
+            budgeted = select_within_budget(
+                pool, state, round_seconds=cfg.round_seconds,
+                order_cols=("_prio_eff", "url"),
+                robots_delay_col="robots_crawl_delay",
+                salt=cfg.salt,
+                state_rows=state_rows,
+            ).persist()
+        # consumed by the results write AND the next-frontier
         # write; one persist beats re-running the joins + two-phase
         # windows in each job (bounded: this round's candidate pool)
         selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(

@@ -238,6 +238,38 @@ class PolitenessState:
             for f in glob.glob(os.path.join(self._path(round_no), "*.parquet"))
         )
 
+    def footer_bounds(self, round_no: int) -> tuple[float, int] | None:
+        """(max current_delay, max fail_count) from parquet row-group
+        STATISTICS — no data read, no Spark job. Lets the caller prove a
+        round's budget non-binding (every host's token count exceeds the
+        frontier and nobody is past MAX_RETRIES) and skip the two-phase
+        top-k windows entirely. Returns None when any row group lacks
+        min/max stats (caller must then run the real split)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(self._path(round_no), "*.parquet"))
+        if not files:
+            return None
+        max_delay, max_fail, saw = 0.0, 0, False
+        for f in files:
+            pf = pq.ParquetFile(f)
+            names = pf.schema_arrow.names
+            di, fi = names.index("current_delay"), names.index("fail_count")
+            for g in range(pf.num_row_groups):
+                rg = pf.metadata.row_group(g)
+                ds, fs = rg.column(di).statistics, rg.column(fi).statistics
+                if (
+                    ds is None or fs is None
+                    or not ds.has_min_max or not fs.has_min_max
+                ):
+                    return None
+                max_delay = max(max_delay, float(ds.max))
+                max_fail = max(max_fail, int(fs.max))
+                saw = True
+        return (max_delay, max_fail) if saw else None
+
     def save(self, df: DataFrame, round_no: int) -> None:
         df.coalesce(1).sortWithinPartitions("host").write.mode("overwrite").parquet(
             self._path(round_no)

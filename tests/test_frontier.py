@@ -737,3 +737,53 @@ def test_url_priors_pagerank_wiring(spark, corpus, tmp_path):
     f1 = spark.read.parquet(f"{wd}/frontier/round=1")
     boosted = f1.filter(F.col("priority") > 0).count()
     assert boosted > 0  # authority scores actually reached the frontier
+
+
+def test_budget_fast_path_is_identity_and_engages(spark, sf_dir, tmp_path):
+    """When footer statistics prove the politeness budget non-binding
+    (tokens cover the frontier, nobody past MAX_RETRIES), the two-phase
+    split is skipped — and the crawl output is bit-identical to the
+    full split. When the budget binds, the fast path must not engage."""
+    import crawl4ai_spark.operators.frontier as fr
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir).cache()
+    pages.count()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(20).collect()
+    ]
+
+    def crawl(tag, cfg, force_slow):
+        wd = str(tmp_path / tag)
+        run = fr.CrawlRun(spark, pages, wd, cfg)
+        calls = {"n": 0}
+        if force_slow:
+            run._budget_provably_non_binding = lambda *a, **k: False
+        else:
+            orig = run._budget_provably_non_binding
+            def spy(*a, **k):
+                hit = orig(*a, **k)
+                calls["n"] += int(hit)
+                return hit
+            run._budget_provably_non_binding = spy
+        run.seed(seeds)
+        for r in range(2):
+            run.run_round(r)
+        run.close()
+        rows = sorted(
+            (x["url"], x["fetch_status"], x["success"])
+            for x in spark.read.parquet(f"{wd}/results/*").collect()
+        )
+        return rows, calls["n"]
+
+    cfg = fr.CrawlConfig(max_depth=2, round_seconds=1e6)
+    fast, engaged = crawl("fast", cfg, force_slow=False)
+    slow, _ = crawl("slow", cfg, force_slow=True)
+    assert engaged == 2, "fast path should engage every non-binding round"
+    assert fast == slow
+
+    # binding budget: proof must fail, split must run
+    cfg2 = fr.CrawlConfig(max_depth=2, round_seconds=4.0)
+    bound, engaged2 = crawl("bound", cfg2, force_slow=False)
+    assert engaged2 == 0
+    pages.unpersist()

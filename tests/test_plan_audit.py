@@ -240,10 +240,14 @@ def test_crawl_round_job_budget(spark, tmp_path):
             run.run_round(r)
         # steady-state round (round 1: non-empty frontier, existing state)
         per_sec = {
-            s: len(tracker().getJobIdsForGroup(f"crawl-r1-{s}")) for s in sections
+            s: len(tracker().getJobIdsForGroup(run.job_group(1, s)))
+            for s in sections
         }
         total = sum(per_sec.values())
-        assert total <= 20, f"crawl round job budget blown: {per_sec}"
+        # measured 14 with the r4 cuts (results 6 after the
+        # non-binding-budget fast path, frontier 4, seen 2,
+        # politeness 2); 16 leaves AQE-variance headroom
+        assert total <= 16, f"crawl round job budget blown: {per_sec}"
         # the driver-side metrics path must have engaged at this scale
         assert per_sec["metrics"] == 0, per_sec
     finally:
