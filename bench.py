@@ -370,7 +370,9 @@ def compact_result(full: dict) -> dict:
         # wall_sec already rides in queries["streaming_pass"]; rows/sec
         # is the parity headline, the rest lives in the sidecar
         "streaming": {
-            k: stream_s[k] for k in ("rows_per_sec",) if k in stream_s
+            k: (str(stream_s[k])[:120] if k == "error" else stream_s[k])
+            for k in ("rows_per_sec", "error")
+            if k in stream_s
         },
         "detail": os.path.basename(DETAIL_PATH),
     }

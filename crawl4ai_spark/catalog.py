@@ -901,9 +901,9 @@ FROM (
   SELECT doc_id,
          -ln((slots - x + 0.5) / (slots + 0.5))
            / (((slots * ivl * 86400) / 86400.0) / slots) AS lam,
-         (1709251200 - (1704067200 + doc_id * 60
-                        + CAST(slots * ivl AS BIGINT) * 86400))
-           / 86400.0 AS age
+         greatest((1709251200 - (1704067200 + doc_id * 60
+                                  + CAST(slots * ivl AS BIGINT) * 86400))
+                    / 86400.0, 0.0) AS age
   FROM (SELECT doc_id,
                CAST(1 + doc_id % 3 AS DOUBLE) AS slots,
                CAST(1 + doc_id % 5 AS DOUBLE) AS ivl,

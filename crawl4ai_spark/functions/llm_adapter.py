@@ -137,7 +137,10 @@ def parse_blocks(content: str, ix: int) -> list[dict]:
             b["error"] = False
             out.append(b)
         return out
-    except (json.JSONDecodeError, StopIteration):
+    except Exception:
+        # TypeError (content=None/bytes from a misbehaving adapter) and
+        # friends degrade to the error block exactly like bad JSON —
+        # one malformed response must never kill a whole Spark task
         return [error_block(ix, content)]
 
 

@@ -140,9 +140,11 @@ def llm_extract_stage(
                 blocks.append(error_block(ix, f"{type(e).__name__}: {e}"))
                 continue
             memo[key] = resp.content
-            usage["prompt_tokens"] += resp.usage.prompt_tokens
-            usage["completion_tokens"] += resp.usage.completion_tokens
-            usage["total_tokens"] += resp.usage.total_tokens
+            u = getattr(resp, "usage", None)
+            if u is not None:  # adapters may omit usage accounting
+                usage["prompt_tokens"] += u.prompt_tokens
+                usage["completion_tokens"] += u.completion_tokens
+                usage["total_tokens"] += u.total_tokens
             blocks.extend(parse_blocks(resp.content, ix))
         return blocks, usage
 

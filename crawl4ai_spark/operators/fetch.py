@@ -68,6 +68,12 @@ class PagesJoinFetcher:
             F.col(url_col),
             F.col(self.html_col).alias("html"),
         )
+        # honor the contract's "html string — decoded body": a binary
+        # pages column (WARC-sourced) goes through the engine's WHATWG
+        # sniff+decode, same as MapFetcher's byte path — so downstream
+        # sees one type regardless of fetcher choice
+        if dict(right.dtypes)["html"] == "binary":
+            right = right.withColumn("html", decode_html("html"))
         hit = F.col("html").isNotNull()
         return (
             df.join(right, url_col, "left")
@@ -210,6 +216,13 @@ class UrllibFetcher(MapFetcher):
         except TimeoutError as e:
             return {"error": f"ConnectionTimeoutError: {e}"[:500]}
         except urllib.error.URLError as e:
+            # urllib wraps connect-phase timeouts as
+            # URLError(reason=socket.timeout) — keep the documented
+            # timeout label for them instead of the generic one
+            if isinstance(e.reason, TimeoutError) or (
+                "timed out" in str(e.reason).lower()
+            ):
+                return {"error": f"ConnectionTimeoutError: {e.reason}"[:500]}
             return {"error": f"ConnectionError: {e.reason}"[:500]}
 
 
@@ -217,7 +230,22 @@ def fetch_stage(
     df: DataFrame, fetcher=None, url_col: str = "url"
 ) -> DataFrame:
     """Run ``fetcher`` (an object with ``.fetch``, or a bare per-URL
-    callable, or None for a no-op error column set) over ``df``."""
+    callable, or None for a no-op error column set) over ``df``.
+
+    Columns the stage emits (``html``/``http_status``/``final_url``/
+    ``fetch_error`` plus the internal ``body``/``_hdr_charset``) REPLACE
+    any same-named input columns — re-fetching rows read back from a
+    results table must not produce duplicate/ambiguous columns."""
+    stale = [
+        c
+        for c in (
+            "html", "http_status", "final_url", "fetch_error",
+            "body", "_hdr_charset",
+        )
+        if c in df.columns
+    ]
+    if stale:
+        df = df.drop(*stale)
     if fetcher is None:
         return (
             df.withColumn("html", F.lit(None).cast("string"))

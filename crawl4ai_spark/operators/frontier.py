@@ -217,6 +217,22 @@ def _parquet_rows(path: str) -> int:
     )
 
 
+def _leaf_indices(pf, names: list[str]) -> list[int]:
+    """Column-chunk indices of the given ROOT column names. Row-group
+    chunk metadata is LEAF-ordered — a map/struct/list column owns
+    several chunks — so indexing chunks with logical (arrow) schema
+    positions silently reads the wrong column once any nested column
+    precedes the target. Resolve through the parquet (leaf) schema's
+    dotted paths instead."""
+    ps = pf.metadata.schema
+    wanted = set(names)
+    return [
+        i
+        for i in range(pf.metadata.num_columns)
+        if ps.column(i).path.split(".", 1)[0] in wanted
+    ]
+
+
 def _deferred_count(
     path: str, next_round: int, max_bytes: int = 256 << 20
 ) -> int | None:
@@ -236,8 +252,7 @@ def _deferred_count(
     budget = 0
     for f in _glob.glob(os.path.join(path, "*.parquet")):
         pf = pq.ParquetFile(f)
-        names = pf.schema_arrow.names
-        ci = names.index("round")
+        ci = _leaf_indices(pf, ["round"])[0]
         for g in range(pf.num_row_groups):
             col = pf.metadata.row_group(g).column(ci)
             st = col.statistics
@@ -282,7 +297,7 @@ def _driver_metrics(path: str, max_bytes: int = 256 << 20):
     budget = 0
     for f in files:
         pf = pq.ParquetFile(f)
-        idx = [pf.schema_arrow.names.index(c) for c in cols]
+        idx = _leaf_indices(pf, cols)
         for g in range(pf.num_row_groups):
             rg = pf.metadata.row_group(g)
             budget += sum(rg.column(i).total_compressed_size for i in idx)
@@ -340,6 +355,10 @@ RESULT_COLS = [
     "dfs_key", "partition_id", "fetch_status", "success", "title",
     "headings", "meta", "text_extracted", "raw_markdown",
     "markdown_with_citations", "references_markdown", "n_links", "links",
+    # fetch provenance (reference: status_code / redirected_url /
+    # error_message on CrawlResult) — the join-mode fetch synthesizes
+    # them (200/url/None), a live fetcher carries real values
+    "http_status", "final_url", "fetch_error",
 ]
 
 LINKS_TYPE = (
@@ -372,7 +391,6 @@ class CrawlRun:
         self._priors = None
         if self.config.url_priors is not None:
             self._priors = _priors_by_hash(self.config.url_priors).persist()
-        self._robots_max = None  # lazy once-per-run rules-dim max delay
         self._run_tag = uuid.uuid4().hex[:8]  # job-group namespace
         os.makedirs(workdir, exist_ok=True)
 
@@ -444,19 +462,21 @@ class CrawlRun:
 
     def _robots_max_delay(self) -> float | None:
         """Largest Crawl-delay in the robots rules dim (0.0 when no
-        rules). Computed once per run — the rules table is a broadcast
-        -sized dimension. None = unknown (fast path must not engage)."""
+        rules). Recomputed every round — the rules DataFrame is
+        documented as refreshable out-of-band, so a once-per-run cache
+        could let a mid-run Crawl-delay raise slip past the fast-path
+        proof. One tiny agg job on a broadcast-sized dimension, and
+        only on runs that configure robots at all. None = unknown
+        (fast path must not engage)."""
         if self.config.robots_rules is None:
             return 0.0
-        if self._robots_max is None:
-            try:
-                row = self.config.robots_rules.agg(
-                    F.max("crawl_delay").alias("m")
-                ).first()
-                self._robots_max = float(row["m"] or 0.0)
-            except Exception:
-                self._robots_max = -1.0  # sentinel: unknown
-        return None if self._robots_max < 0 else self._robots_max
+        try:
+            row = self.config.robots_rules.agg(
+                F.max("crawl_delay").alias("m")
+            ).first()
+            return float(row["m"] or 0.0)
+        except Exception:
+            return None
 
     def _budget_provably_non_binding(
         self, r: int, frontier_count: int, state_rows: int
@@ -592,8 +612,9 @@ class CrawlRun:
         # Crawl-delay)) covers the whole frontier and no host is past
         # MAX_RETRIES, the split is the identity (all selected, none
         # deferred/dropped) and the two-phase windows + state join are
-        # skipped. Stats come from parquet row-group footers (state) and
-        # a once-per-run scan of the tiny rules dim — no round jobs.
+        # skipped. Stats come from parquet row-group footers (state, no
+        # job) and a per-round agg of the tiny rules dim (only on runs
+        # that configure robots; the rules table is refreshable).
         state = self.politeness.load(r)
         state_rows = self.politeness.count_rows(r) if state is not None else 0
         if self._budget_provably_non_binding(r, frontier_count, state_rows):
@@ -652,9 +673,7 @@ class CrawlRun:
             )
             from .fetch import fetch_stage
 
-            fetched = fetch_stage(layout, cfg.fetcher).withColumn(
-                "_has_html", F.col("html").isNotNull()
-            )
+            fetched = fetch_stage(layout, cfg.fetcher)
         else:
             # join-mode: the fetch join reshuffles by url anyway (the
             # scrape runs on the JOIN output), so a physical salted
@@ -674,25 +693,62 @@ class CrawlRun:
             ).drop("_prio_eff")
             fetched = layout.join(
                 self.pages.select("url", "html", "warc_ts"), "url", "left"
-            ).withColumn("_has_html", F.col("html").isNotNull())
+            ).withColumns({
+                # synthesized provenance, so both fetch modes emit the
+                # same result schema (a lookup hit IS a 200)
+                "http_status": F.when(
+                    F.col("html").isNotNull(), F.lit(200)
+                ).cast("int"),
+                "final_url": F.col("url"),
+                "fetch_error": F.when(
+                    F.col("html").isNull(), F.lit("miss")
+                ).cast("string"),
+            })
+
+        # non-2xx responses carry their body (UrllibFetcher keeps error
+        # pages) but are NOT successes: the reference raises
+        # HTTPStatusError for them — here the row survives with
+        # fetch_status='http_error' and its links are never followed
+        # (link discovery filters on success). A null status with a
+        # body is trusted (custom MapFetcher fns may not report one).
+        fetched = fetched.withColumn(
+            "_has_html", F.col("html").isNotNull()
+        ).withColumn(
+            "_fetch_ok",
+            F.col("_has_html")
+            & (
+                F.col("http_status").isNull()
+                | F.col("http_status").between(200, 299)
+            ),
+        ).withColumn(
+            # relative links belong to the POST-redirect URL (the
+            # reference scrapes against redirected_url)
+            "_scrape_base", F.coalesce(F.col("final_url"), F.col("url"))
+        )
 
         # drop the raw bytes from the stage output: the results table
         # persists extractions, not input bytes (halves Arrow egress)
         extracted = scrape_stage(
-            fetched, "html", "url", markdown=True,
-            drop_cols=("html", "cleaned_html"),
+            fetched, "html", "_scrape_base", markdown=True,
+            drop_cols=("html", "cleaned_html", "_scrape_base"),
         )
         results = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
             "dfs_key", "partition_id",
-            F.when(F.col("_has_html"), "fetched")
+            F.when(F.col("_fetch_ok"), "fetched")
+            .when(F.col("_has_html"), "http_error")
+            .when(
+                F.col("fetch_error").isNotNull()
+                & (F.col("fetch_error") != "miss"),
+                "error",
+            )
             .otherwise("miss")
             .alias("fetch_status"),
-            (F.col("_has_html") & F.col("success")).alias("success"),
+            (F.col("_fetch_ok") & F.col("success")).alias("success"),
             "title", "headings", "meta", "text_extracted", "raw_markdown",
             "markdown_with_citations", "references_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
-            "links",
+            "links", "http_status", "final_url", "fetch_error",
         )
 
         blocked_results = blocked.select(
@@ -709,6 +765,9 @@ class CrawlRun:
                 "markdown_with_citations", "references_markdown")],
             F.lit(0).alias("n_links"),
             F.lit(None).cast(LINKS_TYPE).alias("links"),
+            F.lit(None).cast("int").alias("http_status"),
+            F.col("url").alias("final_url"),
+            F.lit(None).cast("string").alias("fetch_error"),
         )
 
         abandoned_results = abandoned.select(
@@ -725,6 +784,9 @@ class CrawlRun:
                 "markdown_with_citations", "references_markdown")],
             F.lit(0).alias("n_links"),
             F.lit(None).cast(LINKS_TYPE).alias("links"),
+            F.lit(None).cast("int").alias("http_status"),
+            F.col("url").alias("final_url"),
+            F.lit(None).cast("string").alias("fetch_error"),
         )
 
         all_results = results.unionByName(blocked_results).unionByName(
@@ -740,6 +802,10 @@ class CrawlRun:
                 "title", "headings", "meta", "text_extracted", "raw_markdown",
                 "markdown_with_citations", "references_markdown",
                 "n_links", "links",
+                # a cached row was a successful fetch when written
+                F.lit(200).alias("http_status"),
+                F.col("url").alias("final_url"),
+                F.lit(None).cast("string").alias("fetch_error"),
             )
             all_results = all_results.unionByName(hit_results)
         # narrow write: the scraped payloads (markdown/text/links) are

@@ -255,8 +255,15 @@ class PolitenessState:
         max_delay, max_fail, saw = 0.0, 0, False
         for f in files:
             pf = pq.ParquetFile(f)
-            names = pf.schema_arrow.names
-            di, fi = names.index("current_delay"), names.index("fail_count")
+            # resolve via the LEAF (parquet) schema, not the arrow
+            # schema: row-group chunks are leaf-ordered, and logical
+            # indices drift once any nested column precedes the target
+            ps = pf.metadata.schema
+            paths = [
+                ps.column(i).path.split(".", 1)[0]
+                for i in range(pf.metadata.num_columns)
+            ]
+            di, fi = paths.index("current_delay"), paths.index("fail_count")
             for g in range(pf.num_row_groups):
                 rg = pf.metadata.row_group(g)
                 ds, fs = rg.column(di).statistics, rg.column(fi).statistics

@@ -166,3 +166,125 @@ def test_urllib_fetcher_live(spark, http_base):
     refused = rows["http://127.0.0.1:9/refused"]
     assert refused["http_status"] is None
     assert refused["fetch_error"] and "Connection" in refused["fetch_error"]
+
+
+def test_non2xx_body_is_http_error_and_links_not_followed(spark, sf_dir):
+    """A non-2xx response WITH an html body must surface as
+    fetch_status='http_error', success=false, and its links must not
+    enter the next frontier — the reference raises HTTPStatusError for
+    non-2xx instead of treating the error page as content."""
+    pages = generate_pages(spark, sf_dir).cache()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(3).collect()
+    ]
+    corpus = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    bad = seeds[0]
+
+    def soft_error(url):
+        body = corpus.get(url)
+        if body is None:
+            return {"status": 404}
+        return {"status": 503 if url == bad else 200, "body": body}
+
+    wd = tempfile.mkdtemp(prefix="fetch_non2xx_")
+    shutil.rmtree(wd, ignore_errors=True)
+    run_crawl(
+        spark, pages, seeds, wd,
+        CrawlConfig(max_depth=2, fetcher=MapFetcher(soft_error)),
+        max_rounds=2,
+    )
+    res = spark.read.parquet(f"{wd}/results")
+    r0 = {r["url"]: r for r in res.filter(F.col("round") == 0).collect()}
+    assert r0[bad]["fetch_status"] == "http_error"
+    assert r0[bad]["success"] is False
+    assert r0[bad]["http_status"] == 503
+    ok = [r for u, r in r0.items() if u != bad]
+    assert ok and all(
+        r["fetch_status"] == "fetched" and r["http_status"] == 200 for r in ok
+    )
+    # no round-1 row descends from the error page
+    bad_hash = r0[bad]["url_hash"]
+    children = res.filter(
+        (F.col("round") == 1) & (F.col("parent_url_hash") == bad_hash)
+    ).count()
+    assert children == 0
+    # ...but the healthy seeds' links were followed
+    assert res.filter(F.col("round") == 1).count() > 0
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_fetcher_redirect_resolves_links_against_final_url(spark):
+    """Relative links in a redirected page belong to the POST-redirect
+    URL (reference: redirected_url): href='leaf.html' served after a
+    redirect to /sub/dir/index.html must enqueue /sub/dir/leaf.html,
+    not /leaf.html."""
+    start = "https://a.example/start"
+    final = "https://a.example/sub/dir/index.html"
+
+    def redirecting(url):
+        if url == start:
+            return {
+                "status": 200,
+                "body": b'<html><body><a href="leaf.html">x</a></body></html>',
+                "final_url": final,
+            }
+        return {"status": 404}
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001")
+    wd = tempfile.mkdtemp(prefix="fetch_redir_")
+    shutil.rmtree(wd, ignore_errors=True)
+    run_crawl(
+        spark, pages, [start], wd,
+        CrawlConfig(max_depth=2, fetcher=MapFetcher(redirecting)),
+        max_rounds=2,
+    )
+    res = spark.read.parquet(f"{wd}/results")
+    seed_row = res.filter(F.col("round") == 0).collect()[0]
+    assert seed_row["final_url"] == final
+    round1 = [r["url"] for r in res.filter(F.col("round") == 1).collect()]
+    assert round1 == ["https://a.example/sub/dir/leaf.html"]
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_fetch_stage_replaces_stale_fetch_columns(spark):
+    """Re-fetching rows that already carry html/http_status/... (read
+    back from a results table) must not produce duplicate columns."""
+    df = spark.createDataFrame(
+        [("https://a/x", "<old/>", 500, "stale")],
+        "url string, html string, http_status int, fetch_error string",
+    )
+    out = fetch_stage(df, lambda url: {"status": 200, "body": b"<html>new</html>"})
+    assert len(out.columns) == len(set(out.columns))
+    row = out.collect()[0]
+    assert row["html"] == "<html>new</html>"
+    assert row["http_status"] == 200 and row["fetch_error"] is None
+
+
+def test_pages_join_fetcher_decodes_binary_html(spark, sf_dir):
+    """The contract says html is a decoded STRING — a binary pages
+    column (WARC shape) must come out decoded, same as MapFetcher."""
+    pages = generate_pages(spark, sf_dir)  # html is binary in synth
+    assert dict(pages.dtypes)["html"] == "binary"
+    out = PagesJoinFetcher(pages).fetch(pages.select("url").limit(3))
+    assert dict(out.dtypes)["html"] == "string"
+    assert all(r["html"].startswith("<") for r in out.collect())
+
+
+def test_urllib_fetcher_labels_wrapped_timeouts(spark, monkeypatch):
+    """urllib surfaces connect-phase timeouts as
+    URLError(reason=TimeoutError) — they must keep the documented
+    ConnectionTimeoutError label, not the generic ConnectionError."""
+    import urllib.error
+
+    f = UrllibFetcher(timeout=0.1)
+    import urllib.request
+
+    def boom(req, timeout=None):
+        raise urllib.error.URLError(TimeoutError("timed out"))
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    r = f._get("http://10.255.255.1/never")
+    assert r["error"].startswith("ConnectionTimeoutError")

@@ -787,3 +787,31 @@ def test_budget_fast_path_is_identity_and_engages(spark, sf_dir, tmp_path):
     bound, engaged2 = crawl("bound", cfg2, force_slow=False)
     assert engaged2 == 0
     pages.unpersist()
+
+
+def test_leaf_indices_resolve_past_nested_columns(tmp_path):
+    """Row-group column chunks are LEAF-ordered: with a map column
+    before n_links, the logical arrow index points at the wrong chunk.
+    _leaf_indices must resolve by parquet schema path instead — the
+    driver-metrics size guard depends on it counting the right bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl4ai_spark.operators.frontier import _leaf_indices
+
+    t = pa.table({
+        "partition_id": pa.array([1], pa.int32()),
+        "meta": pa.array(
+            [[("k", "v")]], pa.map_(pa.string(), pa.string())
+        ),
+        "n_links": pa.array([3], pa.int32()),
+    })
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(t, p)
+    pf = pq.ParquetFile(p)
+    idx = _leaf_indices(pf, ["partition_id", "n_links"])
+    rg = pf.metadata.row_group(0)
+    roots = [rg.column(i).path_in_schema.split(".")[0] for i in idx]
+    assert roots == ["partition_id", "n_links"]
+    # the buggy logical index for n_links (2) lands inside the map
+    assert idx == [0, 3]
