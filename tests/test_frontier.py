@@ -815,3 +815,43 @@ def test_leaf_indices_resolve_past_nested_columns(tmp_path):
     assert roots == ["partition_id", "n_links"]
     # the buggy logical index for n_links (2) lands inside the map
     assert idx == [0, 3]
+
+
+def test_budget_fast_path_respects_robots_crawl_delay(spark, sf_dir, tmp_path):
+    """A robots Crawl-delay that makes the budget binding must keep the
+    fast path OFF even when the politeness state alone looks idle — and
+    the rules dim is re-read every round, so a raise applies mid-run."""
+    import crawl4ai_spark.operators.frontier as fr
+    from crawl4ai_spark.operators.robots import rules_table
+    from crawl4ai_spark.synth import generate_pages
+
+    pages = generate_pages(spark, sf_dir).cache()
+    pages.count()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(20).collect()
+    ]
+    hosts = [
+        r["host"]
+        for r in pages.selectExpr(
+            "parse_url(url, 'HOST') as host"
+        ).distinct().collect()
+    ]
+    # slow hosts: floor(round_seconds / 8.0) = 2 < frontier size
+    rules = rules_table(
+        spark, {h: "User-agent: *\nCrawl-delay: 8\n" for h in hosts}
+    )
+    cfg = fr.CrawlConfig(max_depth=1, round_seconds=16.0, robots_rules=rules)
+    run = fr.CrawlRun(spark, pages, str(tmp_path / "wd"), cfg)
+    engaged = {"n": 0}
+    orig = run._budget_provably_non_binding
+    def spy(*a, **k):
+        hit = orig(*a, **k)
+        engaged["n"] += int(hit)
+        return hit
+    run._budget_provably_non_binding = spy
+    run.seed(seeds)
+    m = run.run_round(0)
+    run.close()
+    assert engaged["n"] == 0  # proof must fail under the 8 s delay
+    assert m["deferred"] > 0  # and the real split actually deferred rows
+    pages.unpersist()
