@@ -3479,6 +3479,8 @@ def q_cache_split(spark, sf_dir):
         F.lit(None).cast("string").alias("references_markdown"),
         F.lit(0).alias("n_links"),
         F.lit(None).cast(LINKS_TYPE).alias("links"),
+        F.lit(200).alias("http_status"),
+        F.concat(F.lit("u"), _d().cast("string")).alias("final_url"),
         F.lit(True).alias("success"),
         F.concat(F.lit("u"), _d().cast("string")).alias("url"),
     )

@@ -38,11 +38,13 @@ def should_write(mode: CacheMode) -> bool:
     return mode in (CacheMode.ENABLED, CacheMode.WRITE_ONLY)
 
 
-# columns a cache hit can serve without refetching
+# columns a cache hit can serve without refetching — including the
+# original fetch provenance (http_status/final_url), so a hit replays
+# what the fetch actually returned instead of fabricating a 200
 CACHED_COLS = [
     "url_hash", "title", "headings", "meta", "text_extracted",
     "raw_markdown", "markdown_with_citations", "references_markdown",
-    "n_links", "links",
+    "n_links", "links", "http_status", "final_url",
 ]
 
 

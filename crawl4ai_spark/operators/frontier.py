@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from ..functions.scrape import scrape_stage
 from ..functions.urls import canonicalize_udf, host_no_port, url_hash
-from .politeness import PolitenessState, select_within_budget, update_state
+from .politeness import (
+    PolitenessState,
+    _leaf_indices,
+    select_within_budget,
+    update_state,
+)
 from .robots import with_robots_decision
 from .scorers import keyword_relevance_score
 from .seen import SeenFilter
@@ -215,22 +220,6 @@ def _parquet_rows(path: str) -> int:
         pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(os.path.join(path, "*.parquet"))
     )
-
-
-def _leaf_indices(pf, names: list[str]) -> list[int]:
-    """Column-chunk indices of the given ROOT column names. Row-group
-    chunk metadata is LEAF-ordered — a map/struct/list column owns
-    several chunks — so indexing chunks with logical (arrow) schema
-    positions silently reads the wrong column once any nested column
-    precedes the target. Resolve through the parquet (leaf) schema's
-    dotted paths instead."""
-    ps = pf.metadata.schema
-    wanted = set(names)
-    return [
-        i
-        for i in range(pf.metadata.num_columns)
-        if ps.column(i).path.split(".", 1)[0] in wanted
-    ]
 
 
 def _deferred_count(
@@ -490,9 +479,10 @@ class CrawlRun:
 
         from .politeness import BASE_DELAY, MAX_RETRIES
 
-        rmax = self._robots_max_delay()
-        if rmax is None:
-            return False
+        # free driver-side checks FIRST: in the binding steady state
+        # (the common case at scale) the footer statistics disprove the
+        # fast path without any Spark job; the robots max-delay agg —
+        # the proof's only job — runs only once these pass
         max_delay, max_fail = BASE_DELAY, 0
         if state_rows:
             bounds = self.politeness.footer_bounds(r)
@@ -500,11 +490,15 @@ class CrawlRun:
                 return False
             max_delay = max(bounds[0], BASE_DELAY)
             max_fail = bounds[1]
+        if max_fail > MAX_RETRIES:
+            return False
+        if math.floor(self.config.round_seconds / max_delay) < frontier_count:
+            return False
+        rmax = self._robots_max_delay()
+        if rmax is None:
+            return False
         eff = max(max_delay, rmax)
-        return (
-            max_fail <= MAX_RETRIES
-            and math.floor(self.config.round_seconds / eff) >= frontier_count
-        )
+        return math.floor(self.config.round_seconds / eff) >= frontier_count
 
     def job_group(self, r: int, name: str) -> str:
         """The job-group id `_sec` tags a section's jobs with. Includes
@@ -617,6 +611,10 @@ class CrawlRun:
         # that configure robots; the rules table is refreshable).
         state = self.politeness.load(r)
         state_rows = self.politeness.count_rows(r) if state is not None else 0
+        # the proof's only possible job (the robots rules-dim agg) must
+        # be attributed to THIS round's politeness section, not linger
+        # under the previous round's last job group
+        self._sec(r, "politeness")
         if self._budget_provably_non_binding(r, frontier_count, state_rows):
             budgeted = pool.withColumn("_selected", F.lit(True)).withColumn(
                 "_dropped", F.lit(False)
@@ -736,7 +734,13 @@ class CrawlRun:
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
             "dfs_key", "partition_id",
             F.when(F.col("_fetch_ok"), "fetched")
-            .when(F.col("_has_html"), "http_error")
+            .when(
+                # the server ANSWERED non-2xx — with or without a body;
+                # 'miss' stays reserved for never-resolved lookups
+                F.col("http_status").isNotNull()
+                & ~F.col("http_status").between(200, 299),
+                "http_error",
+            )
             .when(
                 F.col("fetch_error").isNotNull()
                 & (F.col("fetch_error") != "miss"),
@@ -802,9 +806,10 @@ class CrawlRun:
                 "title", "headings", "meta", "text_extracted", "raw_markdown",
                 "markdown_with_citations", "references_markdown",
                 "n_links", "links",
-                # a cached row was a successful fetch when written
-                F.lit(200).alias("http_status"),
-                F.col("url").alias("final_url"),
+                # provenance replayed from the cache (the original
+                # fetch's status/redirect), not fabricated
+                F.col("http_status").cast("int").alias("http_status"),
+                F.col("final_url").cast("string").alias("final_url"),
                 F.lit(None).cast("string").alias("fetch_error"),
             )
             all_results = all_results.unionByName(hit_results)

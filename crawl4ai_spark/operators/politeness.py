@@ -38,6 +38,23 @@ def _sized(state: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(state) if n_rows <= BROADCAST_MAX_HOSTS else state
 
 
+def _leaf_indices(pf, names: list[str]) -> list[int]:
+    """Column-chunk indices of the given ROOT column names. Row-group
+    chunk metadata is LEAF-ordered — a map/struct/list column owns
+    several chunks — so indexing chunks with logical (arrow) schema
+    positions silently reads the wrong column once any nested column
+    precedes the target. Resolve through the parquet (leaf) schema's
+    dotted paths instead. Shared by every driver-side footer-statistics
+    reader (politeness bounds, frontier deferred counts, round metrics)."""
+    ps = pf.metadata.schema
+    wanted = set(names)
+    return [
+        i
+        for i in range(pf.metadata.num_columns)
+        if ps.column(i).path.split(".", 1)[0] in wanted
+    ]
+
+
 _PRE_SPLIT_CACHE: list = []
 
 
@@ -255,15 +272,8 @@ class PolitenessState:
         max_delay, max_fail, saw = 0.0, 0, False
         for f in files:
             pf = pq.ParquetFile(f)
-            # resolve via the LEAF (parquet) schema, not the arrow
-            # schema: row-group chunks are leaf-ordered, and logical
-            # indices drift once any nested column precedes the target
-            ps = pf.metadata.schema
-            paths = [
-                ps.column(i).path.split(".", 1)[0]
-                for i in range(pf.metadata.num_columns)
-            ]
-            di, fi = paths.index("current_delay"), paths.index("fail_count")
+            di = _leaf_indices(pf, ["current_delay"])[0]
+            fi = _leaf_indices(pf, ["fail_count"])[0]
             for g in range(pf.num_row_groups):
                 rg = pf.metadata.row_group(g)
                 ds, fs = rg.column(di).statistics, rg.column(fi).statistics

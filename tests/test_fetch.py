@@ -57,7 +57,9 @@ def test_crawl_over_map_fetcher_equals_join(spark, sf_dir):
     def fake_http(url):
         body = corpus.get(url)
         if body is None:
-            return {"status": 404}
+            # mirror PagesJoinFetcher's unresolved-lookup semantics
+            # (a 404 would be an ANSWER -> fetch_status='http_error')
+            return {"error": "miss"}
         return {"status": 200, "body": body}
 
     base = _crawl_results(spark, pages, CrawlConfig(max_depth=3), seeds)
