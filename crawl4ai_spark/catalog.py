@@ -3052,17 +3052,100 @@ ORACLE_SEEDER_SITEMAPS = f"SELECT {_PAGE_URL_SQL} AS url FROM documents"
 
 
 def q_seeder_pipeline(spark, sf_dir):
-    """CC source + nonsense filter + '*.html' pattern: the injected
-    noise (robots/sitemap/admin/hidden/print/short URLs) must all be
-    dropped, leaving exactly the corpus URLs with zero scores."""
+    """CC source + nonsense filter + '*.html' pattern (kind='seed'):
+    the injected noise (robots/sitemap/admin/hidden/print/short URLs)
+    must all be dropped, leaving exactly the corpus URLs with zero
+    scores. r4 widening — the WARC/WET/CDXJ archive layer
+    (sources/warc.py ISO 28500 from scratch, sources/cdx.py) gets
+    driver-checked rows via a full ROUND-TRIP over a deterministic
+    archive built from documents: response records re-read through
+    ``warc_pages`` (kind='warc' = payload byte length, 'warc_ts' =
+    capture-time offset), WET conversion records through ``wet_text``
+    (kind='wet' = decoded text length), and the CDXJ sidecar through
+    ``read_cdxj`` (kind='cdx' — the url column carries the SURT key,
+    v1 the indexed HTTP status). Every value is analytic in doc_id
+    (ASCII corpus: byte length == char length), so the whole archive
+    round-trip is SQL-oracled."""
+    import shutil
+    import tempfile
+
+    from .sources.cdx import read_cdxj
     from .sources.seeder import seed_urls, synthetic_cc_index
+    from .sources.warc import warc_pages, wet_text, write_warc, write_wet
 
     cc = synthetic_cc_index(spark, sf_dir)
-    return seed_urls(spark, cc_index=cc, pattern="*.html")
+    seeds = seed_urls(spark, cc_index=cc, pattern="*.html").select(
+        F.lit("seed").alias("kind"),
+        "url",
+        F.col("relevance_score").cast("double").alias("v1"),
+    )
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        F.concat(F.lit("https://w.example.com/p"), _d().cast("string")).alias(
+            "url"
+        ),
+        F.timestamp_seconds(F.lit(1704067200) + _d()).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+    ).coalesce(4)
+    wd = tempfile.mkdtemp(prefix="warc_q_")
+    shutil.rmtree(wd, ignore_errors=True)
+    write_warc(
+        src.select("url", "warc_ts", "html"), f"{wd}/warc", cdx_sidecar=True
+    )
+    write_wet(src.select("url", "warc_ts", "text"), f"{wd}/wet")
+
+    pages = warc_pages(spark, f"{wd}/warc/*.warc.gz")
+    warc_rows = pages.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("warc").alias("kind"),
+                    F.col("url"),
+                    F.length(F.col("html")).cast("double").alias("v1"),
+                ),
+                F.struct(
+                    F.lit("warc_ts").alias("kind"),
+                    F.col("url"),
+                    (F.unix_timestamp("warc_ts") - F.lit(1704067200))
+                    .cast("double")
+                    .alias("v1"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    wet_rows = wet_text(spark, f"{wd}/wet/*.warc.wet.gz").select(
+        F.lit("wet").alias("kind"),
+        "url",
+        F.length("text").cast("double").alias("v1"),
+    )
+    cdx_rows = read_cdxj(spark, f"{wd}/warc/*.cdxj").select(
+        F.lit("cdx").alias("kind"),
+        F.col("surt").alias("url"),
+        F.col("status").cast("double").alias("v1"),
+    )
+    return (
+        seeds.unionByName(warc_rows)
+        .unionByName(wet_rows)
+        .unionByName(cdx_rows)
+    )
 
 
 ORACLE_SEEDER_PIPELINE = f"""
-SELECT {_PAGE_URL_SQL} AS url, 0.0 AS relevance_score FROM documents
+SELECT 'seed' AS kind, {_PAGE_URL_SQL} AS url, 0.0 AS v1 FROM documents
+UNION ALL
+SELECT 'warc', 'https://w.example.com/p' || CAST(doc_id AS VARCHAR),
+       CAST(length(text) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'warc_ts', 'https://w.example.com/p' || CAST(doc_id AS VARCHAR),
+       CAST(doc_id AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'wet', 'https://w.example.com/p' || CAST(doc_id AS VARCHAR),
+       CAST(length(text) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'cdx', 'com,example,w)/p' || CAST(doc_id AS VARCHAR),
+       200.0 FROM documents
 """
 
 
