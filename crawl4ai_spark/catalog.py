@@ -2039,8 +2039,16 @@ def q_crawl_bfs(spark, sf_dir):
     per-host politeness budgets (floor(16s / 1s) = 16 fetches/host) —
     is mirrored by the SQL oracle below; the per-round semantics are
     additionally pinned by the simulator tests in tests/test_frontier.py.
-    """
+
+    r4 widening: the crawl runs with ``snapshot_tables=True`` (the
+    north star's Iceberg-style round checkpoints, snaptable.py) and the
+    returned rows are REASSEMBLED from the snapshot log — round 0 via
+    time travel to the first snapshot, each later round via an
+    incremental scan between consecutive snapshots — so the gate row
+    also proves adoption + time travel + incremental reads reproduce
+    the crawl outputs bit-exactly."""
     import tempfile
+    from functools import reduce
 
     from pyspark.sql import functions as F
 
@@ -2049,10 +2057,22 @@ def q_crawl_bfs(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     seeds = [r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()]
     wd = tempfile.mkdtemp(prefix="crawl_q_")
-    cfg = CrawlConfig(max_depth=2, round_seconds=16.0)
+    cfg = CrawlConfig(max_depth=2, round_seconds=16.0, snapshot_tables=True)
     run_crawl(spark, pages, seeds, wd, cfg, max_rounds=2)
     run = CrawlRun(spark, pages, wd, cfg)
-    return run.results().select(
+    t = run.table("results")
+    parts, prev = [], None
+    for s in t.snapshots():
+        r = int(s["summary"]["round"])
+        df_r = (
+            t.read(snapshot_id=s["snapshot_id"])
+            if prev is None
+            else t.incremental(prev, s["snapshot_id"])
+        )
+        parts.append(df_r.withColumn("round", F.lit(r)))
+        prev = s["snapshot_id"]
+    results = reduce(lambda a, b: a.unionByName(b), parts)
+    return results.select(
         "url", "round", "depth", "fetch_status", "success", "n_links"
     ).orderBy("round", "url")
 
