@@ -3563,7 +3563,17 @@ ORACLES["ssl_parse"] = ORACLE_SSL_PARSE
 def q_cache_split(spark, sf_dir):
     """Result-cache gating (S9-S11): a cache primed with the doc%3==0
     subset must route exactly those rows around fetch+extract; ENABLED
-    reads hits, BYPASS must hit nothing."""
+    reads hits, BYPASS must hit nothing.
+
+    r4 widening — the Structured-Streaming extract path
+    (streaming/stream_crawl.py start_stream_extract: frontier parquet
+    files → foreachBatch fetch-join + scrape+markdown → results sink)
+    gets driver-checked rows: a deterministic 500-URL frontier is
+    drained in availableNow mode and the sink's per-page link counts
+    and titles (both analytic in doc_id over the synthetic corpus) are
+    emitted as 'stream_links'/'stream_title' kinds next to the cache
+    decision rows — the streaming scrape is thereby proven equal to
+    the SQL oracle, not just row-counted."""
     import shutil
     import tempfile
 
@@ -3602,19 +3612,86 @@ def q_cache_split(spark, sf_dir):
             F.col("url_hash").alias("doc_id"), F.lit(False).alias("is_hit")
         )
     )
-    return enabled.join(
+    cache_rows = enabled.join(
         bypass_hits.select(F.col("url_hash").alias("doc_id"))
         .withColumn("_bypass_hit", F.lit(True)),
         "doc_id",
         "left",
     ).select(
-        "doc_id", "is_hit",
-        F.coalesce("_bypass_hit", F.lit(False)).alias("bypass_hit"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cache_enabled").alias("kind"),
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.col("is_hit").cast("int").cast("string").alias("v1"),
+                ),
+                F.struct(
+                    F.lit("cache_bypass").alias("kind"),
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.coalesce("_bypass_hit", F.lit(False))
+                    .cast("int")
+                    .cast("string")
+                    .alias("v1"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+
+    # streaming extract: drain a deterministic frontier through the
+    # foreachBatch scrape sink and read the results back
+    from .functions.urls import host_no_port, url_hash
+    from .streaming.stream_crawl import start_stream_extract
+
+    pages = _pages(spark, sf_dir)
+    sdir = tempfile.mkdtemp(prefix="stream_q_")
+    shutil.rmtree(sdir, ignore_errors=True)
+    frontier_dir = f"{sdir}/frontier"
+    pages.select(
+        "url",
+        url_hash("url").alias("url_hash"),
+        host_no_port("url").alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("bigint").alias("parent_url_hash"),
+        F.lit(0).alias("round"),
+        F.lit(None).cast("string").alias("dfs_key"),
+    ).coalesce(4).write.parquet(frontier_dir)
+    q = start_stream_extract(
+        spark, pages, frontier_dir, f"{sdir}/out", f"{sdir}/ckpt",
+        available_now=True,
     )
+    q.awaitTermination()
+    stream_rows = spark.read.parquet(f"{sdir}/out").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("stream_links").alias("kind"),
+                    F.col("url").alias("key"),
+                    F.col("n_links").cast("string").alias("v1"),
+                ),
+                F.struct(
+                    F.lit("stream_title").alias("kind"),
+                    F.col("url").alias("key"),
+                    F.col("title").alias("v1"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return cache_rows.unionByName(stream_rows)
 
 
-ORACLE_CACHE_SPLIT = """
-SELECT doc_id, doc_id % 3 = 0 AS is_hit, FALSE AS bypass_hit FROM documents
+ORACLE_CACHE_SPLIT = f"""
+SELECT 'cache_enabled' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       CAST(CAST(doc_id % 3 = 0 AS INT) AS VARCHAR) AS v1 FROM documents
+UNION ALL
+SELECT 'cache_bypass', CAST(doc_id AS VARCHAR), '0' FROM documents
+UNION ALL
+SELECT 'stream_links', {_PAGE_URL_SQL}, '7' FROM documents
+UNION ALL
+SELECT 'stream_title', {_PAGE_URL_SQL},
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+       array_to_string(list_slice(str_split(text, ' '), 1, 3), ' ')
+FROM documents
 """
 
 
