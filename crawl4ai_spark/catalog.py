@@ -1423,10 +1423,19 @@ FROM w LEFT JOIN (
 
 
 def q_sample_stratified(spark, sf_dir):
-    """Training-mix sampling (operators/sampling.py): per-language
-    stratified rates + a weighted (length-proportional) draw, salts
-    decorrelated, as one tagged union. The md5 coin flips replay
-    exactly in SQL."""
+    """Training-mix sampling, three strategies as one tagged union:
+    per-language stratified rates + a weighted (length-proportional)
+    draw (operators/sampling.py, salts decorrelated) + DSIR importance
+    resampling (operators/dsir.py, arXiv:2302.03169 — hashed
+    unigram+bigram model with lang='en' docs as the target
+    distribution, Gumbel top-100 without replacement). The md5 coin
+    flips and micro-nat-quantized log-ratios replay exactly in SQL."""
+    from .operators.dsir import (
+        featurize,
+        importance_resample,
+        importance_weights,
+        train_importance_model,
+    )
     from .operators.sampling import stratified_sample, weighted_sample
 
     docs = _docs(spark, sf_dir)
@@ -1440,10 +1449,27 @@ def q_sample_stratified(spark, sf_dir):
         "doc_id",
         salt="gatew",
     ).select("doc_id", "lang", F.lit("weighted").alias("strategy"))
-    return st.unionByName(wt)
+
+    feats = featurize(
+        docs, "doc_id", F.split(F.col("text"), " "), 1024,
+        carry_cols=["lang"],
+    )
+    model = train_importance_model(feats, F.col("lang") == "en", 1024)
+    lw = importance_weights(feats, "doc_id", model, carry_cols=["lang"])
+    ds = importance_resample(lw, "doc_id", 100, salt="gated").select(
+        "doc_id", "lang", F.lit("dsir").alias("strategy")
+    )
+    return st.unionByName(wt).unionByName(ds)
 
 
-ORACLE_SAMPLE_STRATIFIED = """
+_DSIR_GUMBEL_SQL = """
+CAST(round(-ln(-ln(
+  (CAST((CAST(('0x' || substr(md5('gated' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 1000000) AS DOUBLE) + 0.5) / 1000000.0
+)) * 1e6 + 1e-9) AS BIGINT)
+"""
+
+ORACLE_SAMPLE_STRATIFIED = f"""
 WITH u AS (
   SELECT doc_id, lang,
          (CAST(('0x' || substr(md5('gate' || CAST(doc_id AS VARCHAR)), 1, 15))
@@ -1451,13 +1477,47 @@ WITH u AS (
          (CAST(('0x' || substr(md5('gatew' || CAST(doc_id AS VARCHAR)), 1, 15))
                AS BIGINT) % 1000000) AS u2,
          greatest(0, least(n_chars * 2500, 1000000)) AS wt
-  FROM documents)
+  FROM documents),
+w AS (SELECT doc_id, lang, {_TOKENIZE_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, lang, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM (SELECT doc_id, lang, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i FROM w)
+),
+f AS (SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 1024)
+               AS bucket
+      FROM g),
+cnt AS (SELECT bucket,
+               CAST(count(*) AS BIGINT) AS c_raw,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_tgt
+        FROM f GROUP BY bucket),
+tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+               CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM cnt),
+lr AS (SELECT bucket,
+              CAST(round((ln(CAST(c_tgt AS DOUBLE) + 1.0)
+                          - ln(CAST(t_tgt AS DOUBLE) + 1024.0)
+                          - ln(CAST(c_raw AS DOUBLE) + 1.0)
+                          + ln(CAST(t_raw AS DOUBLE) + 1024.0)) * 1e6
+                         + 1e-9) AS BIGINT) AS lr_unat
+       FROM cnt, tot),
+lw AS (SELECT doc_id, lang, CAST(sum(lr_unat) AS BIGINT) AS lw_unat
+       FROM f JOIN lr USING (bucket) GROUP BY doc_id, lang)
 SELECT doc_id, lang, 'stratified' AS strategy FROM u
 WHERE u1 < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
                      WHEN 'fr' THEN 250000 WHEN 'es' THEN 125000
                      ELSE 62500 END
 UNION ALL
 SELECT doc_id, lang, 'weighted' AS strategy FROM u WHERE u2 < wt
+UNION ALL
+SELECT doc_id, lang, 'dsir' AS strategy
+FROM (SELECT doc_id, lang
+      FROM (SELECT doc_id, lang, lw_unat + {_DSIR_GUMBEL_SQL} AS gk
+            FROM lw)
+      ORDER BY gk DESC, doc_id LIMIT 100)
 """
 
 

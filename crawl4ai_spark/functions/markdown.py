@@ -69,7 +69,25 @@ class _MdState(HTMLParser):
     Whitespace model: text is collapsed to single spaces; a pending-space
     flag and a pending-newline counter are flushed lazily before the next
     emission, so block boundaries coalesce instead of stacking.
+
+    Malformed-markup tolerance matches _DomBuilder (scrape.py): stdlib
+    ``_markupbase`` raises a raw ``AssertionError`` on garbage marked
+    sections such as ``'<![<'``; degrade those to a skipped span. The
+    reference never sees such input here (its generator runs on
+    lxml-cleaned HTML), so parity on well-formed documents is unaffected.
     """
+
+    def parse_marked_section(self, i, report=1):
+        try:
+            return super().parse_marked_section(i, report)
+        except Exception:
+            # malformed <![ ... — consume to the closing ]> (or to EOF)
+            rawdata = self.rawdata
+            j = rawdata.find("]>", i)
+            return len(rawdata) if j < 0 else j + 2
+
+    def unknown_decl(self, data):
+        pass
 
     def __init__(self, base_url: str = ""):
         super().__init__(convert_charrefs=False)

@@ -255,6 +255,29 @@ def test_crawl_round_job_budget(spark, tmp_path):
         pages.unpersist()
 
 
+def test_dsir_scoring_broadcasts_model_and_avoids_full_sort(spark, docs):
+    """DSIR (operators/dsir.py): the per-ngram scoring join must
+    broadcast the B-row log-ratio table (B is a constant — never a
+    corpus-sized shuffle), and the Gumbel top-k must be TakeOrdered,
+    not a global Sort."""
+    from crawl4ai_spark.operators.dsir import (
+        featurize,
+        importance_resample,
+        importance_weights,
+        train_importance_model,
+    )
+
+    feats = featurize(docs, "doc_id", F.split("text", " "), 64)
+    model = train_importance_model(feats, F.lit(True), 64)
+    out = importance_resample(
+        importance_weights(feats, "doc_id", model), "doc_id", 10
+    )
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin [bucket" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_partition_id_column_matches_hash_partitioning(spark):
     """pmod(hash(cols), n) must equal spark_partition_id() after
     repartition(n, cols) — the join-mode fetch layout relies on it."""
