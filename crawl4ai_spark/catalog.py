@@ -635,12 +635,15 @@ LEFT JOIN lsd ON lsd.doc_id = p.doc_id
 
 def q_dedup_exact(spark, sf_dir):
     """Doc-level exact dedup (first-seen content hash) + CCNet
-    line-level boilerplate removal (operators/dedup.py line_dedup) as
-    ONE tagged gate row, schemas unified on
-    (strategy, doc_id, kept_lines, removed_lines, h). The line tier
-    runs the real xxhash64-keyed scale path; the oracle groups on the
-    line string itself (equal by construction absent 64-bit hash
-    collisions, which the ~3k-distinct-line gate corpus cannot hit)."""
+    line-level boilerplate removal (operators/dedup.py line_dedup) +
+    exact-substring dedup (substring_dedup, Lee et al. 2022 ExactSubstr
+    at k=5) as ONE tagged gate row, schemas unified on
+    (strategy, doc_id, kept_lines, removed_lines, h). The line and
+    substring tiers run the real xxhash64-keyed scale path; the oracle
+    groups on the line / k-gram string itself (equal by construction
+    absent 64-bit hash collisions, which the gate corpus cannot hit)."""
+    from .operators.dedup import substring_dedup
+
     df = _docs(spark, sf_dir).select("doc_id", "text")
     dup = df.withColumn("doc_id", _d() + 100000)
     docs = exact_dedup(df.unionByName(dup), "text", "doc_id").select(
@@ -657,7 +660,14 @@ def q_dedup_exact(spark, sf_dir):
         "removed_lines",
         F.md5(F.col("text")).alias("h"),
     )
-    return docs.unionByName(ln)
+    ss = substring_dedup(df, "text", "doc_id", k=5, min_dup=2).select(
+        F.lit("substr").alias("strategy"),
+        "doc_id",
+        F.col("kept_tokens").alias("kept_lines"),
+        F.col("removed_tokens").alias("removed_lines"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    return docs.unionByName(ln).unionByName(ss)
 
 
 ORACLE_DEDUP_EXACT = """
@@ -681,7 +691,25 @@ a AS (SELECT doc_id,
              count(*) FILTER (WHERE NOT dup) AS kept_lines,
              count(*) FILTER (WHERE dup) AS removed_lines,
              string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY idx) AS txt
-      FROM j GROUP BY doc_id)
+      FROM j GROUP BY doc_id),
+sg AS (SELECT doc_id, p, array_to_string(ws[p:p+4], ' ') AS g
+       FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws) - 4)) AS p FROM w)),
+sdup AS (SELECT g FROM sg GROUP BY g HAVING count(*) >= 2),
+sdp AS (SELECT doc_id, p FROM sg JOIN sdup USING (g)),
+stok AS (SELECT doc_id, unnest(ws) AS t,
+                unnest(generate_series(1, len(ws))) AS i FROM w),
+sfl AS (SELECT s.doc_id, s.i, s.t,
+               max(CASE WHEN d.p IS NULL THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY s.doc_id ORDER BY s.i
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+        FROM stok s LEFT JOIN sdp d ON d.doc_id = s.doc_id AND d.p = s.i),
+sa AS (SELECT doc_id,
+              count(*) FILTER (WHERE rm = 0) AS kept,
+              count(*) FILTER (WHERE rm = 1) AS removed,
+              coalesce(string_agg(CASE WHEN rm = 0 THEN t END,
+                                  ' ' ORDER BY i), '') AS txt
+       FROM sfl GROUP BY doc_id)
 SELECT 'doc' AS strategy, doc_id, CAST(0 AS BIGINT) AS kept_lines,
        CAST(0 AS BIGINT) AS removed_lines, '' AS h
 FROM r WHERE rn = 1
@@ -691,6 +719,12 @@ SELECT 'line' AS strategy, d.doc_id,
        CAST(coalesce(a.removed_lines, 0) AS BIGINT) AS removed_lines,
        md5(coalesce(a.txt, '')) AS h
 FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+UNION ALL
+SELECT 'substr' AS strategy, doc_id,
+       CAST(kept AS BIGINT) AS kept_lines,
+       CAST(removed AS BIGINT) AS removed_lines,
+       md5(txt) AS h
+FROM sa
 """
 
 

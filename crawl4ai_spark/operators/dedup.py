@@ -736,3 +736,94 @@ def line_dedup(
             ),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_dup: int = 2,
+    hash_kind: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr variant): remove every token span that participates in a
+    ``k``-token substring occurring >= ``min_dup`` times across the WHOLE
+    corpus. The paper builds a suffix array over the concatenated corpus;
+    the distributed equivalent used here marks duplicated k-gram START
+    positions and removes all tokens any duplicated k-gram covers —
+    identical removal semantics for maximal duplicated runs (a run of
+    length L >= k yields L-k+1 duplicated starts whose union covers the
+    run). The reference dedups whole documents by content hash only
+    (crawl4ai/async_database.py:527-541); it has no substring notion.
+
+    Scale design (100 TB):
+    - shingle keys are computed row-local (Column transform over token
+      slices, one explode); the duplicate table is a groupBy over 8-byte
+      xxhash64 keys with map-side partial aggregation — text never
+      shuffles;
+    - duplicated START positions (usually sparse) aggregate to one
+      per-doc sorted int array, which joins back to the corpus
+      co-partitioned on ``id_col`` — ONE corpus-grain shuffle total;
+    - the rebuild is row-local: token i survives iff no duplicated start
+      p satisfies p <= i < p+k (an exists() over the per-doc dup-start
+      array — O(tokens x dup_starts) per row; boilerplate-heavy rows
+      where dup_starts ~ tokens would prefer the token-stream window
+      variant the SQL oracle uses, at the price of a second corpus
+      shuffle).
+
+    ``hash_kind``: ``"xxhash64"`` (8-byte keys, the scale path), ``"md5"``
+    (16-hex prefix, engine-portable), ``"raw"`` (the k-gram string itself —
+    collision-free, widest shuffle).
+
+    Output: ``(id_col, text_col cleaned, n_tokens, kept_tokens,
+    removed_tokens)`` for EVERY input document.
+    """
+    ws = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    n_sh = F.greatest(F.size("_ws") - F.lit(int(k) - 1), F.lit(0))
+    gram = lambda p: F.concat_ws(" ", F.slice(F.col("_ws"), p + 1, int(k)))  # noqa: E731
+    if hash_kind == "xxhash64":
+        keyf = lambda p: F.xxhash64(gram(p))  # noqa: E731
+    elif hash_kind == "md5":
+        keyf = lambda p: F.substring(F.md5(gram(p)), 1, 16)  # noqa: E731
+    elif hash_kind == "raw":
+        keyf = gram
+    else:
+        raise ValueError(f"unknown hash_kind: {hash_kind!r}")
+    starts = F.when(
+        n_sh > 0, F.sequence(F.lit(0), n_sh - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(F.transform(starts, keyf)).alias("_p", "_sk"),
+    )
+    dup = (
+        sh.groupBy("_sk")
+        .count()
+        .filter(F.col("count") >= int(min_dup))
+        .select("_sk")
+    )
+    dpos = (
+        sh.join(dup, "_sk")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+    )
+    kk = F.lit(int(k))
+    joined = base.join(dpos, id_col, "left").withColumn(
+        "_ps", F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_ws"),
+        lambda x, i: ~F.exists(
+            F.col("_ps"), lambda p: (i >= p) & (i < p + kk)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size("_ws").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("removed_tokens"),
+    )

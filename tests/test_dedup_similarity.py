@@ -441,3 +441,70 @@ def test_pq_codebook_shape_and_dim_guard(spark, sf_dir):
     assert all(len(cw) == 16 for b in books for _, cw in b)
     with _pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_from_sample(df, "embedding", "vec_id", 5, 16)
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_removes_shared_passage(spark):
+    from crawl4ai_spark.operators.dedup import substring_dedup
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, k=5 -> one shingle
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"nine {shared} eight seven"),
+        (3, "totally unique words here only once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(df, k=5, min_dup=2).collect()
+    }
+    assert out[1]["text"] == "one two three"
+    assert out[2]["text"] == "nine eight seven"
+    assert out[1]["removed_tokens"] == 5 and out[2]["removed_tokens"] == 5
+    # the unique doc is untouched and still present
+    assert out[3]["text"] == rows[2][1] and out[3]["removed_tokens"] == 0
+
+
+def test_substring_dedup_within_doc_repeat_and_overlap(spark):
+    from crawl4ai_spark.operators.dedup import substring_dedup
+
+    # "a b c a b c a b" repeats "a b c" -> with k=3 the duplicated run
+    # covers the WHOLE document (overlapping duplicated starts merge)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b")], "doc_id long, text string"
+    )
+    r = substring_dedup(df, k=3, min_dup=2).head()
+    assert r["text"] == "" and r["kept_tokens"] == 0
+    assert r["n_tokens"] == 8 and r["removed_tokens"] == 8
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    from crawl4ai_spark.operators.dedup import substring_dedup
+
+    # docs shorter than k yield no shingles and survive verbatim --
+    # even when they are exact duplicates of each other
+    df = spark.createDataFrame(
+        [(1, "tiny dup"), (2, "tiny dup")], "doc_id long, text string"
+    )
+    rows = substring_dedup(df, k=5, min_dup=2).collect()
+    assert sorted(r["text"] for r in rows) == ["tiny dup", "tiny dup"]
+    assert all(r["removed_tokens"] == 0 for r in rows)
+
+
+def test_substring_dedup_hash_kinds_agree(spark, sf_dir):
+    from crawl4ai_spark.operators.dedup import substring_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    a = substring_dedup(docs, k=5, hash_kind="xxhash64").orderBy("doc_id")
+    b = substring_dedup(docs, k=5, hash_kind="raw").orderBy("doc_id")
+    assert [r.asDict() for r in a.collect()] == [
+        r.asDict() for r in b.collect()
+    ]
