@@ -102,45 +102,79 @@ class MapFetcher:
     functions/encoding.py — header charset when the server sent one
     (reference: ``response.charset``), WHATWG byte sniff otherwise
     (reference: chardet fallback).
+
+    ``concurrency`` > 1 overlaps network waits WITHIN a task the way the
+    reference's MemoryAdaptiveDispatcher overlaps sessions
+    (async_dispatcher.py semaphore slots) — but politeness-shaped: URLs
+    are grouped by host and each host's group is fetched SEQUENTIALLY by
+    one pool thread, so per-host request spacing survives while distinct
+    hosts proceed in parallel. A fetch task is network-bound, not
+    CPU-bound; thread concurrency is the right lever and keeps the
+    Arrow batch contract (rows come back in input order).
     """
 
-    def __init__(self, fn: Callable[[str], dict]):
+    def __init__(self, fn: Callable[[str], dict], concurrency: int = 1):
         self.fn = fn
+        self.concurrency = max(1, int(concurrency))
 
     def fetch(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         import pandas as pd
 
         fn = self.fn
+        concurrency = self.concurrency
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         schema = f"{fields}, {FETCH_FIELDS}"
 
+        def one(url):
+            try:
+                r = fn(url)
+                return (
+                    r.get("body"),
+                    r.get("status"),
+                    r.get("final_url", url),
+                    r.get("charset"),
+                    r.get("error"),
+                )
+            except Exception as e:  # degradation contract
+                return (None, None, url, None, f"{type(e).__name__}: {e}"[:500])
+
+        def run_batch(urls):
+            if concurrency <= 1 or len(urls) <= 1:
+                return [one(u) for u in urls]
+            from concurrent.futures import ThreadPoolExecutor
+            from urllib.parse import urlsplit
+
+            groups: dict[str, list[int]] = {}
+            for idx, u in enumerate(urls):
+                try:
+                    host = urlsplit(u).netloc or ""
+                except Exception:
+                    host = ""
+                groups.setdefault(host, []).append(idx)
+            results: list[tuple | None] = [None] * len(urls)
+
+            def run_group(idxs):
+                for i in idxs:  # one thread per host -> sequential
+                    results[i] = one(urls[i])
+
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                list(ex.map(run_group, groups.values()))
+            return results
+
         def run(batches):
+            cols = (
+                "body", "http_status", "final_url", "_hdr_charset",
+                "fetch_error",
+            )
             for pdf in batches:
-                out = {
-                    "body": [], "http_status": [], "final_url": [],
-                    "_hdr_charset": [], "fetch_error": [],
-                }
-                for url in pdf[url_col]:
-                    try:
-                        r = fn(url)
-                        out["body"].append(r.get("body"))
-                        out["http_status"].append(r.get("status"))
-                        out["final_url"].append(r.get("final_url", url))
-                        out["_hdr_charset"].append(r.get("charset"))
-                        out["fetch_error"].append(r.get("error"))
-                    except Exception as e:  # degradation contract
-                        out["body"].append(None)
-                        out["http_status"].append(None)
-                        out["final_url"].append(url)
-                        out["_hdr_charset"].append(None)
-                        out["fetch_error"].append(
-                            f"{type(e).__name__}: {e}"[:500]
-                        )
+                rows = run_batch(list(pdf[url_col]))
                 pdf = pdf.copy()
-                for k, v in out.items():
-                    pdf[k] = pd.Series(v, index=pdf.index, dtype=object)
+                for j, k in enumerate(cols):
+                    pdf[k] = pd.Series(
+                        [r[j] for r in rows], index=pdf.index, dtype=object
+                    )
                 yield pdf
 
         raw = df.mapInPandas(run, schema)
@@ -171,11 +205,12 @@ class UrllibFetcher(MapFetcher):
         timeout: float = 30.0,
         user_agent: str = "crawl4ai-spark/1.0",
         max_body_bytes: int = 10 * 1024 * 1024,
+        concurrency: int = 1,
     ):
         self.timeout = float(timeout)
         self.user_agent = user_agent
         self.max_body_bytes = int(max_body_bytes)
-        super().__init__(self._get)
+        super().__init__(self._get, concurrency=concurrency)
 
     @staticmethod
     def _charset_of(content_type: str | None) -> str | None:

@@ -290,3 +290,63 @@ def test_urllib_fetcher_labels_wrapped_timeouts(spark, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", boom)
     r = f._get("http://10.255.255.1/never")
     assert r["error"].startswith("ConnectionTimeoutError")
+
+
+def test_map_fetcher_concurrency_overlaps_hosts_not_within_host(spark):
+    """concurrency>1: distinct hosts fetch in parallel inside one task,
+    a single host's URLs stay strictly sequential (politeness), and the
+    Arrow contract (input order, same results) holds. Timings are
+    carried back through the body bytes because the callable runs in
+    the Python worker process, not the test process."""
+    import time
+
+    def timed(url):
+        s = time.monotonic()
+        time.sleep(0.05)
+        e = time.monotonic()
+        return {"status": 200, "body": f"{s:.6f},{e:.6f}".encode(),
+                "final_url": url, "charset": "ascii"}
+
+    urls = [
+        (f"http://h{i % 4}.example/p{i}",) for i in range(12)
+    ]  # 4 hosts x 3 urls
+    df = spark.createDataFrame(urls, "url string").repartition(1)
+    rows = (
+        MapFetcher(timed, concurrency=4)
+        .fetch(df)
+        .select("url", "html", "http_status", "fetch_error")
+        .collect()
+    )
+    assert [r["url"] for r in rows] == [u for (u,) in urls]  # order kept
+    assert all(r["http_status"] == 200 and r["fetch_error"] is None
+               for r in rows)
+    spans = {}
+    for r in rows:
+        host = r["url"].split("/")[2]
+        s, e = map(float, r["html"].split(","))
+        spans.setdefault(host, []).append((s, e))
+    # within a host: no two intervals overlap
+    for ivs in spans.values():
+        ivs.sort()
+        assert all(a[1] <= b[0] + 1e-6 for a, b in zip(ivs, ivs[1:]))
+    # across hosts: at least two intervals overlap somewhere
+    flat = sorted(iv for ivs in spans.values() for iv in ivs)
+    assert any(a[1] > b[0] for a, b in zip(flat, flat[1:]))
+
+
+def test_map_fetcher_concurrent_matches_sequential(spark, sf_dir):
+    """Same fn, concurrency 1 vs 6 — identical output rows (and errors
+    still degrade per-row, never kill the task)."""
+    def fn(url):
+        if url.endswith("7"):
+            raise ValueError("boom")
+        return {"status": 200, "body": f"<p>{url}</p>".encode(),
+                "final_url": url + "#f", "charset": "utf-8"}
+
+    df = spark.createDataFrame(
+        [(f"http://h{i % 3}.ex/a{i}",) for i in range(20)], "url string"
+    )
+    seq = MapFetcher(fn, concurrency=1).fetch(df).orderBy("url").collect()
+    par = MapFetcher(fn, concurrency=6).fetch(df).orderBy("url").collect()
+    assert [r.asDict() for r in seq] == [r.asDict() for r in par]
+    assert sum(1 for r in par if r["fetch_error"]) == 2  # a7, a17
