@@ -982,28 +982,67 @@ LIMIT 20
 
 
 def q_sim_neardup_pairs(spark, sf_dir):
+    """Embedding near-dup PAIRS (brute cos >= 0.35) + SemDeDup
+    (operators/similarity.py semantic_dedup, Abbas et al. 2023 —
+    sampled centroids, 6-dec quantized decisions, triangular-max keep
+    rule at eps=0.35) as one tagged union; SemDeDup rows carry
+    (vec_id, cluster, cent_sim) with the keep decision in the tag."""
+    from .operators.similarity import semantic_dedup
+
     df = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a, b = df.alias("a"), df.alias("b")
     pair = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     sim = cosine(F.col("a.v"), F.col("b.v"))
-    return pair.select(
+    pairs = pair.select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
         F.round(sim, 6).alias("cosine_sim"),
+        F.lit("brute").alias("strategy"),
     ).filter(F.col("cosine_sim") >= 0.35)
+    sem = semantic_dedup(df, "v", "vec_id", eps=0.35, n_centroids=8).select(
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.col("cent_sim").alias("cosine_sim"),
+        F.when(F.col("is_kept"), F.lit("sem_kept"))
+        .otherwise(F.lit("sem_removed"))
+        .alias("strategy"),
+    )
+    return pairs.unionByName(sem)
 
 
-ORACLE_SIM_NEARDUP_PAIRS = """
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+ORACLE_SIM_NEARDUP_PAIRS = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, cid, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM (SELECT e.vec_id, e.v, c.cid,
+               {_COS6.format(a='e.v', b='c.cv')} AS sim
+        FROM e, c)),
+r AS (SELECT vec_id, v, cid AS cluster, sim AS cent_sim,
+             row_number() OVER (PARTITION BY cid ORDER BY sim ASC, vec_id)
+               AS rk
+      FROM asg WHERE rn = 1),
+rm AS (SELECT DISTINCT x.vec_id
+       FROM r x JOIN r y ON x.cluster = y.cluster AND y.rk < x.rk
+       WHERE {_COS6.format(a='x.v', b='y.v')} >= 0.35)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-         AS cosine_sim
+       {_COS6.format(a='a.v', b='b.v')} AS cosine_sim,
+       'brute' AS strategy
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-      >= 0.35
+WHERE {_COS6.format(a='a.v', b='b.v')} >= 0.35
+UNION ALL
+SELECT r.vec_id AS id_a, CAST(r.cluster AS BIGINT) AS id_b,
+       r.cent_sim AS cosine_sim,
+       CASE WHEN rm.vec_id IS NULL THEN 'sem_kept'
+            ELSE 'sem_removed' END AS strategy
+FROM r LEFT JOIN rm ON rm.vec_id = r.vec_id
 """
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -237,6 +237,118 @@ def embedding_neardup_pairs(
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
     return int(row["n"])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering — the tier above MinHash/
+    SimHash (surface duplicates) that removes REPHRASINGS: cluster the
+    corpus embeddings, and within each cluster drop every item whose
+    cosine to a kept item exceeds ``eps``, keeping the items LEAST
+    similar to their cluster centroid (the paper's keep-low-centroid-
+    similarity rule, which preferentially retains a cluster's atypical
+    examples).
+
+    Determinism follows the IVF conventions of this module: centroids
+    default to the sampled rows ``id_col < n_centroids`` (engine-stable,
+    vs Lloyd iterations that converge engine-dependently), and every
+    decision similarity — assignment, centroid similarity, pairwise
+    cosine — is quantized to 6 decimals with explicit id tie-breaks, so
+    the keep set replays bit-exactly in the SQL oracle.
+
+    Keep rule, precisely: rank a cluster's items by (centroid-cosine
+    ASC, id ASC); item X is removed iff some HIGHER-ranked item Y in the
+    same cluster has round(cos(X, Y), 6) >= eps — the paper
+    implementation's one-pass triangular-max test (max over the upper
+    triangle of the cluster's sorted similarity matrix), NOT an
+    iterated greedy sweep: an item similar only to already-removed
+    items is still removed.
+
+    Scale design (100 TB):
+    - assignment is row-local (N_c dots per row, flat expression — the
+      IVF pattern) and is in effect a partition column;
+    - the pairwise verify is a self-join ON THE CLUSTER KEY — one
+      shuffle, candidate volume sum(|cluster|^2) bounded by cluster
+      granularity (raise n_centroids so clusters stay small; the paper
+      uses ~100k clusters for 5B items, i.e. ~50k-item clusters);
+    - the removal decision is an EXISTS semi-join (no row explosion
+      back out), and the flag joins back co-partitioned on ``id_col``.
+
+    Output: ``(id_col, cluster, cent_sim, is_kept)`` for EVERY input
+    row — downstream keeps ``is_kept`` rows.
+    """
+    if centroids is None:
+        crows = (
+            df.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in crows
+        )
+    if not centroids:
+        raise ValueError("no centroid rows found")
+
+    v = F.col(vec_col).cast("array<double>")
+    vn = l2_norm(v)
+    sims = F.array(
+        *[
+            F.round(
+                dot(v, _vec_lit(c))
+                / (vn * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6,
+            )
+            for _, c in centroids
+        ]
+    )
+    assign_idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.element_at(cid_arr, assign_idx).alias("_cluster"),
+        F.element_at(sims, assign_idx).alias("_cent_sim"),
+    )
+    w = Window.partitionBy("_cluster").orderBy(
+        F.asc("_cent_sim"), F.asc("_id")
+    )
+    ranked = base.withColumn("_rank", F.row_number().over(w))
+    x, y = ranked.alias("x"), ranked.alias("y")
+    removed = (
+        x.join(
+            y,
+            (F.col("x._cluster") == F.col("y._cluster"))
+            & (F.col("y._rank") < F.col("x._rank")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("x._v"), F.col("y._v"))
+                / (l2_norm(F.col("x._v")) * l2_norm(F.col("y._v"))),
+                6,
+            )
+            >= F.lit(float(eps))
+        )
+        .select(F.col("x._id").alias("_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        ranked.join(removed, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cluster").alias("cluster"),
+            F.col("_cent_sim").alias("cent_sim"),
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("is_kept"),
+        )
+    )
 
 
 def pq_codebooks_from_sample(

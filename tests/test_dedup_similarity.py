@@ -508,3 +508,70 @@ def test_substring_dedup_hash_kinds_agree(spark, sf_dir):
     assert [r.asDict() for r in a.collect()] == [
         r.asDict() for r in b.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _sem_rows(spark, vecs, **kw):
+    from crawl4ai_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    out = semantic_dedup(df, "v", "vec_id", **kw)
+    return {r["vec_id"]: r for r in out.collect()}
+
+
+def test_semantic_dedup_removes_rephrasings_keeps_atypical(spark):
+    # ids 0/1 are the sampled centroids (two orthogonal directions);
+    # 2,3,4 all point near centroid 0 (mutual cos ~1 -> duplicates);
+    # 5 points near centroid 1 and is unique.
+    vecs = [
+        [1, 0, 0], [0, 1, 0],
+        [1, 0.01, 0], [1, 0.02, 0], [1, 0.03, 0],
+        [0.01, 1, 0],
+    ]
+    out = _sem_rows(spark, vecs, eps=0.95, n_centroids=2)
+    assert len(out) == 6 and all(
+        r["cluster"] in (0, 1) for r in out.values()
+    )
+    dup_group = [out[i] for i in (2, 3, 4)]
+    # exactly one of the near-identical trio survives: the one ranked
+    # first = LOWEST centroid similarity (most atypical) = id 4
+    assert [r["vec_id"] for r in dup_group if r["is_kept"]] == [4]
+    assert out[5]["is_kept"] and out[5]["cluster"] == 1
+    # centroids themselves: 0 is cos~1 with the kept trio member? no --
+    # id 0 IS the most typical (cent_sim 1.0) so it gets removed as a
+    # duplicate of a lower-cent-sim neighbor
+    assert not out[0]["is_kept"]
+
+
+def test_semantic_dedup_eps_above_one_keeps_everything(spark):
+    vecs = [[1, 0], [0, 1], [1, 0.01], [0.9, 0.1]]
+    out = _sem_rows(spark, vecs, eps=1.01, n_centroids=2)
+    assert all(r["is_kept"] for r in out.values())
+
+
+def test_semantic_dedup_triangular_max_not_greedy(spark):
+    """A chain a-b, b-c similar but a-c NOT: triangular-max removes c
+    (similar to the already-removed b); a greedy sweep would keep it."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    # one cluster (centroid = id 0 at 0 rad). Rank order by ASC
+    # centroid-sim: id3 (cos 0.62 rad ~ .814), id2 (~.952), id0, id1.
+    # Pairwise: cos(3,2)=.952 >= eps, cos(2,1)=.952 >= eps, but
+    # cos(3,1)=.814 < eps.
+    vecs = [unit(0.0), unit(0.0), unit(0.31), unit(0.62)]
+    out = _sem_rows(spark, vecs, eps=0.95, n_centroids=1)
+    kept = sorted(i for i, r in out.items() if r["is_kept"])
+    # id2 removed via id3; id0/id1 removed via id2 even though their
+    # only sub-eps neighbor id3 is dissimilar -- the paper's
+    # upper-triangle max, not an iterated keep-set sweep
+    assert kept == [3]
