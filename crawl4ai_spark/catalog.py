@@ -1504,6 +1504,7 @@ def q_sample_stratified(spark, sf_dir):
     distribution, Gumbel top-100 without replacement). The md5 coin
     flips and micro-nat-quantized log-ratios replay exactly in SQL."""
     from .operators.dsir import (
+        cache_featurized,
         featurize,
         importance_resample,
         importance_weights,
@@ -1523,9 +1524,11 @@ def q_sample_stratified(spark, sf_dir):
         salt="gatew",
     ).select("doc_id", "lang", F.lit("weighted").alias("strategy"))
 
-    feats = featurize(
-        docs, "doc_id", F.split(F.col("text"), " "), 1024,
-        carry_cols=["lang"],
+    feats = cache_featurized(
+        featurize(
+            docs, "doc_id", F.split(F.col("text"), " "), 1024,
+            carry_cols=["lang"],
+        )
     )
     model = train_importance_model(feats, F.col("lang") == "en", 1024)
     lw = importance_weights(feats, "doc_id", model, carry_cols=["lang"])

@@ -28,6 +28,8 @@ from html.entities import html5 as _HTML5_ENTITIES
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
+from .scrape import TolerantMarkupMixin
+
 # ASCII substitutions for typographic entities (standard html2text-style
 # unification table; factual character mapping).
 ENTITY_SUBS = {
@@ -63,31 +65,18 @@ def _escape_link_part(s: str) -> str:
     return _MD_ESCAPE_RX.sub(r"\\\1", s)
 
 
-class _MdState(HTMLParser):
+class _MdState(TolerantMarkupMixin, HTMLParser):
     """Streaming HTML->markdown emitter.
 
     Whitespace model: text is collapsed to single spaces; a pending-space
     flag and a pending-newline counter are flushed lazily before the next
     emission, so block boundaries coalesce instead of stacking.
 
-    Malformed-markup tolerance matches _DomBuilder (scrape.py): stdlib
-    ``_markupbase`` raises a raw ``AssertionError`` on garbage marked
-    sections such as ``'<![<'``; degrade those to a skipped span. The
-    reference never sees such input here (its generator runs on
-    lxml-cleaned HTML), so parity on well-formed documents is unaffected.
+    TolerantMarkupMixin (scrape.py) degrades garbage marked sections
+    ('<![<') to skipped spans. The reference never sees such input here
+    (its generator runs on lxml-cleaned HTML), so parity on well-formed
+    documents is unaffected.
     """
-
-    def parse_marked_section(self, i, report=1):
-        try:
-            return super().parse_marked_section(i, report)
-        except Exception:
-            # malformed <![ ... — consume to the closing ]> (or to EOF)
-            rawdata = self.rawdata
-            j = rawdata.find("]>", i)
-            return len(rawdata) if j < 0 else j + 2
-
-    def unknown_decl(self, data):
-        pass
 
     def __init__(self, base_url: str = ""):
         super().__init__(convert_charrefs=False)

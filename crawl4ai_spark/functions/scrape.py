@@ -50,20 +50,16 @@ class _Node:
         self.children: list[_Node] = []
 
 
-class _DomBuilder(HTMLParser):
-    """Minimal tolerant DOM builder (stdlib-only).
+class TolerantMarkupMixin:
+    """Malformed-markup tolerance for HTMLParser subclasses.
 
-    Malformed-markup tolerance mirrors the reference's recovering lxml
-    parser (content_scraping_strategy.py:1055-1087): the stdlib
-    ``_markupbase`` machinery raises a raw ``AssertionError`` on garbage
-    marked sections such as ``'<![<'``; we degrade those to a skipped
-    span instead of letting the exception kill the Arrow batch.
+    Mirrors the reference's recovering lxml parser
+    (content_scraping_strategy.py:1055-1087): the stdlib
+    ``_markupbase`` machinery raises a raw ``AssertionError`` on
+    garbage marked sections such as ``'<![<'``; degrade those to a
+    skipped span instead of letting the exception kill the Arrow
+    batch. Shared by the DOM builder here and markdown.py's emitter.
     """
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("#root")
-        self.stack = [self.root]
 
     def parse_marked_section(self, i, report=1):
         try:
@@ -74,8 +70,14 @@ class _DomBuilder(HTMLParser):
             j = rawdata.find("]>", i)
             return len(rawdata) if j < 0 else j + 2
 
-    def unknown_decl(self, data):
-        pass
+
+class _DomBuilder(TolerantMarkupMixin, HTMLParser):
+    """Minimal tolerant DOM builder (stdlib-only)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs))

@@ -778,9 +778,12 @@ def substring_dedup(
     collision-free, widest shuffle).
 
     Output: ``(id_col, text_col cleaned, n_tokens, kept_tokens,
-    removed_tokens)`` for EVERY input document.
+    removed_tokens)`` for EVERY input document. A null ``text_col``
+    is treated as the empty string (one empty token, nothing to
+    remove) — without the coalesce, ``size(split(NULL))`` is -1 and
+    the counts would go negative.
     """
-    ws = F.split(F.col(text_col), " ")
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     base = df.select(F.col(id_col), ws.alias("_ws"))
     n_sh = F.greatest(F.size("_ws") - F.lit(int(k) - 1), F.lit(0))
     gram = lambda p: F.concat_ws(" ", F.slice(F.col("_ws"), p + 1, int(k)))  # noqa: E731

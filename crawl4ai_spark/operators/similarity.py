@@ -42,6 +42,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """cosine() that yields NULL instead of raising under ANSI mode
+    when either vector has zero norm (try_divide). Identical to
+    cosine() on every nonzero-norm pair — use where degenerate
+    vectors must degrade, not kill the job."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -299,12 +307,25 @@ def semantic_dedup(
 
     v = F.col(vec_col).cast("array<double>")
     vn = l2_norm(v)
+    # zero-norm vectors would make every cosine NULL (divide-by-zero)
+    # and the assignment engine-dependent; coalesce to -1 (below any
+    # real cosine) so they land deterministically in the first
+    # centroid's cluster as maximally-atypical rows, never removed
+    # (their pairwise cosines stay NULL, which fails the >= eps test)
     sims = F.array(
         *[
-            F.round(
-                dot(v, _vec_lit(c))
-                / (vn * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6,
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        dot(v, _vec_lit(c)),
+                        vn
+                        * F.lit(
+                            math.sqrt(sum(float(x) * float(x) for x in c))
+                        ),
+                    ),
+                    6,
+                ),
+                F.lit(-1.0),
             )
             for _, c in centroids
         ]
@@ -329,11 +350,7 @@ def semantic_dedup(
             & (F.col("y._rank") < F.col("x._rank")),
         )
         .filter(
-            F.round(
-                dot(F.col("x._v"), F.col("y._v"))
-                / (l2_norm(F.col("x._v")) * l2_norm(F.col("y._v"))),
-                6,
-            )
+            F.round(cosine_safe(F.col("x._v"), F.col("y._v")), 6)
             >= F.lit(float(eps))
         )
         .select(F.col("x._id").alias("_id"))
@@ -346,7 +363,7 @@ def semantic_dedup(
             F.col("_id").alias(id_col),
             F.col("_cluster").alias("cluster"),
             F.col("_cent_sim").alias("cent_sim"),
-            F.coalesce(~F.col("_rm"), F.lit(True)).alias("is_kept"),
+            F.col("_rm").isNull().alias("is_kept"),
         )
     )
 

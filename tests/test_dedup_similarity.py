@@ -575,3 +575,39 @@ def test_semantic_dedup_triangular_max_not_greedy(spark):
     # only sub-eps neighbor id3 is dissimilar -- the paper's
     # upper-triangle max, not an iterated keep-set sweep
     assert kept == [3]
+
+
+def test_substring_dedup_null_text_degrades(spark):
+    from crawl4ai_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x y z w v x y z w v")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in substring_dedup(df, k=5).collect()}
+    # null text = empty string: one empty token, nothing removed,
+    # counts never negative
+    assert out[1]["n_tokens"] == 1 and out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 10  # within-doc repeat removed
+
+
+def test_semantic_dedup_zero_norm_vectors_survive(spark):
+    from crawl4ai_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+         (3, [1.0, 0.01]), (4, [0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(df, "v", "vec_id", eps=0.95,
+                                n_centroids=2).collect()
+    }
+    # under ANSI mode the zero-norm rows must degrade (try_divide),
+    # not kill the job: deterministic first-cluster assignment,
+    # cent_sim -1 (maximally atypical), never removed and never
+    # removing others (their pairwise cosines are NULL)
+    for zid in (2, 4):
+        assert out[zid]["cluster"] == 0
+        assert out[zid]["cent_sim"] == -1.0 and out[zid]["is_kept"]
+    assert not out[0]["is_kept"] or not out[3]["is_kept"]

@@ -302,14 +302,15 @@ def test_map_fetcher_concurrency_overlaps_hosts_not_within_host(spark):
 
     def timed(url):
         s = time.monotonic()
-        time.sleep(0.05)
+        time.sleep(0.2)  # wide window: pool-thread startup jitter on a
+        # loaded host must not be able to serialize the groups
         e = time.monotonic()
         return {"status": 200, "body": f"{s:.6f},{e:.6f}".encode(),
                 "final_url": url, "charset": "ascii"}
 
     urls = [
-        (f"http://h{i % 4}.example/p{i}",) for i in range(12)
-    ]  # 4 hosts x 3 urls
+        (f"http://h{i % 4}.example/p{i}",) for i in range(8)
+    ]  # 4 hosts x 2 urls
     df = spark.createDataFrame(urls, "url string").repartition(1)
     rows = (
         MapFetcher(timed, concurrency=4)
