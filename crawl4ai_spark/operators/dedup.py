@@ -611,11 +611,24 @@ def resolve_duplicates(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
     """Pairs -> keep/drop decision: group near-dup pairs into
-    components and mark the minimum id of each component canonical
-    (keep-first — the same tie-break the reference's exact content
-    dedup applies via first-seen insert, async_database.py:527-541).
+    components and mark one member of each component canonical.
+
+    Default policy is keep-first: the minimum id wins (the same
+    tie-break the reference's exact content dedup applies via
+    first-seen insert, async_database.py:527-541). Pass ``scores``
+    (a (id_col, score_col) table — e.g. quality_score, document
+    length, or a recency stamp) to keep the HIGHEST-scoring member
+    instead (ties -> lowest id); near-dup clusters then retain their
+    best representative rather than an arbitrary first-seen one.
+    Ids missing from ``scores`` compete with score NULL (sorted last).
+
+    Scale: the score join is keyed on the id (co-partitioned with the
+    component join-back); picking the winner is one max_by per
+    component — no window over the corpus.
 
     Output: (<id_col>, component, csize, is_canonical) for EVERY input
     id — singletons are their own size-1 canonical component.
@@ -623,14 +636,44 @@ def resolve_duplicates(
     comp = connected_components(
         pairs, src=src, dst=dst, nodes=ids, node_col=id_col, max_iter=max_iter
     )
-    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    if scores is None:
+        sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+        return (
+            comp.join(sizes, "component")
+            .select(
+                F.col("node").alias(id_col),
+                "component",
+                "csize",
+                (F.col("node") == F.col("component")).cast("int").alias(
+                    "is_canonical"
+                ),
+            )
+        )
+    sc = scores.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+    )
+    with_sc = comp.join(sc, "node", "left")
+    # winner per component: max score, ties (incl. all-NULL) -> min id.
+    # max_by on a struct orders NULLs first, so coalesce into a sortable
+    # pair; ids are assumed non-negative (url_hash/doc_id longs).
+    win = with_sc.groupBy("component").agg(
+        F.count("*").alias("csize"),
+        F.max(
+            F.struct(
+                F.coalesce(F.col("_score").cast("double"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("node")).alias("negid"),
+            )
+        ).alias("_w"),
+    )
     return (
-        comp.join(sizes, "component")
+        comp.join(win, "component")
         .select(
             F.col("node").alias(id_col),
             "component",
             "csize",
-            (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+            (F.col("node") == -F.col("_w.negid")).cast("int").alias(
+                "is_canonical"
+            ),
         )
     )
 
@@ -830,3 +873,46 @@ def substring_dedup(
         F.size(kept).cast("long").alias("kept_tokens"),
         (F.size("_ws") - F.size(kept)).cast("long").alias("removed_tokens"),
     )
+
+
+def plan_lsh_bands(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) split for MinHash-LSH.
+
+    For each factorization b*r = num_hashes the S-curve
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b is integrated numerically
+    on both sides of ``threshold``: the area below is false-positive
+    mass (dissimilar pairs shuffled as candidates — wasted verify
+    work), the area of 1-P above is false-negative mass (true near-dups
+    missed). The split minimizing fp_weight*FP + fn_weight*FN wins —
+    the classic MMDS §3.4 / datasketch ``_optimal_param`` optimization,
+    here so callers of :func:`minhash_lsh_pairs` don't hand-tune
+    ``bands``. Weight FP up when the verify join dominates cost (the
+    usual 100 TB case); weight FN up when recall is the contract.
+
+    Driver-side pure arithmetic — returns (bands, rows_per_band).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1): {threshold}")
+    best, best_err = None, None
+    steps = 1000
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best

@@ -72,3 +72,29 @@ def weighted_sample(
     quality score."""
     w = F.greatest(F.lit(0), F.least(weight_e6.cast("long"), F.lit(E6)))
     return df.filter(uniform_e6(F.col(key_col), salt) < w)
+
+
+def rates_for_token_budget(
+    stratum_totals: dict[str, int],
+    budgets: dict[str, int],
+) -> dict[str, int]:
+    """Turn per-stratum TOKEN BUDGETS into the rate_e6 table
+    stratified_sample() consumes.
+
+    ``stratum_totals``: tokens (or docs — any consistent unit) per
+    stratum in the corpus, e.g. from one groupBy; ``budgets``: desired
+    tokens per stratum in the mix. Rate = budget/total clamped to 1e6
+    (a stratum smaller than its budget is taken whole — oversampling
+    is upstream's problem: sampling without replacement can't mint
+    data). Strata without a budget get no entry (stratified_sample's
+    default_rate_e6 applies). Driver-side pure arithmetic: the totals
+    dict is one small aggregation result, never corpus data.
+    """
+    rates = {}
+    for s, budget in budgets.items():
+        total = stratum_totals.get(s, 0)
+        if total <= 0:
+            rates[s] = 0
+        else:
+            rates[s] = min(E6, int(budget * E6 // total))
+    return rates

@@ -611,3 +611,64 @@ def test_semantic_dedup_zero_norm_vectors_survive(spark):
         assert out[zid]["cluster"] == 0
         assert out[zid]["cent_sim"] == -1.0 and out[zid]["is_kept"]
     assert not out[0]["is_kept"] or not out[3]["is_kept"]
+
+
+def test_resolve_duplicates_score_policy_keeps_best(spark):
+    from crawl4ai_spark.operators.dedup import resolve_duplicates
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        # component {0,1,2}: best is 1; component {4,5}: tie -> min id 4;
+        # singleton 3 has NO score row and must still be canonical
+        [(0, 0.2), (1, 0.9), (2, 0.5), (4, 0.7), (5, 0.7)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in resolve_duplicates(ids, pairs, "doc_id",
+                                    scores=scores).collect()
+    }
+    assert [i for i in range(6) if out[i]["is_canonical"]] == [1, 3, 4]
+    assert out[1]["csize"] == 3 and out[3]["csize"] == 1
+    # default policy unchanged: min id wins
+    out0 = {
+        r["doc_id"]: r["is_canonical"]
+        for r in resolve_duplicates(ids, pairs, "doc_id").collect()
+    }
+    assert [i for i in range(6) if out0[i]] == [0, 3, 4]
+
+
+def test_plan_lsh_bands_properties():
+    from crawl4ai_spark.operators.dedup import plan_lsh_bands
+
+    b, r = plan_lsh_bands(64, 0.5)
+    assert b * r == 64
+    # the S-curve midpoint ~ (1/b)^(1/r) must sit near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert abs(mid - 0.5) < 0.2
+    # higher threshold -> fewer, longer bands (curve shifts right)
+    b_hi, r_hi = plan_lsh_bands(64, 0.9)
+    assert r_hi > r and b_hi < b
+    # weighting FPs pushes the curve right too (stricter candidates)
+    b_fp, r_fp = plan_lsh_bands(64, 0.5, fp_weight=10.0)
+    assert r_fp >= r
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_lsh_bands(64, 1.0)
+
+
+def test_rates_for_token_budget():
+    from crawl4ai_spark.operators.sampling import rates_for_token_budget
+
+    rates = rates_for_token_budget(
+        {"en": 1_000_000, "de": 100, "fr": 0},
+        {"en": 250_000, "de": 500, "fr": 10, "xx": 5},
+    )
+    assert rates["en"] == 250_000          # 25% of en
+    assert rates["de"] == 1_000_000        # budget > stratum -> take all
+    assert rates["fr"] == 0 and rates["xx"] == 0  # empty stratum
+    assert "es" not in rates               # unbudgeted -> caller default
