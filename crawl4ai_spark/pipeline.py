@@ -4,13 +4,16 @@ user of this engine actually runs at 100 TB.
 Chains the library's stages in the standard order —
 
     [line-level boilerplate scrub]           (optional; CCNet §3.1)
+    -> [exact-substring scrub]               (optional; Lee et al. 2022)
     -> [host/domain prior]                   (optional; RefinedWeb)
     -> heuristic quality + model classifier  (row-local, no shuffle)
     -> [LM-perplexity band]                  (optional; CCNet §3.3)
     -> exact dedup                           (one content-hash shuffle)
-    -> MinHash-LSH near-dedup + components   (banded, never all-pairs)
+    -> MinHash-LSH near-dedup + components   (banded, never all-pairs;
+       optionally keep each cluster's BEST-quality member)
     -> benchmark decontamination             (broadcast eval shingles)
-    -> stratified training-mix sampling      (row-local md5 coins)
+    -> training-mix selection                (stratified md5 coins, or
+       DSIR importance resampling toward a target distribution)
     -> sequence packing                      (two-phase prefix sum)
     -> [PII scrub on the release text]       (optional; BigCode order)
 
@@ -85,10 +88,19 @@ class CorpusConfig:
     # optional stages (None/False = off, keeping the minimal recipe):
     line_dedup_min_dup: int | None = None   # CCNet boilerplate-line scrub
     line_dedup_line_len: int = 10
+    substring_dedup_k: int | None = None    # Lee et al. ExactSubstr scrub
     host_min_docs: int | None = None        # RefinedWeb domain prior
     host_min_mean_tokens: int = 0
     lm_max_milli: int | None = None         # CCNet LM band (mean milli-nats)
     lm_min_milli: int = 0
+    resolve_keep_best: bool = False         # near-dup: keep best-quality
+    # member of each component (resolve_duplicates(scores=)) instead of
+    # first-seen; score = the heuristic quality_score in ppm
+    dsir_k: int | None = None               # DSIR mix selection: keep the
+    # top-k clean docs by importance to the dsir_target_lang
+    # distribution (arXiv:2302.03169) INSTEAD of per-language rates
+    dsir_target_lang: str = "en"
+    dsir_buckets: int = 1024
     pii_scrub: bool = False                 # typed-placeholder redaction
     sample_salt: str = "corpus1"
     seq_len: int = 2048
@@ -145,6 +157,30 @@ def corpus_flags(
         )
     else:
         docs = docs.withColumn("_lines_removed", F.lit(0).cast("long"))
+
+    # optional stage 0b: exact-substring scrub (Lee et al. 2022) —
+    # removes corpus-duplicated k-token runs from the text every later
+    # signal sees, the finer-grained sibling of the line scrub above
+    if cfg.substring_dedup_k:
+        from .operators.dedup import substring_dedup
+
+        scrubbed = substring_dedup(
+            docs.select(id_col, text_col),
+            text_col,
+            id_col,
+            k=cfg.substring_dedup_k,
+        ).select(
+            id_col,
+            F.col(text_col).alias("_ss_text"),
+            F.col("removed_tokens").alias("_substr_removed"),
+        )
+        docs = (
+            docs.join(scrubbed, id_col)
+            .withColumn(text_col, F.col("_ss_text"))
+            .drop("_ss_text")
+        )
+    else:
+        docs = docs.withColumn("_substr_removed", F.lit(0).cast("long"))
 
     # optional stage 1: host/domain prior (corpus-level support gate)
     if cfg.host_min_docs:
@@ -235,8 +271,16 @@ def corpus_flags(
         bands=cfg.minhash_bands,
         jaccard_threshold=cfg.minhash_threshold,
     )
+    scores = (
+        survivors.select(
+            id_col,
+            (quality_score(t) * 1_000_000).cast("long").alias("score"),
+        )
+        if cfg.resolve_keep_best
+        else None
+    )
     resolution = resolve_duplicates(
-        survivors.select(id_col), pairs, id_col
+        survivors.select(id_col), pairs, id_col, scores=scores
     ).select(id_col, F.col("is_canonical").cast("boolean").alias("_canon"))
     flagged = flagged.join(resolution, id_col, "left").withColumn(
         "near_keep", F.col("exact_keep") & F.coalesce("_canon", F.lit(False))
@@ -261,6 +305,38 @@ def corpus_flags(
     else:
         flagged = flagged.withColumn("clean", F.col("near_keep"))
 
+    # mix selection: DSIR importance resampling toward the target
+    # distribution when configured, else stratified per-language rates
+    # (both row-local/deterministic; DSIR adds one model fit over the
+    # clean survivors and a Gumbel top-k)
+    if cfg.dsir_k:
+        from .operators.dsir import (
+            cache_featurized,
+            featurize,
+            importance_resample,
+            importance_weights,
+            train_importance_model,
+        )
+
+        clean = flagged.filter(F.col("clean"))
+        feats = cache_featurized(
+            featurize(
+                clean.withColumn("_tgt", F.col(lang_col) == cfg.dsir_target_lang),
+                id_col,
+                F.split(F.col(text_col), " "),
+                cfg.dsir_buckets,
+                carry_cols=["_tgt"],
+            )
+        )
+        model = train_importance_model(feats, F.col("_tgt"), cfg.dsir_buckets)
+        lw = importance_weights(feats, id_col, model)
+        picked = importance_resample(
+            lw, id_col, cfg.dsir_k, salt=cfg.sample_salt
+        ).select(id_col, F.lit(True).alias("_dsir"))
+        return flagged.join(picked, id_col, "left").withColumn(
+            "sampled", F.col("clean") & F.coalesce("_dsir", F.lit(False))
+        ).drop("_dsir")
+
     # stratified sampling (row-local coin)
     rate = F.lit(int(cfg.sample_default_e6))
     for s, r in sorted(cfg.sample_rates_e6.items()):
@@ -280,6 +356,7 @@ def corpus_funnel(flags: DataFrame) -> DataFrame:
         cnt("exact_keep"), cnt("near_keep"),
         cnt("clean"), cnt("sampled"),
         F.sum("_lines_removed").cast("long").alias("lines_removed"),
+        F.sum("_substr_removed").cast("long").alias("substr_tokens_removed"),
     )
 
 
@@ -313,7 +390,7 @@ def build_corpus(
     )
     corpus = flags.filter(F.col("sampled")).drop(
         "host_keep", "q_keep", "lm_keep", "exact_keep", "near_keep",
-        "clean", "sampled", "_lines_removed",
+        "clean", "sampled", "_lines_removed", "_substr_removed",
     )
     if cfg.pii_scrub:
         from .functions.entities import redact_pii

@@ -215,3 +215,39 @@ def test_lm_band_passes_no_evidence_short_docs(spark):
     got = {r["doc_id"]: (r["q_keep"], r["lm_keep"])
            for r in corpus_flags(docs, None, cfg).collect()}
     assert got[1] == (True, True)   # short doc passes through
+
+
+def test_substring_scrub_dsir_and_keep_best_stages(spark):
+    """The round-4 optional stages: exact-substring scrub rewrites the
+    text (tokens actually removed), resolve_keep_best keeps each
+    near-dup cluster's best-quality member, and dsir_k replaces the
+    stratified coin with an importance top-k of exactly k docs."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang", F.col("source").alias("host"))
+    )
+    cfg = CorpusConfig(
+        quality_min_e6=200_000,
+        substring_dedup_k=5,
+        resolve_keep_best=True,
+        dsir_k=50,
+        dsir_buckets=256,
+    )
+    out = build_corpus(docs, None, cfg, host_col="host")
+    f = out["funnel"].collect()[0]
+    assert (
+        f.input_docs >= f.q_keep >= f.exact_keep >= f.near_keep
+        >= f.clean >= f.sampled > 0
+    )
+    assert f.substr_tokens_removed > 0
+    assert f.sampled == min(50, f.clean)
+    # the dsir selection is importance-biased toward the en target:
+    # en is 1/4 of the gate corpus but must dominate the picked mix
+    langs = out["corpus"].groupBy("lang").count().collect()
+    n_en = next((r["count"] for r in langs if r["lang"] == "en"), 0)
+    assert n_en > f.sampled // 2
+    # off -> the new funnel column is a plain zero pass-through
+    base = build_corpus(
+        docs, None, CorpusConfig(quality_min_e6=200_000), host_col="host"
+    )["funnel"].collect()[0]
+    assert base.substr_tokens_removed == 0
