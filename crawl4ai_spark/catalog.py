@@ -422,6 +422,7 @@ def q_text_signals(spark, sf_dir):
         blocklist_hits,
         bpe_ish_token_count,
         gopher_quality_flags,
+        winnow_fingerprints,
     )
     from .operators.bpe import bpe_token_count, train_bpe
 
@@ -436,6 +437,7 @@ def q_text_signals(spark, sf_dir):
     )
     enc = bpe_token_count(docs, merges)
     g = gopher_quality_flags("text")
+    wf = F.array_sort(winnow_fingerprints("text", k=3, w=4))
     return enc.select(
         "doc_id",
         lang_id("text").alias("detected_lang"),
@@ -449,6 +451,11 @@ def q_text_signals(spark, sf_dir):
         g["mean_word_len_e2"].alias("mean_word_len_e2"),
         g["alpha_word_frac_e6"].alias("alpha_word_frac_e6"),
         g["gopher_keep"].alias("gopher_keep"),
+        # winnowing (Schleimer et al. 2003): the full sorted fingerprint
+        # set rides along as one string so the hash compare pins every
+        # selected window minimum, not just a count
+        F.size(wf).cast("int").alias("n_winnow"),
+        F.array_join(wf, ",").alias("winnow_fps"),
     )
 
 
@@ -515,17 +522,37 @@ FROM gs
 """
 
 
+ORACLE_TEXT_WINNOW = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws
+           FROM documents),
+h AS (SELECT doc_id,
+             list_transform(generate_series(1, len(ws) - 2),
+               i -> substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                           1, 16)) AS hs
+      FROM w),
+wn AS (SELECT doc_id,
+              list_sort(list_distinct(list_transform(
+                generate_series(1, greatest(len(hs) - 3, 1)),
+                j -> list_aggregate(hs[j:j+3], 'min')))) AS fps
+       FROM h)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_winnow,
+       array_to_string(fps, ',') AS winnow_fps
+FROM wn
+"""
+
+
 def _oracle_text_signals() -> str:
     return f"""
 SELECT l.doc_id, l.detected_lang, t.n_tokens, b.n_bpe, r.bpe_real_n, f.fp,
        g.blocklist_hits, g.mean_word_len_e2, g.alpha_word_frac_e6,
-       g.gopher_keep
+       g.gopher_keep, v.n_winnow, v.winnow_fps
 FROM ({_oracle_lang_id()}) l
 JOIN ({ORACLE_TEXT_TOKEN_COUNT}) t ON t.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_BPE_COUNT_FWD}) b ON b.doc_id = l.doc_id
 JOIN ({_oracle_bpe_counts()}) r ON r.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON f.doc_id = l.doc_id
 JOIN ({_ORACLE_GOPHER_SIGNALS}) g ON g.doc_id = l.doc_id
+JOIN ({ORACLE_TEXT_WINNOW}) v ON v.doc_id = l.doc_id
 """
 
 
@@ -1429,18 +1456,42 @@ def q_quality_classifier(spark, sf_dir):
         .withColumn("keep", keep(F.col("score_milli")))
     )
 
-    # third strategy row: the CCNet LM-perplexity tier
+    # third + fourth strategy rows: the CCNet LM-perplexity tier
     # (functions/ngram_lm.py) — corpus-trained interpolated bigram
     # model, mean token cost in milli-nats; keep = at-or-below the
-    # median-ish 3400 cutoff (CCNet keeps low-perplexity buckets)
-    from .functions.ngram_lm import lm_self_perplexity
+    # median-ish 3400 cutoff — and the CCNet §3.3 head/middle/tail
+    # bucketing of that same score (per-language terciles, keep =
+    # head+middle). Both rows explode out of ONE scored DataFrame:
+    # a unionByName of two selects over it would re-run the whole LM
+    # train+score pipeline per branch (no cross-branch CSE).
+    from .functions.ngram_lm import lm_self_perplexity, perplexity_buckets
 
-    lm = lm_self_perplexity(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.lit("lm_bigram").alias("strategy"),
-        F.col("avg_cost_milli").alias("score_milli"),
-        (F.col("avg_cost_milli") <= 3400).cast("int").alias("keep"),
+    lmb = perplexity_buckets(
+        lm_self_perplexity(docs.select("doc_id", "text")).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        ),
+        lang_col="lang",
+        cost_col="avg_cost_milli",
+        id_col="doc_id",
+        n_buckets=3,
     )
+    lm = lmb.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lm_bigram").alias("strategy"),
+                    F.col("avg_cost_milli").alias("score_milli"),
+                    (F.col("avg_cost_milli") <= 3400).cast("int").alias("keep"),
+                ),
+                F.struct(
+                    F.lit("ccnet_bucket").alias("strategy"),
+                    F.col("ppl_bucket").cast("long").alias("score_milli"),
+                    (F.col("ppl_bucket") <= 2).cast("int").alias("keep"),
+                ),
+            )
+        ).alias("_r"),
+    ).select("doc_id", "_r.strategy", "_r.score_milli", "_r.keep")
     return row.unionByName(voc).unionByName(lm)
 
 
@@ -1457,41 +1508,51 @@ sc AS (SELECT doc_id, CAST(sum(wsh) AS BIGINT) AS s, count(*) AS n
        FROM g GROUP BY doc_id),
 f AS (SELECT w.doc_id,
              CAST(coalesce((sc.s // sc.n) - 1000, 0) AS BIGINT) AS score_milli
-      FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id)
+      FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id),
+lmt AS MATERIALIZED (
+  SELECT doc_id, ws[t.i] AS w1, ws[t.i+1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2),
+lmu AS MATERIALIZED (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+lmb AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c12 FROM lmt GROUP BY w1, w2),
+lmtot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens,
+                 CAST(count(*) AS BIGINT) AS v_vocab FROM lmu),
+lmc AS (
+  SELECT l.doc_id,
+         CAST(round(-ln(0.7 * (CAST(coalesce(b.c12, 0) AS DOUBLE) / u1.c1)
+                        + 0.3 * (CAST(u2.c1 + 1 AS DOUBLE)
+                                 / (tt.t_tokens + tt.v_vocab)))
+                    * 1000000 + 0.000000001) AS BIGINT) AS cost
+  FROM lmt l
+  LEFT JOIN lmb b ON b.w1 = l.w1 AND b.w2 = l.w2
+  JOIN lmu u1 ON u1.w = l.w1
+  JOIN lmu u2 ON u2.w = l.w2, lmtot tt),
+lma AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n, CAST(sum(cost) AS BIGINT) AS tot
+  FROM lmc GROUP BY doc_id),
+lms AS MATERIALIZED (
+  SELECT w.doc_id,
+         CAST(coalesce(lma.tot // (1000 * lma.n), 0) AS BIGINT) AS score_milli
+  FROM w LEFT JOIN lma ON lma.doc_id = w.doc_id),
+bkt AS (
+  SELECT s.doc_id,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.score_milli, s.doc_id) AS b
+  FROM lms s JOIN documents d ON d.doc_id = s.doc_id)
 SELECT doc_id, 'rowlocal' AS strategy, score_milli,
        CAST(score_milli >= 0 AS INT) AS keep FROM f
 UNION ALL
 SELECT doc_id, 'vocabjoin' AS strategy, score_milli,
        CAST(score_milli >= 0 AS INT) AS keep FROM f
 UNION ALL
-SELECT w.doc_id, 'lm_bigram' AS strategy,
-       CAST(coalesce(lma.tot // (1000 * lma.n), 0) AS BIGINT) AS score_milli,
-       CAST(coalesce(lma.tot // (1000 * lma.n), 0) <= 3400 AS INT) AS keep
-FROM w LEFT JOIN (
-  WITH lmt AS MATERIALIZED (
-    SELECT doc_id, ws[t.i] AS w1, ws[t.i+1] AS w2
-    FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
-    WHERE len(ws) >= 2),
-  lmu AS MATERIALIZED (
-    SELECT w, count(*) AS c1
-    FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
-  lmb AS MATERIALIZED (
-    SELECT w1, w2, count(*) AS c12 FROM lmt GROUP BY w1, w2),
-  lmtot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens,
-                   CAST(count(*) AS BIGINT) AS v_vocab FROM lmu),
-  lmc AS (
-    SELECT l.doc_id,
-           CAST(round(-ln(0.7 * (CAST(coalesce(b.c12, 0) AS DOUBLE) / u1.c1)
-                          + 0.3 * (CAST(u2.c1 + 1 AS DOUBLE)
-                                   / (tt.t_tokens + tt.v_vocab)))
-                      * 1000000 + 0.000000001) AS BIGINT) AS cost
-    FROM lmt l
-    LEFT JOIN lmb b ON b.w1 = l.w1 AND b.w2 = l.w2
-    JOIN lmu u1 ON u1.w = l.w1
-    JOIN lmu u2 ON u2.w = l.w2, lmtot tt)
-  SELECT doc_id, count(*) AS n, CAST(sum(cost) AS BIGINT) AS tot
-  FROM lmc GROUP BY doc_id
-) lma ON lma.doc_id = w.doc_id
+SELECT doc_id, 'lm_bigram' AS strategy, score_milli,
+       CAST(score_milli <= 3400 AS INT) AS keep FROM lms
+UNION ALL
+SELECT doc_id, 'ccnet_bucket' AS strategy, CAST(b AS BIGINT) AS score_milli,
+       CAST(b <= 2 AS INT) AS keep FROM bkt
 """
 
 

@@ -44,7 +44,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LAMBDA_BI = 0.7   # bigram weight
@@ -168,6 +168,81 @@ def lm_doc_scores(
             .alias("avg_cost_milli"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    cost_col: str = "avg_cost_milli",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet §3.3 head/middle/tail split: EXACT per-language perplexity
+    tiers via ntile (bucket 1 = lowest perplexity = most fluent; CCNet
+    keeps head+middle). Deterministic: ties broken by ``id_col``.
+
+    This is the bit-exact/gate shape — a per-language window sort. At
+    100 TB a handful of giant languages make those sorted partitions
+    the job's skew ceiling; use ``bucket_thresholds`` +
+    ``assign_buckets`` there instead (CCNet itself assigns by cutoff
+    values computed once, not by globally sorting every shard).
+    """
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(cost_col).asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+
+
+def bucket_thresholds(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    cost_col: str = "avg_cost_milli",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Per-language perplexity cutoffs — the 100 TB path.
+
+    One partial-aggregated groupBy computing the exact
+    ``i/n_buckets`` percentiles of ``cost_col`` per language; output is
+    a #languages-row dimension ``(lang_col, thresholds array)`` meant
+    to be broadcast by ``assign_buckets``. Swap ``percentile`` for
+    ``percentile_approx`` when even the per-language value lists strain
+    executor memory (a documented accuracy seam, not a shape change).
+    """
+    qs = ", ".join(
+        repr(i / n_buckets) for i in range(1, n_buckets)
+    )
+    return scored.groupBy(lang_col).agg(
+        F.expr(f"percentile({cost_col}, array({qs}))").alias("thresholds")
+    )
+
+
+def assign_buckets(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    lang_col: str = "lang",
+    cost_col: str = "avg_cost_milli",
+) -> DataFrame:
+    """Assign each document its CCNet bucket by cutoff comparison: a
+    broadcast join against the ``bucket_thresholds`` dimension plus a
+    row-local fold — zero sort, zero extra shuffle (the scan stays
+    wherever it was partitioned).
+
+    Semantics vs the exact ntile in ``perplexity_buckets``: cutoffs are
+    interpolated percentiles, so rows adjacent to a boundary (and rows
+    tying a boundary value) can land one bucket away from the ntile
+    assignment; both tierings are monotone in cost and converge as the
+    per-language population grows — this is CCNet's own shape (fixed
+    cutoff values applied per shard), not an approximation bug.
+    Languages absent from the threshold dimension default to bucket 1
+    (kept) — score them against a training corpus that covers them."""
+    return scored.join(F.broadcast(thresholds), lang_col, "left").withColumn(
+        "ppl_bucket",
+        F.aggregate(
+            F.coalesce("thresholds", F.array()),
+            F.lit(1),
+            lambda acc, t: acc + (F.col(cost_col) > t).cast("int"),
+        ),
+    ).drop("thresholds")
 
 
 def lm_self_perplexity(

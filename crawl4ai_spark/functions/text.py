@@ -154,6 +154,32 @@ def doc_fingerprint_portable(text: Column | str, k: int = 3) -> Column:
     return F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
 
 
+def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-token shingle, slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM, then dedup.
+
+    The winnowing guarantee: any run of ``w + k - 1`` tokens shared by
+    two documents contributes at least one identical fingerprint to
+    both — the local-similarity detector behind MOSS-style overlap
+    search, here as a near-dup prefilter finer than the single
+    ``doc_fingerprint`` min (which only catches whole-document
+    near-identity) and far cheaper than full MinHash.
+
+    Row-local Column expression — zero shuffle at any scale; md5-prefix
+    hashes so the SQL oracle replays it exactly (selection keeps the
+    minimum VALUE, so rightmost-vs-leftmost tie policy cannot change
+    the returned set). Output: array<string> in first-seen order;
+    sort before cross-engine comparison."""
+    sh = shingles(text, k)
+    hs = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
+    m = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(hs, j, w))
+    )
+    return F.array_distinct(wins)
+
+
 def shingle_hashes_md5(text: Column | str, k: int = 3) -> Column:
     """Engine-portable 60-bit shingle hashes: md5-prefix integers over
     the shingle strings — computed identically by Spark and DuckDB, so

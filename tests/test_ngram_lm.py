@@ -85,3 +85,88 @@ def test_lm_hash_keys_path_same_shape(spark):
     hashed = {r["doc_id"]: r["total_cost_e6"]
               for r in lm_self_perplexity(df, hash_keys=True).collect()}
     assert plain == hashed
+
+
+def test_perplexity_buckets_exact_terciles(spark):
+    """ntile semantics: per-language ordering by (cost, doc_id); first
+    (count % 3) buckets take the extra rows."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.ngram_lm import perplexity_buckets
+
+    rows = [
+        # lang a: 7 docs, costs 10..70 -> buckets 3/2/2
+        *[(i, "a", (i + 1) * 10) for i in range(7)],
+        # lang b: 3 equal costs -> positional split by doc_id tie-break
+        (10, "b", 5), (11, "b", 5), (12, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "avg_cost_milli"])
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df).collect()
+    }
+    assert [got[i] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    assert [got[i] for i in (10, 11, 12)] == [1, 2, 3]
+
+
+def test_bucket_thresholds_scale_path_tracks_exact_tiering(spark):
+    """The broadcast-threshold assigner (the 100 TB shape: no
+    per-language sort) uses interpolated-percentile cutoffs, so it may
+    differ from exact ntile only at boundary-adjacent rows — on
+    tie-free data every document lands within one bucket of the exact
+    tiering, assignment is monotone in cost within a language, and
+    bucket populations are balanced."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.ngram_lm import (
+        assign_buckets,
+        bucket_thresholds,
+        perplexity_buckets,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", (F.xxhash64("text") % 1000000).alias(
+            "avg_cost_milli"))
+    )
+    exact = perplexity_buckets(docs).select(
+        "doc_id", "lang", "avg_cost_milli",
+        F.col("ppl_bucket").alias("b_exact"),
+    )
+    approx = assign_buckets(docs, bucket_thresholds(docs)).select(
+        "doc_id", F.col("ppl_bucket").alias("b_thr")
+    )
+    rows = exact.join(approx, "doc_id").collect()
+    assert len(rows) > 0
+    assert all(abs(r["b_exact"] - r["b_thr"]) <= 1 for r in rows)
+    agree = sum(r["b_exact"] == r["b_thr"] for r in rows)
+    assert agree >= 0.9 * len(rows)  # divergence only hugs boundaries
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["avg_cost_milli"], r["b_thr"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        bs = [b for _, b in pairs]
+        assert bs == sorted(bs), f"non-monotone assignment in {lang}"
+        n = len(bs)
+        for b, c in Counter(bs).items():
+            assert abs(c - n / 3) <= 2, (lang, b, c, n)
+
+
+def test_assign_buckets_unknown_language_defaults_to_head(spark):
+    from crawl4ai_spark.functions.ngram_lm import (
+        assign_buckets,
+        bucket_thresholds,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30)],
+        ["doc_id", "lang", "avg_cost_milli"],
+    )
+    score = spark.createDataFrame(
+        [(9, "xx", 999)], ["doc_id", "lang", "avg_cost_milli"]
+    )
+    got = assign_buckets(score, bucket_thresholds(train)).collect()
+    assert got[0]["ppl_bucket"] == 1  # no thresholds -> bucket 1, kept

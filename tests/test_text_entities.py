@@ -99,3 +99,66 @@ def test_entities_on_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = extract_entities(docs, "text", ["number"], ["doc_id"]).limit(10)
     assert out.count() >= 0  # runs without error on real table
+
+
+def test_winnow_fingerprints_known_example(spark):
+    """Hand-checkable winnowing (Schleimer et al. 2003): shared runs of
+    >= w+k-1 tokens must share a fingerprint; the set is the distinct
+    per-window minima of the k-gram hash sequence."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.text import winnow_fingerprints
+
+    text = "a b c d e f g h"
+    k, w = 3, 4
+    toks = text.split(" ")
+    hs = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:16]
+        for i in range(len(toks) - k + 1)
+    ]
+    expect = []
+    for j in range(len(hs) - w + 1):
+        m = min(hs[j:j + w])
+        if m not in expect:
+            expect.append(m)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(
+        winnow_fingerprints("text", k=k, w=w).alias("fp")
+    ).collect()[0]["fp"]
+    assert got == expect
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Two documents sharing a run of w+k-1 tokens always intersect."""
+    from crawl4ai_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over"      # 6 = w+k-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zz yy xx ww " + shared),
+            (3, "completely different words here with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=3, w=4).alias("fp")
+        ).collect()
+    }
+    assert got[1] & got[2]
+    assert not (got[1] & got[3])
+    assert not (got[2] & got[3])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from crawl4ai_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([("a b",)], ["text"])
+    got = df.select(
+        winnow_fingerprints("text", k=3, w=4).alias("fp")
+    ).collect()[0]["fp"]
+    assert len(got) == 1  # whole-text fallback shingle, one window
