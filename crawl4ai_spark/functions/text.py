@@ -170,13 +170,28 @@ def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
     hashes so the SQL oracle replays it exactly (selection keeps the
     minimum VALUE, so rightmost-vs-leftmost tie policy cannot change
     the returned set). Output: array<string> in first-seen order;
-    sort before cross-engine comparison."""
+    sort before cross-engine comparison.
+
+    Shape note: the sliding minimum is w-1 chained zip_withs over
+    shifted slices of the hash array — NOT array_min(slice(hs, j, w))
+    inside a transform lambda, which embeds the whole md5 pipeline in
+    the lambda body and re-evaluates it per window (Catalyst does no
+    loop-invariant hoisting inside higher-order functions; the naive
+    form is O(windows x shingles) md5 calls and took minutes per task
+    at sf0.1)."""
     sh = shingles(text, k)
     hs = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
     m = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(hs, j, w))
-    )
+    wins = F.slice(hs, 1, m)
+    for j in range(1, w):
+        # zip_with pads the shorter (tail-clipped) side with null;
+        # keeping `a` there is correct — a missing hash can't lower a
+        # window minimum
+        wins = F.zip_with(
+            wins,
+            F.slice(hs, j + 1, m),
+            lambda a, b: F.when(b < a, b).otherwise(a),
+        )
     return F.array_distinct(wins)
 
 

@@ -93,6 +93,10 @@ class CorpusConfig:
     host_min_mean_tokens: int = 0
     lm_max_milli: int | None = None         # CCNet LM band (mean milli-nats)
     lm_min_milli: int = 0
+    lm_bucket_keep: int | None = None       # CCNet §3.3 tiering: keep docs
+    # whose per-language perplexity bucket (1=head .. 3=tail) is at or
+    # below this — e.g. 2 keeps head+middle. Uses the broadcast-cutoff
+    # scale path (no per-language sort); composes with the band above.
     resolve_keep_best: bool = False         # near-dup: keep best-quality
     # member of each component (resolve_duplicates(scores=)) instead of
     # first-seen; score = the heuristic quality_score in ppm
@@ -203,10 +207,16 @@ def corpus_flags(
     )
     flagged = docs.withColumn("q_keep", q)
 
-    # optional stage 2: LM-perplexity band (corpus-self-trained bigram
-    # model; CCNet keeps the low-to-middle-cost buckets)
-    if cfg.lm_max_milli is not None:
-        from .functions.ngram_lm import lm_self_perplexity
+    # optional stage 2: LM-perplexity gate (corpus-self-trained bigram
+    # model; CCNet keeps the low-to-middle-cost buckets) — an absolute
+    # milli-nat band (lm_max_milli) and/or the §3.3 per-language
+    # head/middle/tail tiering (lm_bucket_keep); both read one LM pass
+    if cfg.lm_max_milli is not None or cfg.lm_bucket_keep is not None:
+        from .functions.ngram_lm import (
+            assign_buckets,
+            bucket_thresholds,
+            lm_self_perplexity,
+        )
 
         # the LM branch fans out over everything above (unigram counts,
         # bigram counts, transitions, and the outer join side all read
@@ -216,19 +226,37 @@ def corpus_flags(
         lm = lm_self_perplexity(
             flagged.select(id_col, text_col), text_col, id_col
         ).select(id_col, "n_transitions", "avg_cost_milli")
-        flagged = flagged.join(lm, id_col).withColumn(
-            "lm_keep",
-            F.col("q_keep")
-            & (
-                # <2-token docs carry the no-evidence sentinel 0, which
-                # is NOT a measured cost — pass them through instead of
-                # letting lm_min_milli > 0 silently drop every short doc
-                (F.col("n_transitions") == 0)
-                | F.col("avg_cost_milli").between(
-                    int(cfg.lm_min_milli), int(cfg.lm_max_milli)
-                )
-            ),
-        ).drop("avg_cost_milli", "n_transitions")
+        # <2-token docs carry the no-evidence sentinel 0, which is NOT
+        # a measured cost — pass them through instead of letting
+        # lm_min_milli > 0 (or a tail bucket) silently drop every
+        # short doc
+        gate = F.col("n_transitions") == 0
+        if cfg.lm_max_milli is not None:
+            gate = gate | F.col("avg_cost_milli").between(
+                int(cfg.lm_min_milli), int(cfg.lm_max_milli)
+            )
+        if cfg.lm_bucket_keep is not None:
+            # cutoffs from the measured (>=2-token) population only;
+            # broadcast-joined back, row-local fold — the 100 TB shape
+            scored = lm.filter(F.col("n_transitions") > 0).join(
+                flagged.select(id_col, lang_col), id_col
+            )
+            lm = assign_buckets(
+                lm.join(flagged.select(id_col, lang_col), id_col),
+                bucket_thresholds(scored, lang_col=lang_col),
+                lang_col=lang_col,
+            ).drop(lang_col)
+            bucket_ok = F.col("ppl_bucket") <= int(cfg.lm_bucket_keep)
+            gate = (
+                (gate | bucket_ok)
+                if cfg.lm_max_milli is None
+                else (gate & ((F.col("n_transitions") == 0) | bucket_ok))
+            )
+        flagged = (
+            flagged.join(lm, id_col)
+            .withColumn("lm_keep", F.col("q_keep") & gate)
+            .drop("avg_cost_milli", "n_transitions", "ppl_bucket")
+        )
     else:
         flagged = flagged.withColumn("lm_keep", F.col("q_keep"))
 

@@ -251,3 +251,36 @@ def test_substring_scrub_dsir_and_keep_best_stages(spark):
         docs, None, CorpusConfig(quality_min_e6=200_000), host_col="host"
     )["funnel"].collect()[0]
     assert base.substr_tokens_removed == 0
+
+
+def test_lm_bucket_keep_tiering(spark):
+    """lm_bucket_keep=2 keeps the head+middle perplexity tiers per
+    language (CCNet §3.3) — strictly fewer docs than no LM gate, more
+    than (or equal to) head-only, and short no-evidence docs pass."""
+    from crawl4ai_spark.pipeline import corpus_flags
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang", F.col("source").alias("host"))
+    )
+    base = CorpusConfig(quality_min_e6=0)
+    f0 = corpus_flags(docs, None, base).agg(
+        F.sum(F.col("lm_keep").cast("long"))).collect()[0][0]
+    f2 = corpus_flags(
+        docs, None, CorpusConfig(quality_min_e6=0, lm_bucket_keep=2)
+    ).agg(F.sum(F.col("lm_keep").cast("long"))).collect()[0][0]
+    f1 = corpus_flags(
+        docs, None, CorpusConfig(quality_min_e6=0, lm_bucket_keep=1)
+    ).agg(F.sum(F.col("lm_keep").cast("long"))).collect()[0][0]
+    assert f0 > f2 > f1 > 0
+    # ~2/3 and ~1/3 of the measured population (cutoffs interpolate)
+    assert abs(f2 - 2 * f0 / 3) < 0.1 * f0
+    assert abs(f1 - f0 / 3) < 0.1 * f0
+    # composes with the absolute band: strictly tighter than either
+    fb = corpus_flags(
+        docs, None,
+        CorpusConfig(quality_min_e6=0, lm_bucket_keep=2, lm_max_milli=3400),
+    ).agg(F.sum(F.col("lm_keep").cast("long"))).collect()[0][0]
+    assert 0 < fb <= min(f2, corpus_flags(
+        docs, None, CorpusConfig(quality_min_e6=0, lm_max_milli=3400)
+    ).agg(F.sum(F.col("lm_keep").cast("long"))).collect()[0][0])
