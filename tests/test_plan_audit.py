@@ -211,6 +211,38 @@ def test_lm_scoring_stays_jvm_side(spark, docs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_ccnet_bucket_assignment_broadcasts_cutoffs(spark, docs):
+    """The scale path of the CCNet head/middle/tail tiering must join
+    the per-language cutoff dimension broadcast (a #languages-row
+    table) and keep the fold row-local — no sort, no python eval."""
+    from crawl4ai_spark.functions.ngram_lm import (
+        assign_buckets,
+        bucket_thresholds,
+    )
+
+    d = docs.select(
+        "doc_id",
+        F.concat(F.lit("l"), (F.col("doc_id") % 4)).alias("lang"),
+        (F.xxhash64("text") % 10000).alias("avg_cost_milli"),
+    )
+    plan = _final_plan(assign_buckets(d, bucket_thresholds(d)))
+    assert "BroadcastHashJoin [lang" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, docs):
+    """Winnowing is a pure row-local Column expr: scan -> project,
+    no exchange, no python worker."""
+    from crawl4ai_spark.functions.text import winnow_fingerprints
+
+    plan = _final_plan(
+        docs.select("doc_id", winnow_fingerprints("text").alias("w"))
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_crawl_round_job_budget(spark, tmp_path):
     """The per-round Spark-job count is the crawl's fixed cost (the AQE
     floor dominated sf0.1 wall time in r3). Pin the structural budget:
