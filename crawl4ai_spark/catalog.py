@@ -3857,7 +3857,13 @@ def q_cache_split(spark, sf_dir):
         spark, pages, frontier_dir, f"{sdir}/out", f"{sdir}/ckpt",
         available_now=True,
     )
-    q.awaitTermination()
+    # bounded drain (mirrors bench_streaming): a wedged micro-batch
+    # must fail the gate entry, not hang the whole gate run
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("stream extract did not drain in 600s")
+    finally:
+        q.stop()
     stream_rows = spark.read.parquet(f"{sdir}/out").select(
         F.explode(
             F.array(

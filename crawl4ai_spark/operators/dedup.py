@@ -649,8 +649,16 @@ def resolve_duplicates(
                 ),
             )
         )
-    sc = scores.select(
-        F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+    sc = (
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+        )
+        # collapse duplicate ids to their max defensively (same
+        # convention as frontier url_priors): a repeated id in the
+        # scores table must not fan out component rows — that would
+        # corrupt csize and double-count members in the winner pick
+        .groupBy("node")
+        .agg(F.max("_score").alias("_score"))
     )
     with_sc = comp.join(sc, "node", "left")
     # winner per component: max score, ties (incl. all-NULL) -> min id.

@@ -21,10 +21,16 @@ Implementations:
 
 - :class:`PagesJoinFetcher` — the default lookup join (zero Python).
 - :class:`MapFetcher` — wraps a per-URL callable in ONE Arrow-batched
-  mapInPandas; the callable runs on executors, so at cluster scale each
-  task is an independent politeness-shaped fetch slice (the frontier's
-  salted per-host layout keeps a host's URLs within one task, which is
-  what makes per-task sequential fetching polite by construction).
+  mapInPandas; the callable runs on executors. Live fetchers declare
+  ``host_exclusive = True``, which makes the frontier lay out the
+  round's URLs by host ONLY (no hot-host salt): a host's URLs land in
+  exactly one task, so per-host sequential fetching is polite by
+  construction. The salt would spread one host over up to ``salt``
+  concurrently-fetching tasks — fine for a lookup join, a
+  crawl-delay/429 violation for real requests. The skew cost is
+  nominal: a hot host can't be fetched faster than its politeness
+  budget allows no matter how many tasks it spans, and in-task thread
+  concurrency still overlaps OTHER hosts' waits.
 - :class:`UrllibFetcher` — a real HTTP client over stdlib urllib
   (sandbox has no aiohttp): redirects, timeout, status capture incl.
   non-2xx bodies, header-charset-else-sniff decode via
@@ -58,6 +64,8 @@ class PagesJoinFetcher:
     side is a parquet scan, so Catalyst prunes it to (url, html) and
     AQE picks broadcast vs shuffle by size.
     """
+
+    host_exclusive = False  # no live requests -> salted layout is fine
 
     def __init__(self, pages: DataFrame, html_col: str = "html"):
         self.pages = pages
@@ -112,6 +120,8 @@ class MapFetcher:
     CPU-bound; thread concurrency is the right lever and keeps the
     Arrow batch contract (rows come back in input order).
     """
+
+    host_exclusive = True  # live requests: a host must stay in ONE task
 
     def __init__(self, fn: Callable[[str], dict], concurrency: int = 1):
         self.fn = fn

@@ -658,13 +658,21 @@ class CrawlRun:
         # swaps in a live/mapInPandas fetcher with identical columns.
         if cfg.fetcher is not None:
             # a REAL fetcher runs inside the layout partitions, so the
-            # salted repartition + priority sort genuinely control
-            # fetch locality and order
-            layout = (
-                selected.repartition(
-                    n_part, F.col("host"),
+            # repartition + priority sort genuinely control fetch
+            # locality and order. Live fetchers (host_exclusive) get a
+            # by-host-ONLY layout: the hot-host salt would spread one
+            # host over up to `salt` concurrently-fetching tasks,
+            # violating crawl-delay; a lookup-join fetcher keeps the
+            # salted skew spread since no requests leave the cluster.
+            if getattr(cfg.fetcher, "host_exclusive", False):
+                part_cols = [F.col("host")]
+            else:
+                part_cols = [
+                    F.col("host"),
                     F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
-                )
+                ]
+            layout = (
+                selected.repartition(n_part, *part_cols)
                 .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
                 .withColumn("partition_id", F.spark_partition_id())
                 .drop("_prio_eff")

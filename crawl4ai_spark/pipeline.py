@@ -226,6 +226,12 @@ def corpus_flags(
         lm = lm_self_perplexity(
             flagged.select(id_col, text_col), text_col, id_col
         ).select(id_col, "n_transitions", "avg_cost_milli")
+        if cfg.lm_bucket_keep is not None:
+            # the bucket path consumes lm THREE times in one plan
+            # (threshold agg, bucket assignment, final join-back) — no
+            # cross-branch CSE, so persist or the corpus-wide bigram
+            # training re-runs per consumer
+            lm = _cache_stage(lm)
         # <2-token docs carry the no-evidence sentinel 0, which is NOT
         # a measured cost — pass them through instead of letting
         # lm_min_milli > 0 (or a tail bucket) silently drop every

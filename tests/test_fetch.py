@@ -351,3 +351,39 @@ def test_map_fetcher_concurrent_matches_sequential(spark, sf_dir):
     par = MapFetcher(fn, concurrency=6).fetch(df).orderBy("url").collect()
     assert [r.asDict() for r in seq] == [r.asDict() for r in par]
     assert sum(1 for r in par if r["fetch_error"]) == 2  # a7, a17
+
+
+def test_live_fetcher_keeps_each_host_in_one_partition(spark, sf_dir):
+    """A host_exclusive fetcher must see every URL of a host inside a
+    single task — the salted hot-host spread would turn per-task
+    sequential fetching into up to `salt` concurrent request streams
+    per host, violating crawl-delay politeness."""
+    import shutil
+    import tempfile
+
+    pages = generate_pages(spark, "/root/testdata/sf0.001")
+
+    def fake(url):
+        return {"status": 200, "body": b"<html><body>x</body></html>"}
+
+    assert MapFetcher(fake).host_exclusive
+    assert not PagesJoinFetcher(pages).host_exclusive
+
+    wd = tempfile.mkdtemp(prefix="fetch_hostexcl_")
+    shutil.rmtree(wd, ignore_errors=True)
+    seeds = [r["url"] for r in pages.limit(12).collect()]
+    run_crawl(
+        spark, pages, seeds, wd,
+        CrawlConfig(max_depth=3, salt=8, fetcher=MapFetcher(fake)),
+        max_rounds=2,
+    )
+    res = spark.read.parquet(f"{wd}/results").filter(
+        F.col("fetch_status").isin("fetched", "http_error", "error")
+    )
+    per_host = (
+        res.groupBy("host")
+        .agg(F.countDistinct("partition_id").alias("nparts"))
+        .collect()
+    )
+    assert per_host and all(r["nparts"] == 1 for r in per_host)
+    shutil.rmtree(wd, ignore_errors=True)
