@@ -4072,3 +4072,24 @@ def q_bpe_train_encode(spark, sf_dir):
 
 
 PYTEST_ONLY_QUERIES["bpe_train_encode"] = q_bpe_train_encode
+
+
+def q_unigram_train_encode(spark, sf_dir):
+    """Train a unigram-LM vocab (SentencePiece's second model family,
+    Kudo 2018) on the documents corpus and encode it — reported next
+    to the BPE counts so the two tokenizer tiers are comparable.
+    Iterative float-free training (integer micro-nat costs), but the
+    EM fixed point is not SQL-expressible — pytest-only entry, like
+    bpe_train_encode."""
+    from .operators.unigram import train_unigram, unigram_token_count
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    costs = train_unigram(
+        docs, vocab_size=400, seed_size=1600, iters=2, max_piece_len=6
+    )
+    return unigram_token_count(docs, costs).select(
+        "doc_id", "unigram_n_tokens"
+    )
+
+
+PYTEST_ONLY_QUERIES["unigram_train_encode"] = q_unigram_train_encode
