@@ -63,7 +63,7 @@ HEADLINE = [
     "chunk_word_windows", "chunk_topic", "schema_extract_xpath",
     "schema_extract_pages", "head_analysis",
     "adaptive_embedding", "link_preview", "pdf_extract",
-    "round_saturation", "bpe_train_encode",
+    "round_saturation", "bpe_train_encode", "unigram_train_encode",
 ]
 
 

@@ -119,19 +119,37 @@ class MapFetcher:
     hosts proceed in parallel. A fetch task is network-bound, not
     CPU-bound; thread concurrency is the right lever and keeps the
     Arrow batch contract (rows come back in input order).
+
+    ``host_interval`` adds the reference RateLimiter's base-delay
+    semantics (async_dispatcher.py): a floor in seconds between
+    request starts to the same host, enforced across the task's whole
+    partition (stamps persist across Arrow batches). Combined with
+    ``host_exclusive`` partitioning this is a true per-host rate
+    limit, not a per-thread one.
     """
 
     host_exclusive = True  # live requests: a host must stay in ONE task
 
-    def __init__(self, fn: Callable[[str], dict], concurrency: int = 1):
+    def __init__(
+        self,
+        fn: Callable[[str], dict],
+        concurrency: int = 1,
+        host_interval: float = 0.0,
+    ):
         self.fn = fn
         self.concurrency = max(1, int(concurrency))
+        # minimum seconds between request STARTS to the same host
+        # within a task (the reference's RateLimiter base delay,
+        # async_dispatcher.py) — host_exclusive partitioning makes this
+        # a true per-host floor, since no other task shares the host
+        self.host_interval = max(0.0, float(host_interval))
 
     def fetch(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         import pandas as pd
 
         fn = self.fn
         concurrency = self.concurrency
+        interval = self.host_interval
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -150,24 +168,40 @@ class MapFetcher:
             except Exception as e:  # degradation contract
                 return (None, None, url, None, f"{type(e).__name__}: {e}"[:500])
 
-        def run_batch(urls):
-            if concurrency <= 1 or len(urls) <= 1:
-                return [one(u) for u in urls]
-            from concurrent.futures import ThreadPoolExecutor
+        def host_of(u):
             from urllib.parse import urlsplit
+
+            try:
+                return urlsplit(u).netloc or ""
+            except Exception:
+                return ""
+
+        def run_batch(urls, last):
+            import time
+
+            def paced(u):
+                if interval > 0:
+                    h = host_of(u)
+                    wait = last.get(h, 0.0) + interval - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last[h] = time.monotonic()
+                return one(u)
+
+            if concurrency <= 1 or len(urls) <= 1:
+                return [paced(u) for u in urls]
+            from concurrent.futures import ThreadPoolExecutor
 
             groups: dict[str, list[int]] = {}
             for idx, u in enumerate(urls):
-                try:
-                    host = urlsplit(u).netloc or ""
-                except Exception:
-                    host = ""
-                groups.setdefault(host, []).append(idx)
+                groups.setdefault(host_of(u), []).append(idx)
             results: list[tuple | None] = [None] * len(urls)
 
             def run_group(idxs):
-                for i in idxs:  # one thread per host -> sequential
-                    results[i] = one(urls[i])
+                # one thread per host -> sequential + interval-paced;
+                # hosts are disjoint keys, so `last` needs no lock
+                for i in idxs:
+                    results[i] = paced(urls[i])
 
             with ThreadPoolExecutor(max_workers=concurrency) as ex:
                 list(ex.map(run_group, groups.values()))
@@ -178,8 +212,12 @@ class MapFetcher:
                 "body", "http_status", "final_url", "_hdr_charset",
                 "fetch_error",
             )
+            # per-host last-request-start stamps persist across the
+            # task's Arrow batches, so the spacing floor holds over the
+            # whole partition, not just within one batch
+            last: dict[str, float] = {}
             for pdf in batches:
-                rows = run_batch(list(pdf[url_col]))
+                rows = run_batch(list(pdf[url_col]), last)
                 pdf = pdf.copy()
                 for j, k in enumerate(cols):
                     pdf[k] = pd.Series(
@@ -216,11 +254,14 @@ class UrllibFetcher(MapFetcher):
         user_agent: str = "crawl4ai-spark/1.0",
         max_body_bytes: int = 10 * 1024 * 1024,
         concurrency: int = 1,
+        host_interval: float = 0.0,
     ):
         self.timeout = float(timeout)
         self.user_agent = user_agent
         self.max_body_bytes = int(max_body_bytes)
-        super().__init__(self._get, concurrency=concurrency)
+        super().__init__(
+            self._get, concurrency=concurrency, host_interval=host_interval
+        )
 
     @staticmethod
     def _charset_of(content_type: str | None) -> str | None:

@@ -387,3 +387,42 @@ def test_live_fetcher_keeps_each_host_in_one_partition(spark, sf_dir):
     )
     assert per_host and all(r["nparts"] == 1 for r in per_host)
     shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_map_fetcher_host_interval_spaces_same_host_requests(spark):
+    """host_interval is a per-host floor between request starts — both
+    in the threaded path (same-host sequential) and across hosts it
+    must NOT serialize distinct hosts."""
+    import time
+
+    urls = (
+        [f"https://a.example.com/p{i}" for i in range(4)]
+        + [f"https://b.example.com/p{i}" for i in range(4)]
+    )
+
+    def timed(url):
+        return {
+            "status": 200,
+            "body": f"<html><body>{time.monotonic()}</body></html>".encode(),
+        }
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).coalesce(1)
+    out = (
+        MapFetcher(timed, concurrency=4, host_interval=0.15)
+        .fetch(df)
+        .select("url", "html")
+        .collect()
+    )
+    stamps: dict[str, list[float]] = {}
+    for r in out:
+        host = r["url"].split("/")[2]
+        stamps.setdefault(host, []).append(
+            float(r["html"].split("<body>")[1].split("</body>")[0])
+        )
+    for host, ts in stamps.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 0.14 for g in gaps), (host, gaps)
+    # distinct hosts overlapped: total wall is ~one host's chain, not two
+    allts = sorted(t for ts in stamps.values() for t in ts)
+    assert allts[-1] - allts[0] < 0.15 * 7
