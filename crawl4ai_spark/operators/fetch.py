@@ -135,6 +135,7 @@ class MapFetcher:
         fn: Callable[[str], dict],
         concurrency: int = 1,
         host_interval: float = 0.0,
+        host_interval_col: str | None = None,
     ):
         self.fn = fn
         self.concurrency = max(1, int(concurrency))
@@ -143,6 +144,13 @@ class MapFetcher:
         # async_dispatcher.py) — host_exclusive partitioning makes this
         # a true per-host floor, since no other task shares the host
         self.host_interval = max(0.0, float(host_interval))
+        # optional per-ROW delay column (e.g. the frontier's
+        # robots_crawl_delay): the effective floor for a request is
+        # max(host_interval, row value) — how a robots Crawl-delay
+        # becomes actual request spacing, not just round budgeting.
+        # The crawl loop keeps this column in the fetch layout when the
+        # fetcher declares it (operators/frontier.py).
+        self.host_interval_col = host_interval_col
 
     def fetch(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         import pandas as pd
@@ -150,6 +158,11 @@ class MapFetcher:
         fn = self.fn
         concurrency = self.concurrency
         interval = self.host_interval
+        icol = (
+            self.host_interval_col
+            if self.host_interval_col in (df.columns or [])
+            else None
+        )
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -176,20 +189,30 @@ class MapFetcher:
             except Exception:
                 return ""
 
-        def run_batch(urls, last):
+        def run_batch(urls, ivs, last):
             import time
 
-            def paced(u):
-                if interval > 0:
+            def paced(j):
+                u = urls[j]
+                iv = interval
+                v = ivs[j] if ivs is not None else None
+                if v is not None and v == v:  # skip None AND pandas NaN
+                    try:
+                        iv = max(iv, float(v))
+                    except (TypeError, ValueError):
+                        pass
+                if iv > 0:
                     h = host_of(u)
-                    wait = last.get(h, 0.0) + interval - time.monotonic()
+                    wait = last.get(h, 0.0) + iv - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                     last[h] = time.monotonic()
                 return one(u)
 
+            paced_at_all = interval > 0 or ivs is not None
             if concurrency <= 1 or len(urls) <= 1:
-                return [paced(u) for u in urls]
+                return [paced(j) if paced_at_all else one(u)
+                        for j, u in enumerate(urls)]
             from concurrent.futures import ThreadPoolExecutor
 
             groups: dict[str, list[int]] = {}
@@ -201,7 +224,7 @@ class MapFetcher:
                 # one thread per host -> sequential + interval-paced;
                 # hosts are disjoint keys, so `last` needs no lock
                 for i in idxs:
-                    results[i] = paced(urls[i])
+                    results[i] = paced(i)
 
             with ThreadPoolExecutor(max_workers=concurrency) as ex:
                 list(ex.map(run_group, groups.values()))
@@ -217,7 +240,8 @@ class MapFetcher:
             # whole partition, not just within one batch
             last: dict[str, float] = {}
             for pdf in batches:
-                rows = run_batch(list(pdf[url_col]), last)
+                ivs = list(pdf[icol]) if icol else None
+                rows = run_batch(list(pdf[url_col]), ivs, last)
                 pdf = pdf.copy()
                 for j, k in enumerate(cols):
                     pdf[k] = pd.Series(
@@ -255,12 +279,16 @@ class UrllibFetcher(MapFetcher):
         max_body_bytes: int = 10 * 1024 * 1024,
         concurrency: int = 1,
         host_interval: float = 0.0,
+        host_interval_col: str | None = None,
     ):
         self.timeout = float(timeout)
         self.user_agent = user_agent
         self.max_body_bytes = int(max_body_bytes)
         super().__init__(
-            self._get, concurrency=concurrency, host_interval=host_interval
+            self._get,
+            concurrency=concurrency,
+            host_interval=host_interval,
+            host_interval_col=host_interval_col,
         )
 
     @staticmethod

@@ -630,9 +630,20 @@ class CrawlRun:
         # consumed by the results write AND the next-frontier
         # write; one persist beats re-running the joins + two-phase
         # windows in each job (bounded: this round's candidate pool)
-        selected = budgeted.filter(F.col("_selected") & ~F.col("_dropped")).drop(
-            "_selected", "_dropped", "robots_crawl_delay"
+        # a live fetcher that declares host_interval_col keeps the
+        # per-host robots Crawl-delay riding into the fetch layout, so
+        # the delay becomes actual in-task request spacing (not just
+        # round budgeting); dropped again right after the fetch
+        _keep_delay = (
+            getattr(cfg.fetcher, "host_interval_col", None)
+            == "robots_crawl_delay"
         )
+        _sel_drop = ["_selected", "_dropped"] + (
+            [] if _keep_delay else ["robots_crawl_delay"]
+        )
+        selected = budgeted.filter(
+            F.col("_selected") & ~F.col("_dropped")
+        ).drop(*_sel_drop)
         deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped", "robots_crawl_delay"
         )
@@ -680,6 +691,8 @@ class CrawlRun:
             from .fetch import fetch_stage
 
             fetched = fetch_stage(layout, cfg.fetcher)
+            if _keep_delay:
+                fetched = fetched.drop("robots_crawl_delay")
         else:
             # join-mode: the fetch join reshuffles by url anyway (the
             # scrape runs on the JOIN output), so a physical salted

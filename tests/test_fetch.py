@@ -426,3 +426,81 @@ def test_map_fetcher_host_interval_spaces_same_host_requests(spark):
     # distinct hosts overlapped: total wall is ~one host's chain, not two
     allts = sorted(t for ts in stamps.values() for t in ts)
     assert allts[-1] - allts[0] < 0.15 * 7
+
+
+def test_map_fetcher_per_row_interval_column(spark):
+    """host_interval_col: a per-row delay (e.g. robots Crawl-delay)
+    raises the spacing floor for that host; null/NaN rows fall back to
+    the global interval."""
+    import time
+
+    rows = (
+        [(f"https://slow.example.com/p{i}", 0.2) for i in range(3)]
+        + [(f"https://fast.example.com/p{i}", None) for i in range(3)]
+    )
+
+    def timed(url):
+        return {
+            "status": 200,
+            "body": f"<html><body>{time.monotonic()}</body></html>".encode(),
+        }
+
+    df = spark.createDataFrame(
+        rows, "url string, robots_crawl_delay double"
+    ).coalesce(1)
+    out = (
+        MapFetcher(
+            timed, concurrency=4, host_interval_col="robots_crawl_delay"
+        )
+        .fetch(df)
+        .collect()
+    )
+    stamps: dict[str, list[float]] = {}
+    for r in out:
+        stamps.setdefault(r["url"].split("/")[2], []).append(
+            float(r["html"].split("<body>")[1].split("</body>")[0])
+        )
+    slow = sorted(stamps["slow.example.com"])
+    fast = sorted(stamps["fast.example.com"])
+    assert all(b - a >= 0.19 for a, b in zip(slow, slow[1:]))
+    assert fast[-1] - fast[0] < 0.15  # unpaced host ran back-to-back
+
+
+def test_crawl_respects_robots_delay_column_plumbing(spark, sf_dir):
+    """Crawl with a fetcher that declares host_interval_col: the
+    robots_crawl_delay column rides into the fetch layout, is consumed
+    there, and results match the undeclared-fetcher crawl exactly."""
+    from crawl4ai_spark.operators.robots import rules_table, synthetic_robots
+
+    pages = generate_pages(spark, sf_dir).cache()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(5).collect()
+    ]
+    corpus = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+
+    def fake_http(url):
+        body = corpus.get(url)
+        return {"status": 200, "body": body} if body else {"error": "miss"}
+
+    hosts = sorted({u.split("/")[2] for u in corpus})
+    rules = rules_table(spark, synthetic_robots(hosts))
+    base = _crawl_results(
+        spark, pages,
+        CrawlConfig(max_depth=3, robots_rules=rules,
+                    fetcher=MapFetcher(fake_http)),
+        seeds,
+    )
+    paced = _crawl_results(
+        spark, pages,
+        CrawlConfig(
+            max_depth=3, robots_rules=rules,
+            fetcher=MapFetcher(
+                fake_http, host_interval_col="robots_crawl_delay"
+            ),
+        ),
+        seeds,
+    )
+    assert base == paced and any(r[3] == "fetched" for r in base)
