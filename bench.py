@@ -285,6 +285,23 @@ def bench_streaming(cpus: int, n_batches: int = 8) -> dict:
             q.stop()
         wall = time.perf_counter() - t0
         done = spark.read.parquet(odir).count()
+        # second point: the SAME drain with one coarse trigger (every
+        # file in a single micro-batch). The fine/coarse rows-per-sec
+        # ratio separates per-micro-batch fixed cost (checkpoint
+        # commits, trigger planning) from the operator's own
+        # throughput — the streaming analogue of the N->4N scaling
+        # evidence.
+        t1 = time.perf_counter()
+        q2 = start_stream_extract(
+            spark, pages, fdir, os.path.join(base, "out2"),
+            os.path.join(base, "ckpt2"),
+            max_files_per_trigger=4 * n_batches, available_now=True,
+        )
+        q2.awaitTermination(600)
+        if q2.isActive:
+            q2.stop()
+        wall2 = time.perf_counter() - t1
+        done2 = spark.read.parquet(os.path.join(base, "out2")).count()
         return {
             "cpus": cpus,
             "n_rows": done,
@@ -292,6 +309,10 @@ def bench_streaming(cpus: int, n_batches: int = 8) -> dict:
             "batches": n_batches,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(done / wall, 2) if wall > 0 else 0.0,
+            "coarse_wall_sec": round(wall2, 3),
+            "coarse_rows_per_sec": (
+                round(done2 / wall2, 2) if wall2 > 0 else 0.0
+            ),
         }
     finally:
         spark.stop()
@@ -371,7 +392,7 @@ def compact_result(full: dict) -> dict:
         # is the parity headline, the rest lives in the sidecar
         "streaming": {
             k: (str(stream_s[k])[:120] if k == "error" else stream_s[k])
-            for k in ("rows_per_sec", "error")
+            for k in ("rows_per_sec", "coarse_rows_per_sec", "error")
             if k in stream_s
         },
         "detail": os.path.basename(DETAIL_PATH),
