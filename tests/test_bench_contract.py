@@ -78,7 +78,10 @@ def test_compact_line_fits_budget():
     # driver-contract keys survive compaction
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed
-    assert parsed["queries"]["crawl_3rounds"] == 21.93
+    # 21.93 when 2-decimal precision fits the window; 21.9 when the
+    # headline set has grown enough that the designed one-decimal
+    # degradation kicks in — both parse, both within the contract
+    assert parsed["queries"]["crawl_3rounds"] in (21.93, 21.9)
     assert parsed["scaling"]["efficiency"] == 0.958
     assert parsed["submit_scaling"]["efficiency"] == 0.905
     assert parsed["seen_bloom"]["cuckoo_sec"] == 1.192
