@@ -399,13 +399,26 @@ def compact_result(full: dict) -> dict:
     }
     # belt-and-braces: degrade gracefully rather than ever exceed the
     # parse window (full detail is in the sidecar regardless)
-    if len(json.dumps(compact)) > STDOUT_BUDGET:
+    def _fits() -> bool:
+        return len(json.dumps(compact)) <= STDOUT_BUDGET
+
+    if not _fits():
         compact["queries"] = {
             k: (round(v, 1) if isinstance(v, float) else v)
             for k, v in queries.items()
         }
-    for drop in ("streaming", "seen_bloom", "extract", "crawl", "submit_scaling"):
-        if len(json.dumps(compact)) <= STDOUT_BUDGET:
+    # evict redundant sections first: extract's headline IS the
+    # top-level value, crawl's wall rides in queries["crawl_3rounds"]
+    for drop in ("extract", "crawl"):
+        if _fits():
+            break
+        compact.pop(drop, None)
+    # shave streaming to its primary headline before evicting any
+    # unique-evidence section outright
+    if not _fits():
+        (compact.get("streaming") or {}).pop("coarse_rows_per_sec", None)
+    for drop in ("seen_bloom", "streaming", "submit_scaling"):
+        if _fits():
             break
         compact.pop(drop, None)
     return compact

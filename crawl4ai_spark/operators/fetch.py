@@ -192,8 +192,7 @@ class MapFetcher:
         def run_batch(urls, ivs, last):
             import time
 
-            def paced(j):
-                u = urls[j]
+            def iv_of(j):
                 iv = interval
                 v = ivs[j] if ivs is not None else None
                 if v is not None and v == v:  # skip None AND pandas NaN
@@ -201,11 +200,21 @@ class MapFetcher:
                         iv = max(iv, float(v))
                     except (TypeError, ValueError):
                         pass
+                return iv
+
+            def paced(j):
+                u = urls[j]
+                iv = iv_of(j)
                 if iv > 0:
                     h = host_of(u)
-                    wait = last.get(h, 0.0) + iv - time.monotonic()
-                    if wait > 0:
-                        time.sleep(wait)
+                    prev = last.get(h)
+                    # a host's FIRST request is never delayed — the
+                    # stamp dict starts empty, and 0.0 is a real point
+                    # on the monotonic axis, not "no previous request"
+                    if prev is not None:
+                        wait = prev + iv - time.monotonic()
+                        if wait > 0:
+                            time.sleep(wait)
                     last[h] = time.monotonic()
                 return one(u)
 
@@ -213,21 +222,64 @@ class MapFetcher:
             if concurrency <= 1 or len(urls) <= 1:
                 return [paced(j) if paced_at_all else one(u)
                         for j, u in enumerate(urls)]
-            from concurrent.futures import ThreadPoolExecutor
 
-            groups: dict[str, list[int]] = {}
+            from concurrent.futures import (
+                FIRST_COMPLETED, ThreadPoolExecutor, wait as _fwait,
+            )
+
+            # deadline scheduler: per-host FIFO queues + next-allowed
+            # stamps. Only the SCHEDULER sleeps; worker threads do
+            # nothing but network I/O, so a long Crawl-delay on one
+            # host never serializes unrelated hosts behind it (with
+            # whole-group workers, hosts beyond `concurrency` queued
+            # behind sleeping groups). A host stays sequential: at most
+            # one of its requests is in flight, and its stamp is taken
+            # at the ACTUAL request start inside the worker.
+            queues: dict[str, list[int]] = {}
             for idx, u in enumerate(urls):
-                groups.setdefault(host_of(u), []).append(idx)
+                queues.setdefault(host_of(u), []).append(idx)
             results: list[tuple | None] = [None] * len(urls)
 
-            def run_group(idxs):
-                # one thread per host -> sequential + interval-paced;
-                # hosts are disjoint keys, so `last` needs no lock
-                for i in idxs:
-                    results[i] = paced(i)
+            def started(j, h):
+                last[h] = time.monotonic()
+                return j, one(urls[j])
 
+            inflight: dict = {}  # future -> host
+            busy: set[str] = set()
             with ThreadPoolExecutor(max_workers=concurrency) as ex:
-                list(ex.map(run_group, groups.values()))
+                while queues or inflight:
+                    now = time.monotonic()
+                    next_due = None
+                    for h in list(queues):
+                        if h in busy:
+                            continue
+                        prev = last.get(h)
+                        due = now if prev is None else prev + iv_of(
+                            queues[h][0]
+                        )
+                        if due <= now:
+                            j = queues[h].pop(0)
+                            if not queues[h]:
+                                del queues[h]
+                            busy.add(h)
+                            inflight[ex.submit(started, j, h)] = h
+                        elif next_due is None or due < next_due:
+                            next_due = due
+                    if inflight:
+                        timeout = (
+                            None if next_due is None
+                            else max(0.0, next_due - time.monotonic())
+                        )
+                        done, _ = _fwait(
+                            set(inflight), timeout=timeout,
+                            return_when=FIRST_COMPLETED,
+                        )
+                        for fut in done:
+                            busy.discard(inflight.pop(fut))
+                            j, r = fut.result()
+                            results[j] = r
+                    elif next_due is not None:
+                        time.sleep(max(0.0, next_due - time.monotonic()))
             return results
 
         def run(batches):

@@ -634,16 +634,21 @@ class CrawlRun:
         # per-host robots Crawl-delay riding into the fetch layout, so
         # the delay becomes actual in-task request spacing (not just
         # round budgeting); dropped again right after the fetch
-        _keep_delay = (
-            getattr(cfg.fetcher, "host_interval_col", None)
-            == "robots_crawl_delay"
-        )
+        _fetch_icol = getattr(cfg.fetcher, "host_interval_col", None)
+        _keep_delay = _fetch_icol is not None
         _sel_drop = ["_selected", "_dropped"] + (
             [] if _keep_delay else ["robots_crawl_delay"]
         )
         selected = budgeted.filter(
             F.col("_selected") & ~F.col("_dropped")
         ).drop(*_sel_drop)
+        if _keep_delay and _fetch_icol != "robots_crawl_delay":
+            # the fetcher may declare any column name for its per-row
+            # delay; surface the robots Crawl-delay under that name so
+            # pacing works regardless of the declared spelling
+            selected = selected.withColumnRenamed(
+                "robots_crawl_delay", _fetch_icol
+            )
         deferred = budgeted.filter(~F.col("_selected") & ~F.col("_dropped")).drop(
             "_selected", "_dropped", "robots_crawl_delay"
         )
@@ -692,7 +697,7 @@ class CrawlRun:
 
             fetched = fetch_stage(layout, cfg.fetcher)
             if _keep_delay:
-                fetched = fetched.drop("robots_crawl_delay")
+                fetched = fetched.drop(_fetch_icol)
         else:
             # join-mode: the fetch join reshuffles by url anyway (the
             # scrape runs on the JOIN output), so a physical salted

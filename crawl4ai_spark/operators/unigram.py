@@ -75,6 +75,10 @@ def viterbi_segment(
     (scanned in ascending length with ``<=`` update). Every position is
     reachable: unknown single characters cost ``UNK_COST``."""
     n = len(word)
+    if max_piece_len < 1:
+        raise ValueError(
+            f"max_piece_len must be >= 1, got {max_piece_len}"
+        )
     best = [0] + [None] * n          # type: list[int | None]
     back = [0] * (n + 1)
     for i in range(1, n + 1):
@@ -152,12 +156,10 @@ def em_piece_counts(
     def estep(batches):
         for pdf in batches:
             agg: dict[str, int] = {}
-            cache: dict[str, list[str]] = {}
+            # no word cache here: wf is the word_frequencies groupBy
+            # output, so every word in the batch is already distinct
             for w, c in zip(pdf["word"], pdf["count"]):
-                seg = cache.get(w)
-                if seg is None:
-                    seg = viterbi_segment(w, costs, mpl)
-                    cache[w] = seg
+                seg = viterbi_segment(w, costs, mpl)
                 for p in seg:
                     agg[p] = agg.get(p, 0) + int(c)
             yield pd.DataFrame(
@@ -232,13 +234,21 @@ def unigram_encode_stage(
     costs: dict[str, int],
     text_col: str = "text",
     out_col: str = "unigram_tokens",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Append the unigram token array — one Arrow-batched mapInPandas,
-    costs in the closure (KBs), per-task word cache, zero shuffle."""
+    costs in the closure (KBs), per-task word cache, zero shuffle.
+
+    ``max_piece_len`` defaults to the longest piece in ``costs`` so a
+    vocab trained with any width segments exactly as trained — passing
+    a smaller width would silently make long pieces unreachable."""
     import pandas as pd  # noqa: F401  (imported for the worker)
 
-    mpl = int(max_piece_len)
+    mpl = int(
+        max_piece_len
+        if max_piece_len is not None
+        else max((len(p) for p in costs), default=1)
+    )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
@@ -270,10 +280,14 @@ def unigram_token_count(
     docs: DataFrame,
     costs: dict[str, int],
     text_col: str = "text",
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Docs plus an exact ``unigram_n_tokens`` column (packing input,
-    same contract as operators/bpe.py bpe_token_count)."""
-    enc = unigram_encode_stage(docs, costs, text_col, out_col="_ut")
+    same contract as operators/bpe.py bpe_token_count). The DP width
+    follows the vocab's longest piece unless overridden."""
+    enc = unigram_encode_stage(
+        docs, costs, text_col, out_col="_ut", max_piece_len=max_piece_len
+    )
     return enc.withColumn(
         "unigram_n_tokens", F.size("_ut").cast("long")
     ).drop("_ut")

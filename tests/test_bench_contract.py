@@ -67,6 +67,7 @@ def _full_result() -> dict:
         "streaming": {
             "cpus": 32, "n_rows": 40_000, "expected": 40_000, "batches": 8,
             "wall_sec": 19.876, "rows_per_sec": 2012.48,
+            "coarse_rows_per_sec": 12931.23,
         },
     }
 
@@ -85,6 +86,9 @@ def test_compact_line_fits_budget():
     assert parsed["scaling"]["efficiency"] == 0.958
     assert parsed["submit_scaling"]["efficiency"] == 0.905
     assert parsed["seen_bloom"]["cuckoo_sec"] == 1.192
+    # the streaming headline must SURVIVE the worst case — redundant
+    # sections (extract/crawl) and the coarse secondary rate degrade
+    # first; round 4's coarse key once silently evicted the section
     assert parsed["streaming"]["rows_per_sec"] == 2012.48
     assert parsed["detail"] == "bench_detail.json"
 

@@ -504,3 +504,102 @@ def test_crawl_respects_robots_delay_column_plumbing(spark, sf_dir):
         seeds,
     )
     assert base == paced and any(r[3] == "fetched" for r in base)
+
+
+def test_map_fetcher_first_request_not_paced_against_boot_clock(spark):
+    """A host's FIRST request must never sleep: the last-start dict
+    starts empty, and 0.0 is a real monotonic point (seconds since
+    boot), not a 'no previous request' sentinel. The giant interval
+    makes the sentinel bug (wait = 0.0 + interval - monotonic()) hang
+    on ANY host uptime, so completing at all proves the fix."""
+    import time
+
+    urls = [f"https://h{i}.example.com/only" for i in range(3)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).coalesce(1)
+    t0 = time.monotonic()
+    out = (
+        MapFetcher(lambda u: {"status": 200, "body": b"<html>x</html>"},
+                   concurrency=2, host_interval=1e9)
+        .fetch(df)
+        .collect()
+    )
+    assert len(out) == 3 and time.monotonic() - t0 < 60.0
+
+
+def test_map_fetcher_hosts_beyond_concurrency_overlap_waits(spark):
+    """Crawl-delay sleeps must not occupy pool workers: with more
+    hosts than threads, every host's inter-request wait overlaps every
+    other's (deadline scheduler), so wall ~= one host's chain — the
+    whole-group-per-worker shape serialized host groups behind sleeps."""
+    import time
+
+    urls = [
+        f"https://h{i}.example.com/p{j}" for i in range(8) for j in range(3)
+    ]
+
+    def timed(url):
+        return {
+            "status": 200,
+            "body": f"<html><body>{time.monotonic()}</body></html>".encode(),
+        }
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).coalesce(1)
+    out = (
+        MapFetcher(timed, concurrency=2, host_interval=0.3)
+        .fetch(df)
+        .select("url", "html")
+        .collect()
+    )
+    stamps: dict[str, list[float]] = {}
+    for r in out:
+        stamps.setdefault(r["url"].split("/")[2], []).append(
+            float(r["html"].split("<body>")[1].split("</body>")[0])
+        )
+    for host, ts in stamps.items():
+        ts.sort()
+        assert all(b - a >= 0.29 for a, b in zip(ts, ts[1:])), host
+    # in-task span (first stamp -> last stamp, excluding Spark job
+    # overhead): 8 hosts x two 0.3s gaps each, all overlapped ~= 0.6s;
+    # the whole-group-per-worker shape serialized 4 waves of sleeping
+    # groups ~= 2.4s
+    allts = sorted(t for ts in stamps.values() for t in ts)
+    assert allts[-1] - allts[0] < 1.5, allts[-1] - allts[0]
+
+
+def test_crawl_plumbs_any_declared_interval_col_name(spark, sf_dir):
+    """The fetch layout must carry the robots Crawl-delay under
+    WHATEVER name the fetcher declares (host_interval_col is an API,
+    not the literal string 'robots_crawl_delay'); results match the
+    undeclared-fetcher crawl exactly."""
+    from crawl4ai_spark.operators.robots import rules_table, synthetic_robots
+
+    pages = generate_pages(spark, sf_dir).cache()
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(3).collect()
+    ]
+    corpus = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+
+    def fake_http(url):
+        body = corpus.get(url)
+        return {"status": 200, "body": body} if body else {"error": "miss"}
+
+    hosts = sorted({u.split("/")[2] for u in corpus})
+    rules = rules_table(spark, synthetic_robots(hosts))
+    base = _crawl_results(
+        spark, pages,
+        CrawlConfig(max_depth=2, robots_rules=rules,
+                    fetcher=MapFetcher(fake_http)),
+        seeds,
+    )
+    custom = _crawl_results(
+        spark, pages,
+        CrawlConfig(
+            max_depth=2, robots_rules=rules,
+            fetcher=MapFetcher(fake_http, host_interval_col="crawl_delay"),
+        ),
+        seeds,
+    )
+    assert base == custom and any(r[3] == "fetched" for r in base)

@@ -130,3 +130,32 @@ def test_character_inventory_survives_pruning(spark):
     assert "a" in costs and "b" in costs   # chars kept at +1 smoothing
     assert "abab" in costs                 # the dominant whole piece
     assert viterbi_segment("abab", costs, 4) == ["abab"]
+
+
+def test_encode_reaches_pieces_longer_than_default_dp_width(spark):
+    """Encoding derives the Viterbi width from the vocab's longest
+    piece — a model trained with max_piece_len > 8 must still emit its
+    long pieces (a hardcoded width-8 DP made them unreachable and
+    silently inflated token counts)."""
+    from crawl4ai_spark.operators.unigram import (
+        unigram_encode_stage, unigram_token_count,
+    )
+
+    costs = {c: 5_000_000 for c in "abcdefghijkl"}
+    costs["abcdefghijkl"] = 1_000_000  # a 12-char trained piece
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijkl abcdefghijkl")], "doc_id long, text string"
+    )
+    toks = unigram_encode_stage(docs, costs).head()["unigram_tokens"]
+    assert toks == ["abcdefghijkl", "abcdefghijkl"]
+    n = unigram_token_count(docs, costs).head()["unigram_n_tokens"]
+    assert n == 2
+
+
+def test_viterbi_rejects_nonpositive_piece_len():
+    import pytest
+
+    from crawl4ai_spark.operators.unigram import viterbi_segment
+
+    with pytest.raises(ValueError):
+        viterbi_segment("abc", {"a": 1}, max_piece_len=0)
