@@ -70,6 +70,21 @@ class CrawlConfig:
     include_external: bool = False
     keywords: tuple = ()
     robots_rules: object | None = None  # DataFrame | None
+    # live robots.txt acquisition (reference: RobotsParser.can_fetch's
+    # cache-then-fetch, utils.py:313-353). When on, each round fetches
+    # scheme://host/robots.txt for frontier hosts not yet cached —
+    # through `robots_fetcher` (default: the page fetcher) — parses
+    # them DISTRIBUTED (operators/robots.py fetch_robots_rules), and
+    # persists per-round increments under workdir/robots so resume and
+    # rewind replay the same rules. `robots_rules` still works as a
+    # static pre-seeded dim (those hosts are never fetched). TTL is in
+    # ROUNDS (deterministic replay), mirroring the reference's 7-day
+    # wall-clock TTL; None = never expires within a run.
+    robots_fetch: bool = False
+    robots_fetcher: object | None = None
+    robots_ttl_rounds: int | None = None
+    robots_scheme: str = "https"
+    robots_ua: str = "*"
     shuffle_partitions: int | None = None
     # traversal strategy (SURVEY.md T1/T7): "bfs" crawls the whole
     # frontier each round; "best_first" caps each round at the global
@@ -381,6 +396,10 @@ class CrawlRun:
         if self.config.url_priors is not None:
             self._priors = _priors_by_hash(self.config.url_priors).persist()
         self._run_tag = uuid.uuid4().hex[:8]  # job-group namespace
+        # this round's effective robots dim (static rules, or under
+        # robots_fetch the cache ∪ increment) — stashed by run_round
+        # for the politeness fast-path's max-Crawl-delay proof
+        self._round_rules = None
         os.makedirs(workdir, exist_ok=True)
 
     # -- paths / manifests ---------------------------------------------------
@@ -396,6 +415,119 @@ class CrawlRun:
 
     def _manifest_path(self, r: int) -> str:
         return os.path.join(self.workdir, f"_manifest_{r}.json")
+
+    def _robots_path(self, r: int) -> str:
+        # no 'round=' spelling: these subdirs are read as an explicit
+        # path list, and key=value names would trigger Spark partition
+        # discovery over the common parent
+        return os.path.join(self.workdir, "robots", f"r{r}")
+
+    def _robots_cache(self, upto_r: int):
+        """All cached robots rows fetched in rounds <= upto_r, or None
+        when nothing is cached yet (explicit subdir list + explicit
+        schema: no partition-column inference, no schema-infer job)."""
+        from .robots import ROBOTS_CACHE_SCHEMA
+
+        base = os.path.join(self.workdir, "robots")
+        paths = []
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                if name.startswith("r") and name[1:].isdigit():
+                    if int(name[1:]) <= upto_r:
+                        paths.append(os.path.join(base, name))
+        if not paths:
+            return None
+        return self.spark.read.schema(ROBOTS_CACHE_SCHEMA).parquet(*paths)
+
+    def _robots_rules_for_round(self, frontier: DataFrame, r: int):
+        """Effective robots dim for round ``r`` under live acquisition:
+        unexpired cached rows (latest fetch per host) ∪ this round's
+        fetch-on-miss increment ∪ the static ``robots_rules`` (never
+        fetched, never expiring). The reference's
+        RobotsParser.can_fetch cache-then-fetch (utils.py:313-353)
+        reshaped as one distributed stage per round: new-host discovery
+        is an anti-join of the round's distinct hosts against the known
+        set, the fetch+parse is one mapInPandas chain, and the
+        increment commits to ``workdir/robots/r{N}`` before use so a
+        resumed or rewound run replays identical decisions."""
+        from .robots import ROBOTS_CACHE_SCHEMA, RULES_SCHEMA, fetch_robots_rules
+
+        cfg = self.config
+        fetcher = cfg.robots_fetcher or cfg.fetcher
+        if fetcher is None:
+            raise ValueError(
+                "CrawlConfig.robots_fetch requires a fetcher "
+                "(config.fetcher or config.robots_fetcher)"
+            )
+        spark = self.spark
+        rule_cols = ["host", "disallow", "allow", "crawl_delay"]
+
+        cache = self._robots_cache(r)
+        live = None
+        if cache is not None:
+            if cfg.robots_ttl_rounds is not None:
+                # round-based TTL: expired rows vanish from the dim,
+                # which re-classifies their hosts as new -> refetched
+                cache = cache.filter(
+                    F.col("fetched_round") > r - int(cfg.robots_ttl_rounds)
+                )
+            live = (
+                cache.groupBy("host")
+                .agg(
+                    F.max_by(
+                        F.struct(*[c for c in cache.columns if c != "host"]),
+                        "fetched_round",
+                    ).alias("_s")
+                )
+                .select("host", "_s.*")
+            )
+
+        known = (
+            live.select("host")
+            if live is not None
+            else spark.createDataFrame([], "host string")
+        )
+        static = cfg.robots_rules
+        if static is not None:
+            known = known.unionByName(static.select("host"))
+        new_hosts = frontier.select("host").distinct().join(
+            known, "host", "left_anti"
+        )
+        inc = fetch_robots_rules(
+            new_hosts, fetcher, ua=cfg.robots_ua,
+            scheme=cfg.robots_scheme, round_no=r,
+        )
+        inc.write.mode("overwrite").parquet(self._robots_path(r))
+        if _parquet_rows(self._robots_path(r)) > 0:
+            inc_read = spark.read.schema(ROBOTS_CACHE_SCHEMA).parquet(
+                self._robots_path(r)
+            )
+            # increment hosts are anti-joined against `known`, so the
+            # union is disjoint by construction — no per-host re-dedup
+            live = (
+                inc_read
+                if live is None
+                else live.unionByName(inc_read.select(live.columns))
+            )
+        dim = live.select(rule_cols) if live is not None else None
+        if static is not None:
+            fetched_part = (
+                # static wins on any host overlap (the dim join must
+                # stay 1 row/host — duplicate rows would fan out the
+                # frontier); overlap only arises if the static table
+                # was swapped mid-run
+                dim.join(static.select("host"), "host", "left_anti")
+                if dim is not None
+                else None
+            )
+            dim = (
+                static.select(rule_cols)
+                if fetched_part is None
+                else fetched_part.unionByName(static.select(rule_cols))
+            )
+        if dim is None:
+            dim = spark.createDataFrame([], RULES_SCHEMA)
+        return dim
 
     def latest_completed_round(self) -> int | None:
         rounds = []
@@ -450,19 +582,19 @@ class CrawlRun:
     # -- one round -----------------------------------------------------------
 
     def _robots_max_delay(self) -> float | None:
-        """Largest Crawl-delay in the robots rules dim (0.0 when no
-        rules). Recomputed every round — the rules DataFrame is
-        documented as refreshable out-of-band, so a once-per-run cache
-        could let a mid-run Crawl-delay raise slip past the fast-path
-        proof. One tiny agg job on a broadcast-sized dimension, and
-        only on runs that configure robots at all. None = unknown
-        (fast path must not engage)."""
-        if self.config.robots_rules is None:
+        """Largest Crawl-delay in this round's EFFECTIVE robots dim
+        (0.0 when no rules). Recomputed every round — the rules
+        DataFrame is documented as refreshable out-of-band, and under
+        ``robots_fetch`` the dim grows per round, so a once-per-run
+        cache could let a mid-run Crawl-delay raise slip past the
+        fast-path proof. One tiny agg job on a broadcast-sized
+        dimension, and only on runs that configure robots at all.
+        None = unknown (fast path must not engage)."""
+        dim = self._round_rules
+        if dim is None:
             return 0.0
         try:
-            row = self.config.robots_rules.agg(
-                F.max("crawl_delay").alias("m")
-            ).first()
+            row = dim.agg(F.max("crawl_delay").alias("m")).first()
             return float(row["m"] or 0.0)
         except Exception:
             return None
@@ -548,9 +680,16 @@ class CrawlRun:
             except (FileNotFoundError, KeyError):
                 admitted_before = self.seen.count()
 
-        # robots gate (broadcast dim join)
-        if cfg.robots_rules is not None:
-            frontier = with_robots_decision(frontier, cfg.robots_rules)
+        # robots gate (broadcast dim join); under robots_fetch the dim
+        # is acquired live first (fetch-on-miss increment, one job)
+        if cfg.robots_fetch:
+            self._sec(r, "robots")
+            rules_dim = self._robots_rules_for_round(frontier, r)
+        else:
+            rules_dim = cfg.robots_rules
+        self._round_rules = rules_dim
+        if rules_dim is not None:
+            frontier = with_robots_decision(frontier, rules_dim)
         else:
             frontier = frontier.withColumn("robots_allowed", F.lit(True)).withColumn(
                 "robots_crawl_delay", F.lit(None).cast("double")
@@ -1204,6 +1343,10 @@ class CrawlRun:
                 shutil.rmtree(
                     os.path.join(self.workdir, state_dir, f"round={r + 1}"),
                     ignore_errors=True)
+            # the robots increment is IN-round state (fetched during
+            # round r), so forgetting round r forgets it — the replay
+            # refetches those hosts and re-commits the same rules
+            shutil.rmtree(self._robots_path(r), ignore_errors=True)
             shutil.rmtree(
                 os.path.join(self.seen.bloom_path, f"round={r + 1}"),
                 ignore_errors=True)

@@ -485,7 +485,8 @@ def test_crawl_respects_robots_delay_column_plumbing(spark, sf_dir):
         body = corpus.get(url)
         return {"status": 200, "body": body} if body else {"error": "miss"}
 
-    hosts = sorted({u.split("/")[2] for u in corpus})
+    # synthetic_robots takes SHORT names and appends .example.com
+    hosts = sorted({u.split("/")[2].split(".")[0] for u in corpus})
     rules = rules_table(spark, synthetic_robots(hosts))
     base = _crawl_results(
         spark, pages,
@@ -586,7 +587,8 @@ def test_crawl_plumbs_any_declared_interval_col_name(spark, sf_dir):
         body = corpus.get(url)
         return {"status": 200, "body": body} if body else {"error": "miss"}
 
-    hosts = sorted({u.split("/")[2] for u in corpus})
+    # synthetic_robots takes SHORT names and appends .example.com
+    hosts = sorted({u.split("/")[2].split(".")[0] for u in corpus})
     rules = rules_table(spark, synthetic_robots(hosts))
     base = _crawl_results(
         spark, pages,
