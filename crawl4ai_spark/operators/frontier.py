@@ -439,6 +439,38 @@ class CrawlRun:
             return None
         return self.spark.read.schema(ROBOTS_CACHE_SCHEMA).parquet(*paths)
 
+    def robots_cache(self) -> DataFrame | None:
+        """The live-acquired robots cache (latest row per host), or
+        None when ``robots_fetch`` never ran. Columns:
+        :data:`~crawl4ai_spark.operators.robots.ROBOTS_CACHE_SCHEMA`.
+        """
+        cache = self._robots_cache(2**31 - 1)
+        if cache is None:
+            return None
+        return (
+            cache.groupBy("host")
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cache.columns if c != "host"]),
+                    "fetched_round",
+                ).alias("_s")
+            )
+            .select("host", "_s.*")
+        )
+
+    def discovered_sitemaps(self) -> DataFrame | None:
+        """(host, sitemap_url) pairs from the robots.txt files the
+        crawl fetched — the feeder for sources/seeder.py's sitemap
+        pipeline (the reference seeder's robots Sitemap: fallback,
+        async_url_seeder.py:807-818, closed into a loop: crawl ->
+        robots cache -> sitemap seeds -> next crawl)."""
+        cache = self.robots_cache()
+        if cache is None:
+            return None
+        return cache.select(
+            "host", F.explode("sitemaps").alias("sitemap_url")
+        )
+
     def _robots_rules_for_round(self, frontier: DataFrame, r: int):
         """Effective robots dim for round ``r`` under live acquisition:
         unexpired cached rows (latest fetch per host) ∪ this round's

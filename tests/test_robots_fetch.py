@@ -232,3 +232,48 @@ def test_robots_fetch_rewind_replays_identically(spark, sf_dir):
     run.run(max_rounds=3)
     assert _results(spark, wd) == before
     shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_discovered_sitemaps_feed_the_seeder(spark, sf_dir):
+    """Crawl -> robots cache -> Sitemap: lines -> seeder expansion:
+    the loop the reference runs per-domain (async_url_seeder.py
+    robots fallback), closed over the crawl's own live robots cache."""
+    from crawl4ai_spark.sources.seeder import expand_sitemaps, sitemap_locs
+
+    pages, corpus, hosts, robots = _corpus(spark, sf_dir)
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(3).collect()
+    ]
+    host0 = seeds[0].split("/")[2]
+    robots = dict(robots)
+    robots[host0] = (
+        robots.get(host0, "User-agent: *\n")
+        + f"\nSitemap: https://{host0}/sitemap.xml"
+    )
+    fn = _fetch_fn(corpus, robots)
+    wd = tempfile.mkdtemp(prefix="robots_sm_")
+    shutil.rmtree(wd, ignore_errors=True)
+    run = CrawlRun(
+        spark, pages, wd,
+        CrawlConfig(max_depth=2, robots_fetch=True,
+                    robots_scheme=seeds[0].split("://")[0],
+                    fetcher=MapFetcher(fn)),
+    )
+    run.seed(seeds)
+    run.run(max_rounds=2)
+    sm = run.discovered_sitemaps()
+    got = {(r["host"], r["sitemap_url"]) for r in sm.collect()}
+    assert (host0, f"https://{host0}/sitemap.xml") in got
+    # the pairs drop straight into the seeder's sitemap expansion
+    xml = (
+        "<urlset>"
+        + "".join(f"<url><loc>{u}</loc></url>" for u in sorted(corpus)[:4])
+        + "</urlset>"
+    )
+    dim = spark.createDataFrame(
+        [(f"https://{host0}/sitemap.xml", xml)], "sitemap_url string, xml string"
+    ).withColumn("locs", sitemap_locs("xml"))
+    roots = [r["sitemap_url"] for r in sm.collect()]
+    urls = expand_sitemaps(spark, dim, roots)
+    assert urls.count() == 4
+    shutil.rmtree(wd, ignore_errors=True)
