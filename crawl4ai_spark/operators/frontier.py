@@ -85,6 +85,16 @@ class CrawlConfig:
     robots_ttl_rounds: int | None = None
     robots_scheme: str = "https"
     robots_ua: str = "*"
+    # redirect aliasing (extension — the reference's deep-crawl visited
+    # set tracks requested URLs only): when a successful fetch lands on
+    # final_url != url, the canonicalized final_url ALSO enters the
+    # url_seen set, so a later direct link to the redirect target is
+    # recognized as already-crawled content instead of refetched.
+    # Failed/non-2xx redirects do not alias (their target content was
+    # never obtained). NB the seen set then outgrows the admitted
+    # count by the alias volume (the manifests' cum_admitted, which
+    # feeds max_pages, still counts admissions only).
+    alias_redirects: bool = False
     shuffle_partitions: int | None = None
     # traversal strategy (SURVEY.md T1/T7): "bfs" crawls the whole
     # frontier each round; "best_first" caps each round at the global
@@ -421,6 +431,9 @@ class CrawlRun:
         # path list, and key=value names would trigger Spark partition
         # discovery over the common parent
         return os.path.join(self.workdir, "robots", f"r{r}")
+
+    def _alias_path(self, r: int) -> str:
+        return os.path.join(self.workdir, "seen_aliases", f"r{r}")
 
     def _robots_cache(self, upto_r: int):
         """All cached robots rows fetched in rounds <= upto_r, or None
@@ -1136,6 +1149,42 @@ class CrawlRun:
             deduped = deduped.persist()
         fresh = self.seen.anti_join(deduped)
 
+        # redirect aliasing: canonicalized final_url of successful
+        # redirected fetches joins the seen set AND suppresses any
+        # same-round fresh admission of the target. Committed to a
+        # small per-round parquet first — a lineage cut, so the seen
+        # write below never re-executes a plan that reads the seen
+        # shards it is writing (and the round re-runs idempotently).
+        alias_read = None
+        if cfg.alias_redirects:
+            aliases = (
+                persisted.filter(
+                    F.col("success")
+                    & F.col("final_url").isNotNull()
+                    & (F.col("final_url") != F.col("url"))
+                )
+                .select(
+                    canonicalize_udf(
+                        F.col("final_url"), F.lit("https://unused.invalid/")
+                    ).alias("url")
+                )
+                .filter(F.col("url").isNotNull())
+                .withColumn("url_hash", url_hash("url"))
+                .dropDuplicates(["url_hash"])
+            )
+            # targets crawled in earlier rounds are already seen — no
+            # alias row (keeps the seen set duplicate-free when many
+            # pages redirect to one target across rounds)
+            aliases = self.seen.anti_join(aliases)
+            self._sec(r, "seen")
+            aliases.write.mode("overwrite").parquet(self._alias_path(r))
+            alias_read = self.spark.read.schema(
+                "url string, url_hash bigint"
+            ).parquet(self._alias_path(r))
+            fresh = fresh.join(
+                alias_read.select("url_hash"), "url_hash", "left_anti"
+            )
+
         # per-host admission quota (anti-flood): at most k new URLs per
         # host per round, salted two-phase top-k (no hot-host funnel)
         if cfg.max_urls_per_host is not None:
@@ -1178,10 +1227,15 @@ class CrawlRun:
             self._frontier_path(r + 1)
         )
         self._sec(r, "seen")
-        self.seen.add(
-            frontier_next.filter(F.col("round") == r + 1), r + 1,
-            assume_unique=True,  # fresh = row_number window + anti-join
-        )
+        seen_delta = frontier_next.filter(F.col("round") == r + 1)
+        if alias_read is not None:
+            # still unique: fresh rows were anti-joined against the
+            # alias file above, and the alias file itself is
+            # dropDuplicates'd + anti-joined against rounds <= r
+            seen_delta = seen_delta.select("url", "url_hash").unionByName(
+                alias_read.select("url", "url_hash")
+            )
+        self.seen.add(seen_delta, r + 1, assume_unique=True)
         budgeted.unpersist(blocking=False)
         if self.seen.use_bloom:
             deduped.unpersist(blocking=False)
@@ -1375,10 +1429,11 @@ class CrawlRun:
                 shutil.rmtree(
                     os.path.join(self.workdir, state_dir, f"round={r + 1}"),
                     ignore_errors=True)
-            # the robots increment is IN-round state (fetched during
-            # round r), so forgetting round r forgets it — the replay
-            # refetches those hosts and re-commits the same rules
+            # robots increments and redirect-alias files are IN-round
+            # state (produced during round r), so forgetting round r
+            # forgets them — the replay re-derives identical contents
             shutil.rmtree(self._robots_path(r), ignore_errors=True)
+            shutil.rmtree(self._alias_path(r), ignore_errors=True)
             shutil.rmtree(
                 os.path.join(self.seen.bloom_path, f"round={r + 1}"),
                 ignore_errors=True)

@@ -605,3 +605,53 @@ def test_crawl_plumbs_any_declared_interval_col_name(spark, sf_dir):
         seeds,
     )
     assert base == custom and any(r[3] == "fetched" for r in base)
+
+
+def test_alias_redirects_blocks_refetch_of_redirect_target(spark):
+    """CrawlConfig(alias_redirects=True): a successful fetch that
+    redirected to final_url also marks final_url as seen, so a later
+    direct link to the target is not refetched; with the flag off
+    (reference parity) the target is crawled as its own row."""
+    S = "https://a.example/s.html"
+    A = "https://a.example/a.html"
+    B = "https://a.example/b.html"
+    C = "https://a.example/c.html"
+    bodies = {
+        S: f'<html><body><a href="{A}">a</a> <a href="{C}">c</a></body></html>',
+        B: "<html><body>target content</body></html>",
+        C: f'<html><body><a href="{B}">b</a></body></html>',
+    }
+
+    def fn(url):
+        if url == A:  # permanent redirect A -> B, serving B's content
+            return {"status": 200, "body": bodies[B].encode(), "final_url": B}
+        b = bodies.get(url)
+        return {"status": 200, "body": b.encode()} if b else {"status": 404}
+
+    pages = spark.createDataFrame([], "url string, html binary")
+
+    def crawl(alias):
+        wd = tempfile.mkdtemp(prefix="alias_redir_")
+        shutil.rmtree(wd, ignore_errors=True)
+        run_crawl(
+            spark, pages, [S], wd,
+            CrawlConfig(
+                max_depth=3, fetcher=MapFetcher(fn), alias_redirects=alias,
+            ),
+            max_rounds=4,
+        )
+        rows = {
+            r["url"]: r
+            for r in spark.read.parquet(f"{wd}/results").collect()
+        }
+        shutil.rmtree(wd, ignore_errors=True)
+        return rows
+
+    off = crawl(False)
+    assert off[A]["final_url"] == B and off[A]["success"]
+    assert B in off, "parity mode must crawl the direct link to B"
+
+    on = crawl(True)
+    assert on[A]["final_url"] == B and on[A]["success"]
+    assert B not in on, "aliased target must not be refetched"
+    assert C in on  # the rest of the crawl is unaffected
