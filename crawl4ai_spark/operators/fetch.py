@@ -52,7 +52,8 @@ from ..functions.encoding import decode_html
 
 FETCH_FIELDS = (
     "body binary, http_status int, final_url string, "
-    "_hdr_charset string, fetch_error string"
+    "_hdr_charset string, fetch_error string, "
+    "etag string, last_modified string"
 )
 
 
@@ -93,6 +94,8 @@ class PagesJoinFetcher:
                 "fetch_error",
                 F.when(~hit, F.lit("miss")).cast("string"),
             )
+            .withColumn("etag", F.lit(None).cast("string"))
+            .withColumn("last_modified", F.lit(None).cast("string"))
         )
 
 
@@ -136,9 +139,16 @@ class MapFetcher:
         concurrency: int = 1,
         host_interval: float = 0.0,
         host_interval_col: str | None = None,
+        pass_cols: tuple = (),
     ):
         self.fn = fn
         self.concurrency = max(1, int(concurrency))
+        # input columns forwarded to fn as a second dict argument —
+        # fn(url, {col: value, ...}) — e.g. conditional-request
+        # validators ("if_none_match", "if_modified_since") joined
+        # into the fetch layout by CrawlConfig(url_validators=...).
+        # With pass_cols empty, fn keeps its one-argument contract.
+        self.pass_cols = tuple(pass_cols)
         # minimum seconds between request STARTS to the same host
         # within a task (the reference's RateLimiter base delay,
         # async_dispatcher.py) — host_exclusive partitioning makes this
@@ -163,23 +173,29 @@ class MapFetcher:
             if self.host_interval_col in (df.columns or [])
             else None
         )
+        pcols = [c for c in self.pass_cols if c in (df.columns or [])]
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         schema = f"{fields}, {FETCH_FIELDS}"
 
-        def one(url):
+        def one(url, extra=None):
             try:
-                r = fn(url)
+                r = fn(url, extra) if pcols else fn(url)
                 return (
                     r.get("body"),
                     r.get("status"),
                     r.get("final_url", url),
                     r.get("charset"),
                     r.get("error"),
+                    r.get("etag"),
+                    r.get("last_modified"),
                 )
             except Exception as e:  # degradation contract
-                return (None, None, url, None, f"{type(e).__name__}: {e}"[:500])
+                return (
+                    None, None, url, None,
+                    f"{type(e).__name__}: {e}"[:500], None, None,
+                )
 
         def host_of(u):
             from urllib.parse import urlsplit
@@ -189,7 +205,7 @@ class MapFetcher:
             except Exception:
                 return ""
 
-        def run_batch(urls, ivs, last):
+        def run_batch(urls, ivs, extras, last):
             import time
 
             def iv_of(j):
@@ -216,12 +232,15 @@ class MapFetcher:
                         if wait > 0:
                             time.sleep(wait)
                     last[h] = time.monotonic()
-                return one(u)
+                return one(u, extras[j] if extras else None)
 
             paced_at_all = interval > 0 or ivs is not None
             if concurrency <= 1 or len(urls) <= 1:
-                return [paced(j) if paced_at_all else one(u)
-                        for j, u in enumerate(urls)]
+                return [
+                    paced(j) if paced_at_all
+                    else one(u, extras[j] if extras else None)
+                    for j, u in enumerate(urls)
+                ]
 
             from concurrent.futures import (
                 FIRST_COMPLETED, ThreadPoolExecutor, wait as _fwait,
@@ -242,7 +261,7 @@ class MapFetcher:
 
             def started(j, h):
                 last[h] = time.monotonic()
-                return j, one(urls[j])
+                return j, one(urls[j], extras[j] if extras else None)
 
             inflight: dict = {}  # future -> host
             busy: set[str] = set()
@@ -285,7 +304,7 @@ class MapFetcher:
         def run(batches):
             cols = (
                 "body", "http_status", "final_url", "_hdr_charset",
-                "fetch_error",
+                "fetch_error", "etag", "last_modified",
             )
             # per-host last-request-start stamps persist across the
             # task's Arrow batches, so the spacing floor holds over the
@@ -293,7 +312,16 @@ class MapFetcher:
             last: dict[str, float] = {}
             for pdf in batches:
                 ivs = list(pdf[icol]) if icol else None
-                rows = run_batch(list(pdf[url_col]), ivs, last)
+                extras = None
+                if pcols:
+                    extras = [
+                        {
+                            c: (None if v is None or v != v else v)
+                            for c, v in zip(pcols, vals)
+                        }
+                        for vals in zip(*(list(pdf[c]) for c in pcols))
+                    ]
+                rows = run_batch(list(pdf[url_col]), ivs, extras, last)
                 pdf = pdf.copy()
                 for j, k in enumerate(cols):
                     pdf[k] = pd.Series(
@@ -332,6 +360,7 @@ class UrllibFetcher(MapFetcher):
         concurrency: int = 1,
         host_interval: float = 0.0,
         host_interval_col: str | None = None,
+        pass_cols: tuple = (),
     ):
         self.timeout = float(timeout)
         self.user_agent = user_agent
@@ -341,6 +370,7 @@ class UrllibFetcher(MapFetcher):
             concurrency=concurrency,
             host_interval=host_interval,
             host_interval_col=host_interval_col,
+            pass_cols=pass_cols,
         )
 
     @staticmethod
@@ -353,13 +383,21 @@ class UrllibFetcher(MapFetcher):
                 return v.strip().strip("\"'").lower()
         return None
 
-    def _get(self, url: str) -> dict:
+    def _get(self, url: str, extra: dict | None = None) -> dict:
         import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(
-            url, headers={"User-Agent": self.user_agent}
-        )
+        headers = {"User-Agent": self.user_agent}
+        # conditional-request validators (RFC 9110 §13): declared via
+        # pass_cols=("if_none_match", "if_modified_since") and joined
+        # into the layout by CrawlConfig(url_validators=...); a 304
+        # means "reuse your cached copy" and carries no body
+        if extra:
+            if extra.get("if_none_match"):
+                headers["If-None-Match"] = str(extra["if_none_match"])
+            if extra.get("if_modified_since"):
+                headers["If-Modified-Since"] = str(extra["if_modified_since"])
+        req = urllib.request.Request(url, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 body = resp.read(self.max_body_bytes)
@@ -370,14 +408,20 @@ class UrllibFetcher(MapFetcher):
                     "charset": self._charset_of(
                         resp.headers.get("Content-Type")
                     ),
+                    "etag": resp.headers.get("ETag"),
+                    "last_modified": resp.headers.get("Last-Modified"),
                 }
         except urllib.error.HTTPError as e:  # non-2xx WITH a response
             body = e.read(self.max_body_bytes) if e.fp else None
             return {
                 "status": int(e.code),
-                "body": body,
+                # 304 Not Modified has no representation — normalize
+                # any empty probe read to a null body
+                "body": None if int(e.code) == 304 else body,
                 "final_url": e.geturl() or url,
                 "charset": self._charset_of(e.headers.get("Content-Type")),
+                "etag": e.headers.get("ETag"),
+                "last_modified": e.headers.get("Last-Modified"),
             }
         except TimeoutError as e:
             return {"error": f"ConnectionTimeoutError: {e}"[:500]}
@@ -406,7 +450,7 @@ def fetch_stage(
         c
         for c in (
             "html", "http_status", "final_url", "fetch_error",
-            "body", "_hdr_charset",
+            "body", "_hdr_charset", "etag", "last_modified",
         )
         if c in df.columns
     ]
@@ -417,6 +461,8 @@ def fetch_stage(
             df.withColumn("html", F.lit(None).cast("string"))
             .withColumn("http_status", F.lit(None).cast("int"))
             .withColumn("final_url", F.col(url_col))
+            .withColumn("etag", F.lit(None).cast("string"))
+            .withColumn("last_modified", F.lit(None).cast("string"))
             .withColumn("fetch_error", F.lit("no fetcher configured"))
         )
     if callable(fetcher) and not hasattr(fetcher, "fetch"):

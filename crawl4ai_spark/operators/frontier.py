@@ -95,6 +95,15 @@ class CrawlConfig:
     # count by the alias volume (the manifests' cum_admitted, which
     # feeds max_pages, still counts admissions only).
     alias_redirects: bool = False
+    # conditional revalidation (RFC 9110 §13, the recrawl loop's cheap
+    # refetch): a DataFrame of (url | url_hash, if_none_match,
+    # if_modified_since) — e.g. built from a previous crawl's results
+    # (etag / last_modified columns) — joined into the fetch layout so
+    # a fetcher with pass_cols=("if_none_match", "if_modified_since")
+    # sends conditional requests; a 304 answer surfaces as
+    # fetch_status='not_modified' (no body, no links, politeness
+    # success). Fetcher mode only; ignored by the lookup join.
+    url_validators: object | None = None
     shuffle_partitions: int | None = None
     # traversal strategy (SURVEY.md T1/T7): "bfs" crawls the whole
     # frontier each round; "best_first" caps each round at the global
@@ -373,6 +382,9 @@ RESULT_COLS = [
     # error_message on CrawlResult) — the join-mode fetch synthesizes
     # them (200/url/None), a live fetcher carries real values
     "http_status", "final_url", "fetch_error",
+    # response validators (RFC 9110): feed CrawlConfig(url_validators=)
+    # of a later revisit crawl for conditional (304) refetches
+    "etag", "last_modified",
 ]
 
 LINKS_TYPE = (
@@ -871,6 +883,16 @@ class CrawlRun:
                     F.col("host"),
                     F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
                 ]
+            if cfg.url_validators is not None:
+                v = cfg.url_validators
+                if "url_hash" not in v.columns:
+                    v = v.withColumn("url_hash", url_hash("url")).drop("url")
+                selected = selected.join(
+                    v.select(
+                        "url_hash", "if_none_match", "if_modified_since"
+                    ),
+                    "url_hash", "left",
+                )
             layout = (
                 selected.repartition(n_part, *part_cols)
                 .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
@@ -882,6 +904,10 @@ class CrawlRun:
             fetched = fetch_stage(layout, cfg.fetcher)
             if _keep_delay:
                 fetched = fetched.drop(_fetch_icol)
+            if cfg.url_validators is not None:
+                # request-side validators are consumed by the fetcher;
+                # the RESPONSE validators (etag / last_modified) ride on
+                fetched = fetched.drop("if_none_match", "if_modified_since")
         else:
             # join-mode: the fetch join reshuffles by url anyway (the
             # scrape runs on the JOIN output), so a physical salted
@@ -911,6 +937,8 @@ class CrawlRun:
                 "fetch_error": F.when(
                     F.col("html").isNull(), F.lit("miss")
                 ).cast("string"),
+                "etag": F.lit(None).cast("string"),
+                "last_modified": F.lit(None).cast("string"),
             })
 
         # non-2xx responses carry their body (UrllibFetcher keeps error
@@ -945,6 +973,11 @@ class CrawlRun:
             "dfs_key", "partition_id",
             F.when(F.col("_fetch_ok"), "fetched")
             .when(
+                # 304: the conditional request succeeded and the cached
+                # copy is still valid — no body by design, not an error
+                F.col("http_status") == 304, "not_modified",
+            )
+            .when(
                 # the server ANSWERED non-2xx — with or without a body;
                 # 'miss' stays reserved for never-resolved lookups
                 F.col("http_status").isNotNull()
@@ -963,6 +996,7 @@ class CrawlRun:
             "markdown_with_citations", "references_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
             "links", "http_status", "final_url", "fetch_error",
+            "etag", "last_modified",
         )
 
         blocked_results = blocked.select(
@@ -982,6 +1016,8 @@ class CrawlRun:
             F.lit(None).cast("int").alias("http_status"),
             F.col("url").alias("final_url"),
             F.lit(None).cast("string").alias("fetch_error"),
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
         )
 
         abandoned_results = abandoned.select(
@@ -1001,6 +1037,8 @@ class CrawlRun:
             F.lit(None).cast("int").alias("http_status"),
             F.col("url").alias("final_url"),
             F.lit(None).cast("string").alias("fetch_error"),
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
         )
 
         all_results = results.unionByName(blocked_results).unionByName(
@@ -1017,10 +1055,17 @@ class CrawlRun:
                 "markdown_with_citations", "references_markdown",
                 "n_links", "links",
                 # provenance replayed from the cache (the original
-                # fetch's status/redirect), not fabricated
+                # fetch's status/redirect), not fabricated; validators
+                # null-backfilled for cache tables written pre-r4
                 F.col("http_status").cast("int").alias("http_status"),
                 F.col("final_url").cast("string").alias("final_url"),
                 F.lit(None).cast("string").alias("fetch_error"),
+                *[
+                    (
+                        F.col(c) if c in hits.columns else F.lit(None)
+                    ).cast("string").alias(c)
+                    for c in ("etag", "last_modified")
+                ],
             )
             all_results = all_results.unionByName(hit_results)
         # narrow write: the scraped payloads (markdown/text/links) are
@@ -1246,6 +1291,12 @@ class CrawlRun:
             state,
             persisted.filter(
                 ~F.col("fetch_status").isin("robots_blocked", "abandoned")
+            ).withColumn(
+                # a 304 is a politeness SUCCESS (the server answered
+                # fine; the row's success=false only means "no new
+                # content to extract") — it must not trigger backoff
+                "success",
+                F.col("success") | (F.col("fetch_status") == "not_modified"),
             ),
             r,
         )

@@ -105,7 +105,26 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
-        if self.path == "/ok":
+        if self.path == "/cond":
+            # conditional GET: ETag v1 / a fixed Last-Modified; a
+            # matching validator gets 304 with no body (RFC 9110 §13)
+            if (
+                self.headers.get("If-None-Match") == '"v1"'
+                or self.headers.get("If-Modified-Since")
+                == "Wed, 01 Jan 2025 00:00:00 GMT"
+            ):
+                self.send_response(304)
+                self.send_header("ETag", '"v1"')
+                self.end_headers()
+                return
+            body = b"<html>versioned</html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("ETag", '"v1"')
+            self.send_header(
+                "Last-Modified", "Wed, 01 Jan 2025 00:00:00 GMT"
+            )
+        elif self.path == "/ok":
             body = "<html><title>fine</title>plain utf-8</html>".encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -655,3 +674,128 @@ def test_alias_redirects_blocks_refetch_of_redirect_target(spark):
     assert on[A]["final_url"] == B and on[A]["success"]
     assert B not in on, "aliased target must not be refetched"
     assert C in on  # the rest of the crawl is unaffected
+
+
+def test_urllib_fetcher_conditional_requests(spark, http_base):
+    """UrllibFetcher captures response validators (ETag/Last-Modified)
+    and, with pass_cols declared, sends If-None-Match /
+    If-Modified-Since — a match comes back 304 with a null body."""
+    df = spark.createDataFrame(
+        [
+            (f"{http_base}/cond", None, None),
+            (f"{http_base}/cond", '"v1"', None),
+            (f"{http_base}/cond", None, "Wed, 01 Jan 2025 00:00:00 GMT"),
+        ],
+        "url string, if_none_match string, if_modified_since string",
+    ).coalesce(1)
+    out = UrllibFetcher(
+        timeout=5.0, pass_cols=("if_none_match", "if_modified_since")
+    ).fetch(df)
+    rows = out.select(
+        "if_none_match", "if_modified_since", "http_status", "html", "etag",
+        "last_modified",
+    ).collect()
+    by = {(r["if_none_match"], r["if_modified_since"]): r for r in rows}
+    full = by[(None, None)]
+    assert full["http_status"] == 200 and "versioned" in full["html"]
+    assert full["etag"] == '"v1"'
+    assert full["last_modified"] == "Wed, 01 Jan 2025 00:00:00 GMT"
+    for key in (('"v1"', None), (None, "Wed, 01 Jan 2025 00:00:00 GMT")):
+        not_mod = by[key]
+        assert not_mod["http_status"] == 304 and not_mod["html"] is None
+
+
+def test_revisit_crawl_with_validators_gets_not_modified(spark):
+    """The revisit loop: crawl once (results carry etag/last_modified),
+    build url_validators from those results, crawl again — unchanged
+    pages answer 304 -> fetch_status='not_modified' (no links, no
+    politeness backoff), changed pages refetch normally."""
+    A = "https://a.example/a.html"
+    B = "https://a.example/b.html"
+    bodies = {
+        A: '<html><body>alpha <a href="b.html">b</a></body></html>',
+        B: "<html><body>beta</body></html>",
+    }
+    changed = {"v": False}
+
+    def make_fn(b_changed):
+        def fn(url, extra=None):
+            ver = {"A": "e-a1", "B": "e-b2" if b_changed else "e-b1"}[
+                "A" if url == A else "B"
+            ]
+            if extra and extra.get("if_none_match") == ver:
+                return {"status": 304, "etag": ver}
+            return {
+                "status": 200,
+                "body": bodies[url].encode(),
+                "etag": ver,
+            }
+        return fn
+
+    pages = spark.createDataFrame([], "url string, html binary")
+
+    def crawl(fn, validators=None):
+        wd = tempfile.mkdtemp(prefix="revisit_")
+        shutil.rmtree(wd, ignore_errors=True)
+        run_crawl(
+            spark, pages, [A], wd,
+            CrawlConfig(
+                max_depth=2,
+                fetcher=MapFetcher(
+                    fn, pass_cols=("if_none_match", "if_modified_since")
+                ),
+                url_validators=validators,
+            ),
+            max_rounds=3,
+        )
+        res = spark.read.parquet(f"{wd}/results")
+        state = spark.read.parquet(f"{wd}/politeness/round=1")
+        out = (
+            {r["url"]: r for r in res.collect()},
+            {r["host"]: r for r in state.collect()},
+        )
+        shutil.rmtree(wd, ignore_errors=True)
+        return out
+
+    first, _ = crawl(make_fn(False))
+    assert first[A]["fetch_status"] == "fetched" and first[A]["etag"] == "e-a1"
+    assert first[B]["etag"] == "e-b1"
+
+    validators = spark.createDataFrame(
+        [(u, first[u]["etag"], None) for u in (A, B)],
+        "url string, if_none_match string, if_modified_since string",
+    )
+
+    # nothing changed: every revisit answers 304, no links follow
+    revisit, state = crawl(make_fn(False), validators)
+    assert revisit[A]["fetch_status"] == "not_modified"
+    assert revisit[A]["success"] is False and revisit[A]["n_links"] == 0
+    assert B not in revisit  # A's links were not re-extracted
+    # 304 is a politeness success: the host must stay at the base delay
+    assert state["a.example"]["fail_count"] == 0
+
+    # B changed: A still 304s, B refetches with the new etag — but B is
+    # only reachable through A's links, so seed both in the revisit
+    validators2 = validators
+    def crawl_two(fn, validators):
+        wd = tempfile.mkdtemp(prefix="revisit2_")
+        shutil.rmtree(wd, ignore_errors=True)
+        run_crawl(
+            spark, pages, [A, B], wd,
+            CrawlConfig(
+                max_depth=2,
+                fetcher=MapFetcher(
+                    fn, pass_cols=("if_none_match", "if_modified_since")
+                ),
+                url_validators=validators,
+            ),
+            max_rounds=2,
+        )
+        res = {r["url"]: r for r in spark.read.parquet(f"{wd}/results").collect()}
+        shutil.rmtree(wd, ignore_errors=True)
+        return res
+
+    mixed = crawl_two(make_fn(True), validators2)
+    assert mixed[A]["fetch_status"] == "not_modified"
+    assert mixed[B]["fetch_status"] == "fetched"
+    assert mixed[B]["etag"] == "e-b2" and mixed[B]["success"]
