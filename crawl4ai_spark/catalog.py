@@ -4093,3 +4093,78 @@ def q_unigram_train_encode(spark, sf_dir):
 
 
 PYTEST_ONLY_QUERIES["unigram_train_encode"] = q_unigram_train_encode
+
+
+def q_revisit_crawl(spark, sf_dir):
+    """Conditional-revalidation loop (RFC 9110 §13; the cheap-refetch
+    half of the recrawl scheduler, operators/recrawl.py): crawl the
+    synthetic corpus once through an ETag-aware fetcher, build
+    ``CrawlConfig(url_validators=...)`` from the results' captured
+    validators, revisit the same seeds — unchanged pages answer 304
+    (fetch_status='not_modified', no links, politeness success).
+    Returns (url, first_status, revisit_status) per seed. The loop is
+    imperative multi-crawl plumbing — pytest-only entry, like
+    corpus_pipeline. No reference counterpart (crawl4ai refetches
+    unconditionally; CacheMode is its only refetch dampener)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .operators.fetch import MapFetcher
+    from .operators.frontier import CrawlConfig, run_crawl
+
+    pages = _pages(spark, sf_dir)
+    corpus = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+
+    def fn(url, extra=None):
+        body = corpus.get(url)
+        if body is None:
+            return {"error": "miss"}
+        tag = f'"{hashlib.md5(body).hexdigest()[:12]}"'
+        if extra and extra.get("if_none_match") == tag:
+            return {"status": 304, "etag": tag}
+        return {"status": 200, "body": body, "etag": tag}
+
+    seeds = [
+        r["url"] for r in pages.select("url").orderBy("url").limit(8).collect()
+    ]
+    cfg = lambda v: CrawlConfig(  # noqa: E731
+        max_depth=1,
+        fetcher=MapFetcher(fn, pass_cols=("if_none_match", "if_modified_since")),
+        url_validators=v,
+    )
+    wd1 = tempfile.mkdtemp(prefix="revisit_q1_")
+    shutil.rmtree(wd1, ignore_errors=True)
+    run_crawl(spark, pages, seeds, wd1, cfg(None), max_rounds=1)
+    first = spark.read.parquet(f"{wd1}/results")
+    validators = first.filter(F.col("etag").isNotNull()).select(
+        "url",
+        F.col("etag").alias("if_none_match"),
+        F.col("last_modified").alias("if_modified_since"),
+    )
+    wd2 = tempfile.mkdtemp(prefix="revisit_q2_")
+    shutil.rmtree(wd2, ignore_errors=True)
+    run_crawl(spark, pages, seeds, wd2, cfg(validators), max_rounds=1)
+    second = spark.read.parquet(f"{wd2}/results")
+    out = (
+        first.select("url", F.col("fetch_status").alias("first_status"))
+        .join(
+            second.select(
+                "url", F.col("fetch_status").alias("revisit_status")
+            ),
+            "url",
+        )
+        .orderBy("url")
+    )
+    rows = out.collect()
+    shutil.rmtree(wd1, ignore_errors=True)
+    shutil.rmtree(wd2, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "url string, first_status string, revisit_status string"
+    )
+
+
+PYTEST_ONLY_QUERIES["revisit_crawl"] = q_revisit_crawl
