@@ -46,6 +46,7 @@ def start_stream_extract(
     *,
     max_files_per_trigger: int = 4,
     available_now: bool = False,
+    fetcher=None,
 ):
     """Start the streaming fetch+extract: frontier parquet files ->
     results parquet sink. Returns the StreamingQuery.
@@ -53,7 +54,13 @@ def start_stream_extract(
     ``available_now=True`` drains everything already in the directory
     in back-to-back micro-batches (still rate-limited by
     ``max_files_per_trigger``) and stops — the batch-drain mode the
-    streaming bench times; the default is a continuous 1 s trigger."""
+    streaming bench times; the default is a continuous 1 s trigger.
+
+    ``fetcher`` swaps the pages-table lookup join for the same
+    pluggable fetch seam the batch engine uses (operators/fetch.py) —
+    live micro-batch fetching with identical result labels; per-host
+    pacing state is per micro-batch (each foreachBatch run is its own
+    job; the politeness floor across batches is the 1 s trigger)."""
     os.makedirs(frontier_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(FRONTIER_SCHEMA)
@@ -62,16 +69,49 @@ def start_stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fetched = batch_df.join(
-            pages.select("url", "html", "warc_ts"), "url", "left"
-        )
-        extracted = scrape_stage(fetched, "html", "url", markdown=True)
+        base_col = "url"
+        if fetcher is not None:
+            from ..operators.fetch import fetch_stage
+
+            fetched = fetch_stage(batch_df, fetcher).withColumn(
+                # relative links resolve against the POST-redirect URL,
+                # same as the batch engine's _scrape_base
+                "_sbase", F.coalesce(F.col("final_url"), F.col("url"))
+            )
+            base_col = "_sbase"
+            status = (
+                F.when(
+                    F.col("html").isNotNull()
+                    & (
+                        F.col("http_status").isNull()
+                        | F.col("http_status").between(200, 299)
+                    ),
+                    "fetched",
+                )
+                .when(
+                    F.col("http_status").isNotNull()
+                    & ~F.col("http_status").between(200, 299),
+                    "http_error",
+                )
+                .when(
+                    F.col("fetch_error").isNotNull()
+                    & (F.col("fetch_error") != "miss"),
+                    "error",
+                )
+                .otherwise("miss")
+            )
+        else:
+            fetched = batch_df.join(
+                pages.select("url", "html", "warc_ts"), "url", "left"
+            )
+            status = F.when(F.col("html").isNotNull(), "fetched").otherwise(
+                "miss"
+            )
+        extracted = scrape_stage(fetched, "html", base_col, markdown=True)
         out = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
-            F.when(F.col("html").isNotNull(), "fetched")
-            .otherwise("miss")
-            .alias("fetch_status"),
-            (F.col("html").isNotNull() & F.col("success")).alias("success"),
+            status.alias("fetch_status"),
+            ((status == "fetched") & F.col("success")).alias("success"),
             "title", "raw_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
         )

@@ -244,3 +244,51 @@ def test_stream_extract_available_now_drains_and_stops(spark, sf_dir, tmp_path):
     out = spark.read.parquet(odir)
     assert out.count() == 60  # 3 batches x 20 urls, exactly once
     assert out.filter(F.col("success")).count() == 60
+
+
+def test_stream_extract_over_fetcher_equals_join(spark, sf_dir, tmp_path):
+    """The streaming extract path over the pluggable fetch seam
+    (fetcher=MapFetcher) must produce the same rows as the pages-join
+    default — the batch engine's crawl-over-fetcher==crawl-over-join
+    parity, micro-batched."""
+    from crawl4ai_spark.operators.fetch import MapFetcher
+
+    pages = generate_pages(spark, sf_dir).cache()
+    all_urls = sorted(r["url"] for r in pages.select("url").collect())
+    corpus = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+
+    def fake_http(url):
+        body = corpus.get(url)
+        return {"status": 200, "body": body} if body else {"error": "miss"}
+
+    def run(fetcher, tag):
+        frontier_dir = str(tmp_path / f"frontier_{tag}")
+        out_dir = str(tmp_path / f"results_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        _frontier_batch(
+            spark, all_urls[:20] + ["https://nowhere.example/zz"], 0
+        ).coalesce(1).write.mode("append").parquet(frontier_dir)
+        q = start_stream_extract(
+            spark, pages, frontier_dir, out_dir, ckpt,
+            available_now=True, fetcher=fetcher,
+        )
+        q.awaitTermination(120)
+        return [
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .select(
+                "url", "fetch_status", "success", "title", "n_links",
+            )
+            .orderBy("url")
+            .collect()
+        ]
+
+    joined = run(None, "join")
+    fetched = run(MapFetcher(fake_http), "fetch")
+    assert joined == fetched
+    assert any(r[1] == "fetched" for r in joined)
+    by_url = {r[0]: r for r in fetched}
+    assert by_url["https://nowhere.example/zz"][1] == "miss"
