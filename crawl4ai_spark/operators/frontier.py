@@ -104,6 +104,14 @@ class CrawlConfig:
     # fetch_status='not_modified' (no body, no links, politeness
     # success). Fetcher mode only; ignored by the lookup join.
     url_validators: object | None = None
+    # politeness failure definition. Default (None) is the engine's
+    # conservative shape: ANY unsuccessful row backs the host off.
+    # Setting a code tuple reproduces the reference RateLimiter
+    # exactly (async_dispatcher.py:37,63-80: update_delay backs off
+    # ONLY on rate_limit_codes — default (429, 503) — while every
+    # other outcome, including 404s and extraction failures, DECAYS
+    # the delay and resets fail_count).
+    rate_limit_codes: tuple | None = None
     shuffle_partitions: int | None = None
     # traversal strategy (SURVEY.md T1/T7): "bfs" crawls the whole
     # frontier each round; "best_first" caps each round at the global
@@ -1287,17 +1295,24 @@ class CrawlRun:
 
         # politeness fold
         self._sec(r, "politeness")
+        if cfg.rate_limit_codes is not None:
+            # reference-exact: only rate-limit answers are failures
+            pol_success = ~F.coalesce(
+                F.col("http_status").isin(*[int(c) for c in cfg.rate_limit_codes]),
+                F.lit(False),
+            )
+        else:
+            # conservative default: any unsuccessful row backs off; a
+            # 304 is a politeness SUCCESS either way (the server
+            # answered fine; success=false only means "no new content")
+            pol_success = F.col("success") | (
+                F.col("fetch_status") == "not_modified"
+            )
         new_state = update_state(
             state,
             persisted.filter(
                 ~F.col("fetch_status").isin("robots_blocked", "abandoned")
-            ).withColumn(
-                # a 304 is a politeness SUCCESS (the server answered
-                # fine; the row's success=false only means "no new
-                # content to extract") — it must not trigger backoff
-                "success",
-                F.col("success") | (F.col("fetch_status") == "not_modified"),
-            ),
+            ).withColumn("success", pol_success),
             r,
         )
         self.politeness.save(new_state, r + 1)

@@ -799,3 +799,52 @@ def test_revisit_crawl_with_validators_gets_not_modified(spark):
     assert mixed[A]["fetch_status"] == "not_modified"
     assert mixed[B]["fetch_status"] == "fetched"
     assert mixed[B]["etag"] == "e-b2" and mixed[B]["success"]
+
+
+def test_rate_limit_codes_back_off_only_on_429_503(spark):
+    """CrawlConfig(rate_limit_codes=(429, 503)) reproduces the
+    reference RateLimiter exactly (async_dispatcher.py:63-80): a 429
+    host backs off and counts failures; a 404 host DECAYS toward the
+    base delay with fail_count 0 — while the default (None) config
+    backs off any unsuccessful host."""
+    H429 = "https://h429.example/x.html"
+    H404 = "https://h404.example/x.html"
+    OK = "https://hok.example/x.html"
+
+    def fn(url):
+        if "h429" in url:
+            return {"status": 429, "body": None}
+        if "h404" in url:
+            return {"status": 404, "body": b"<html>gone</html>"}
+        return {"status": 200, "body": b"<html>fine</html>"}
+
+    pages = spark.createDataFrame([], "url string, html binary")
+
+    def state_after(codes):
+        wd = tempfile.mkdtemp(prefix="ratelimit_")
+        shutil.rmtree(wd, ignore_errors=True)
+        run_crawl(
+            spark, pages, [H429, H404, OK], wd,
+            CrawlConfig(
+                max_depth=1, fetcher=MapFetcher(fn),
+                rate_limit_codes=codes,
+            ),
+            max_rounds=1,
+        )
+        st = {
+            r["host"]: r
+            for r in spark.read.parquet(f"{wd}/politeness/round=1").collect()
+        }
+        shutil.rmtree(wd, ignore_errors=True)
+        return st
+
+    ref = state_after((429, 503))
+    assert ref["h429.example"]["fail_count"] == 1
+    assert ref["h429.example"]["current_delay"] > 1.0
+    assert ref["h404.example"]["fail_count"] == 0  # 404 is NOT rate-limited
+    assert ref["h404.example"]["current_delay"] == 1.0
+    assert ref["hok.example"]["fail_count"] == 0
+
+    legacy = state_after(None)
+    assert legacy["h429.example"]["fail_count"] == 1
+    assert legacy["h404.example"]["fail_count"] == 1  # conservative default
