@@ -147,7 +147,12 @@ class MapFetcher:
         # fn(url, {col: value, ...}) — e.g. conditional-request
         # validators ("if_none_match", "if_modified_since") joined
         # into the fetch layout by CrawlConfig(url_validators=...).
-        # With pass_cols empty, fn keeps its one-argument contract.
+        # The arity contract is fixed at CONSTRUCTION: with pass_cols
+        # declared, fn always receives the second argument (None when
+        # a frame lacks the columns — e.g. the robots.txt fetch) so a
+        # two-positional-arg fn never TypeErrors into error rows on
+        # one path while working on another. With pass_cols empty, fn
+        # keeps its one-argument contract.
         self.pass_cols = tuple(pass_cols)
         # minimum seconds between request STARTS to the same host
         # within a task (the reference's RateLimiter base delay,
@@ -174,6 +179,7 @@ class MapFetcher:
             else None
         )
         pcols = [c for c in self.pass_cols if c in (df.columns or [])]
+        declared = bool(self.pass_cols)
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -181,7 +187,7 @@ class MapFetcher:
 
         def one(url, extra=None):
             try:
-                r = fn(url, extra) if pcols else fn(url)
+                r = fn(url, extra) if declared else fn(url)
                 return (
                     r.get("body"),
                     r.get("status"),
@@ -434,6 +440,33 @@ class UrllibFetcher(MapFetcher):
             ):
                 return {"error": f"ConnectionTimeoutError: {e.reason}"[:500]}
             return {"error": f"ConnectionError: {e.reason}"[:500]}
+
+
+def fetch_status_expr(fetch_ok) -> F.Column:
+    """The engine's fetch_status classification — the single source
+    for the batch crawl loop and the streaming extract path:
+
+    - ``fetched``       fetch_ok (body present, 2xx-or-unreported)
+    - ``not_modified``  304: the conditional request succeeded and the
+                        cached copy is valid (no body by design)
+    - ``http_error``    the server ANSWERED non-2xx, with/without body
+    - ``error``         a typed fetch_error (connection, timeout, ...)
+    - ``miss``          never resolved (reserved for lookup misses)
+    """
+    return (
+        F.when(fetch_ok, "fetched")
+        .when(F.col("http_status") == 304, "not_modified")
+        .when(
+            F.col("http_status").isNotNull()
+            & ~F.col("http_status").between(200, 299),
+            "http_error",
+        )
+        .when(
+            F.col("fetch_error").isNotNull() & (F.col("fetch_error") != "miss"),
+            "error",
+        )
+        .otherwise("miss")
+    )
 
 
 def fetch_stage(

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scrape import scrape_stage
 from ..functions.urls import canonicalize_udf, host_no_port, url_hash
+from .fetch import fetch_status_expr as _fetch_status_expr
 from .politeness import (
     PolitenessState,
     _leaf_indices,
@@ -472,14 +473,10 @@ class CrawlRun:
             return None
         return self.spark.read.schema(ROBOTS_CACHE_SCHEMA).parquet(*paths)
 
-    def robots_cache(self) -> DataFrame | None:
-        """The live-acquired robots cache (latest row per host), or
-        None when ``robots_fetch`` never ran. Columns:
-        :data:`~crawl4ai_spark.operators.robots.ROBOTS_CACHE_SCHEMA`.
-        """
-        cache = self._robots_cache(2**31 - 1)
-        if cache is None:
-            return None
+    @staticmethod
+    def _latest_per_host(cache: DataFrame) -> DataFrame:
+        """Latest fetch per host (fetched_round max_by) — the one
+        place the cache's per-host resolution rule lives."""
         return (
             cache.groupBy("host")
             .agg(
@@ -490,6 +487,16 @@ class CrawlRun:
             )
             .select("host", "_s.*")
         )
+
+    def robots_cache(self) -> DataFrame | None:
+        """The live-acquired robots cache (latest row per host), or
+        None when ``robots_fetch`` never ran. Columns:
+        :data:`~crawl4ai_spark.operators.robots.ROBOTS_CACHE_SCHEMA`.
+        """
+        cache = self._robots_cache(2**31 - 1)
+        if cache is None:
+            return None
+        return self._latest_per_host(cache)
 
     def discovered_sitemaps(self) -> DataFrame | None:
         """(host, sitemap_url) pairs from the robots.txt files the
@@ -527,7 +534,14 @@ class CrawlRun:
         spark = self.spark
         rule_cols = ["host", "disallow", "allow", "crawl_delay"]
 
-        cache = self._robots_cache(r)
+        # rounds <= r-1 ONLY: a crashed attempt of round r may have
+        # left a partial robots/r{r} increment, and this plan both
+        # feeds the overwrite of that path and (via `known`) decides
+        # which hosts to refetch — reading it would be a Spark
+        # read-overwrite conflict AND would silently exclude the
+        # crashed attempt's hosts from the refetch. The rerun simply
+        # re-derives the whole increment.
+        cache = self._robots_cache(r - 1)
         live = None
         if cache is not None:
             if cfg.robots_ttl_rounds is not None:
@@ -536,16 +550,7 @@ class CrawlRun:
                 cache = cache.filter(
                     F.col("fetched_round") > r - int(cfg.robots_ttl_rounds)
                 )
-            live = (
-                cache.groupBy("host")
-                .agg(
-                    F.max_by(
-                        F.struct(*[c for c in cache.columns if c != "host"]),
-                        "fetched_round",
-                    ).alias("_s")
-                )
-                .select("host", "_s.*")
-            )
+            live = self._latest_per_host(cache)
 
         known = (
             live.select("host")
@@ -555,8 +560,13 @@ class CrawlRun:
         static = cfg.robots_rules
         if static is not None:
             known = known.unionByName(static.select("host"))
-        new_hosts = frontier.select("host").distinct().join(
-            known, "host", "left_anti"
+        # one exemplar URL per new host: robots.txt is requested from
+        # the exemplar's scheme+authority (RFC 9309 scopes robots per
+        # origin, port included), not from a run-global scheme
+        new_hosts = (
+            frontier.groupBy("host")
+            .agg(F.min("url").alias("url"))
+            .join(known, "host", "left_anti")
         )
         inc = fetch_robots_rules(
             new_hosts, fetcher, ua=cfg.robots_ua,
@@ -979,26 +989,7 @@ class CrawlRun:
         results = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
             "dfs_key", "partition_id",
-            F.when(F.col("_fetch_ok"), "fetched")
-            .when(
-                # 304: the conditional request succeeded and the cached
-                # copy is still valid — no body by design, not an error
-                F.col("http_status") == 304, "not_modified",
-            )
-            .when(
-                # the server ANSWERED non-2xx — with or without a body;
-                # 'miss' stays reserved for never-resolved lookups
-                F.col("http_status").isNotNull()
-                & ~F.col("http_status").between(200, 299),
-                "http_error",
-            )
-            .when(
-                F.col("fetch_error").isNotNull()
-                & (F.col("fetch_error") != "miss"),
-                "error",
-            )
-            .otherwise("miss")
-            .alias("fetch_status"),
+            _fetch_status_expr(F.col("_fetch_ok")).alias("fetch_status"),
             (F.col("_fetch_ok") & F.col("success")).alias("success"),
             "title", "headings", "meta", "text_extracted", "raw_markdown",
             "markdown_with_citations", "references_markdown",

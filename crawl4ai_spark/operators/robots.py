@@ -281,15 +281,36 @@ def fetch_robots_rules(
     feeds a parse mapInPandas; rules compile on executors, the driver
     never sees a body. The per-round host increment is frontier-bounded
     and typically tiny (new hosts only).
+
+    When ``hosts`` carries a ``url`` column (an exemplar URL per
+    host), the robots.txt request targets THAT url's scheme+authority
+    — RFC 9309 scopes robots.txt per origin, port included, so a
+    crawl of https://h:8443/ must consult https://h:8443/robots.txt,
+    not the default-port origin. ``scheme`` + the bare host are the
+    fallback when no exemplar is given (or it fails to parse). NB the
+    engine still KEYS robots state by port-stripped host, like the
+    reference keys its cache by netloc (utils.py:327).
     """
     import pandas as pd
 
-    req = hosts.select(
-        "host",
-        F.concat(
+    if "url" in hosts.columns:
+        robots_url = F.concat(
+            F.coalesce(
+                F.try_parse_url(F.col("url"), F.lit("PROTOCOL")),
+                F.lit(scheme),
+            ),
+            F.lit("://"),
+            F.coalesce(
+                F.try_parse_url(F.col("url"), F.lit("AUTHORITY")),
+                F.col("host"),
+            ),
+            F.lit("/robots.txt"),
+        )
+    else:
+        robots_url = F.concat(
             F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")
-        ).alias("url"),
-    )
+        )
+    req = hosts.select("host", robots_url.alias("url"))
     fetched = fetcher.fetch(req, url_col="url")
     rnd = int(round_no)
 

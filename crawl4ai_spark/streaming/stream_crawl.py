@@ -71,7 +71,7 @@ def start_stream_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         base_col = "url"
         if fetcher is not None:
-            from ..operators.fetch import fetch_stage
+            from ..operators.fetch import fetch_stage, fetch_status_expr
 
             fetched = fetch_stage(batch_df, fetcher).withColumn(
                 # relative links resolve against the POST-redirect URL,
@@ -79,26 +79,14 @@ def start_stream_extract(
                 "_sbase", F.coalesce(F.col("final_url"), F.col("url"))
             )
             base_col = "_sbase"
-            status = (
-                F.when(
-                    F.col("html").isNotNull()
-                    & (
-                        F.col("http_status").isNull()
-                        | F.col("http_status").between(200, 299)
-                    ),
-                    "fetched",
+            # the batch engine's classifier verbatim (incl. the 304 ->
+            # 'not_modified' case), single-sourced in operators/fetch.py
+            status = fetch_status_expr(
+                F.col("html").isNotNull()
+                & (
+                    F.col("http_status").isNull()
+                    | F.col("http_status").between(200, 299)
                 )
-                .when(
-                    F.col("http_status").isNotNull()
-                    & ~F.col("http_status").between(200, 299),
-                    "http_error",
-                )
-                .when(
-                    F.col("fetch_error").isNotNull()
-                    & (F.col("fetch_error") != "miss"),
-                    "error",
-                )
-                .otherwise("miss")
             )
         else:
             fetched = batch_df.join(
