@@ -371,6 +371,13 @@ class UrllibFetcher(MapFetcher):
         self.timeout = float(timeout)
         self.user_agent = user_agent
         self.max_body_bytes = int(max_body_bytes)
+        # proxy_server is always declared: rows carrying one (from
+        # operators/proxy.assign_proxies or CrawlConfig(proxies=...))
+        # route through that proxy; rows without it go direct. Cost of
+        # declaring it on frames that lack the column is nil (extra
+        # arrives as None).
+        if "proxy_server" not in pass_cols:
+            pass_cols = tuple(pass_cols) + ("proxy_server",)
         super().__init__(
             self._get,
             concurrency=concurrency,
@@ -404,8 +411,25 @@ class UrllibFetcher(MapFetcher):
             if extra.get("if_modified_since"):
                 headers["If-Modified-Since"] = str(extra["if_modified_since"])
         req = urllib.request.Request(url, headers=headers)
+        # per-row proxy routing (reference rotation seam,
+        # async_webcrawler.py:297-307): the assignment is a column —
+        # operators/proxy.assign_proxies — so speculative re-execution
+        # reuses the same proxy per URL. ProxyHandler consumes userinfo
+        # credentials from the URL as Proxy-Authorization.
+        proxy = extra.get("proxy_server") if extra else None
+        if proxy:
+            opener = urllib.request.build_opener(
+                urllib.request.ProxyHandler(
+                    {"http": str(proxy), "https": str(proxy)}
+                )
+            )
+            open_ = lambda: opener.open(req, timeout=self.timeout)  # noqa: E731
+        else:
+            open_ = lambda: urllib.request.urlopen(  # noqa: E731
+                req, timeout=self.timeout
+            )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with open_() as resp:
                 body = resp.read(self.max_body_bytes)
                 return {
                     "status": int(resp.status),

@@ -105,6 +105,17 @@ class CrawlConfig:
     # fetch_status='not_modified' (no body, no links, politeness
     # success). Fetcher mode only; ignored by the lookup join.
     url_validators: object | None = None
+    # proxy rotation (reference: proxy_strategy.py RoundRobin cycle,
+    # advanced per request at async_webcrawler.py:297-307). A list of
+    # ProxyConfig / "ip:port[:user:pass]" / server-URL specs; each
+    # fetch-layout row gets a deterministic proxy_server column
+    # (operators/proxy.assign_proxies — hash-mod, even + replayable)
+    # consumed by proxy-aware fetchers (UrllibFetcher) and dropped
+    # before results are written. proxy_per: "url" = rotate per
+    # request (reference spirit), "host" = sticky proxy per host.
+    # Fetcher mode only; the lookup join makes no requests.
+    proxies: object | None = None
+    proxy_per: str = "url"
     # politeness failure definition. Default (None) is the engine's
     # conservative shape: ANY unsuccessful row backs the host off.
     # Setting a code tuple reproduces the reference RateLimiter
@@ -911,6 +922,12 @@ class CrawlRun:
                     ),
                     "url_hash", "left",
                 )
+            if cfg.proxies is not None:
+                from .proxy import assign_proxies
+
+                selected = assign_proxies(
+                    selected, cfg.proxies, per=cfg.proxy_per
+                )
             layout = (
                 selected.repartition(n_part, *part_cols)
                 .sortWithinPartitions(F.desc("_prio_eff"), F.asc("url"))
@@ -926,6 +943,10 @@ class CrawlRun:
                 # request-side validators are consumed by the fetcher;
                 # the RESPONSE validators (etag / last_modified) ride on
                 fetched = fetched.drop("if_none_match", "if_modified_since")
+            if cfg.proxies is not None:
+                # consumed by the fetcher; may carry credentials —
+                # never persisted into results
+                fetched = fetched.drop("proxy_server")
         else:
             # join-mode: the fetch join reshuffles by url anyway (the
             # scrape runs on the JOIN output), so a physical salted
