@@ -4168,3 +4168,85 @@ def q_revisit_crawl(spark, sf_dir):
 
 
 PYTEST_ONLY_QUERIES["revisit_crawl"] = q_revisit_crawl
+
+
+def q_hub_google_serp(spark, sf_dir):
+    """Crawler-hub tier (hub.py, crawlers/google_search/crawler.py):
+    synthesize SERP pages arithmetically from the documents table
+    (3 organic results per page, titles/links/snippets closed-form in
+    doc_id), run them through ``GoogleSearchCrawler.run_batch`` — the
+    pluggable fetch seam + driver-side schema inference + one
+    Arrow-batched extraction stage — and explode the organic items
+    back out. Round-trip identity (html build -> schema infer ->
+    extract) is pinned in tests/test_hub.py; the multi-section schema
+    cache and error paths are pytest-covered there too."""
+    from .hub import GoogleSearchCrawler
+    from .operators.fetch import PagesJoinFetcher
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    item = F.format_string(
+        '<div class="g"><h3 class="title">doc %s</h3>'
+        '<a class="lnk" href="https://ex.test/%s">visit</a>'
+        '<span class="snippet">%s</span>'
+        '<span class="date">%s hours ago</span></div>',
+        F.col("doc_id"),
+        F.col("doc_id"),
+        F.substring("text", 1, 40),
+        F.col("doc_id") % 24,
+    )
+    serp = (
+        docs.withColumn("page", (F.col("doc_id") / F.lit(3)).cast("long"))
+        .withColumn("part", F.struct(F.col("doc_id"), item.alias("item")))
+        .groupBy("page")
+        .agg(
+            F.concat(
+                F.lit('<html><body><div id="search">'),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list("part")),
+                        lambda s: s["item"],
+                    ),
+                ),
+                F.lit("</div></body></html>"),
+            ).alias("html")
+        )
+        .withColumn(
+            "url",
+            F.format_string(
+                "https://www.google.com/search?q=p%s&gl=sg&hl=en", "page"
+            ),
+        )
+    )
+    g = GoogleSearchCrawler(
+        fetcher=PagesJoinFetcher(serp.select("url", "html"))
+    )
+    res = g.run_batch(spark, serp.select("url"))
+    organic = (
+        "struct<organic_schema: array<struct<title:string, lnk_href:string,"
+        " lnk:string, snippet:string, date:string>>>"
+    )
+    return (
+        res.select(
+            "url",
+            F.posexplode(
+                F.from_json("extracted", organic)["organic_schema"]
+            ).alias("pos", "o"),
+        )
+        .select(
+            "url",
+            "pos",
+            F.col("o.title").alias("title"),
+            F.col("o.lnk_href").alias("link"),
+            F.col("o.snippet").alias("snippet"),
+            F.col("o.date").alias("result_date"),
+        )
+        .orderBy("url", "pos")
+    )
+
+
+PYTEST_ONLY_QUERIES["hub_google_serp"] = q_hub_google_serp
