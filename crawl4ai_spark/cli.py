@@ -195,7 +195,7 @@ def crawl_cmd(url, pages, live, crawler_config, filter_config,
         rows = _run(spark, url, pages, live, crawler_config, crawler,
                     deep_crawl, max_pages, workdir, filter_conf,
                     extract_conf, load_config_file(schema) if schema else None,
-                    verbose)
+                    verbose, output)
         _emit(rows, output, output_file, bool(deep_crawl))
     finally:
         if created:
@@ -204,7 +204,7 @@ def crawl_cmd(url, pages, live, crawler_config, filter_config,
 
 def _run(spark, url, pages_path, live, crawler_config, crawler_kv,
          deep_crawl, max_pages, workdir, filter_conf, extract_conf,
-         schema_data, verbose):
+         schema_data, verbose, output="all"):
     from pyspark.sql import functions as F
 
     from .functions.scrape import scrape_stage
@@ -218,9 +218,11 @@ def _run(spark, url, pages_path, live, crawler_config, crawler_kv,
                     "best-first": "best_first"}[deep_crawl]
         kwargs = dict(load_config_file(crawler_config) or {})
         kwargs.update(crawler_kv or {})
-        # cli.py:1173-1193: depth 3, strategy, max_pages
+        # cli.py:1173-1193: depth 3, strategy, max_pages. The option
+        # value wins unconditionally (the reference builds the strategy
+        # straight from it) — it must stay coupled to max_rounds below
         kwargs.setdefault("max_depth", 3)
-        kwargs.setdefault("max_pages", max_pages)
+        kwargs["max_pages"] = max_pages
         kwargs["strategy"] = strategy
         if strategy == "best_first":
             kwargs.setdefault("batch_size", 10)
@@ -233,7 +235,17 @@ def _run(spark, url, pages_path, live, crawler_config, crawler_kv,
         if verbose:
             click.echo(f"run directory: {wd}", err=True)
         df = CrawlRun(spark, pages_df, wd, cfg).results()
-        df = df.orderBy("round", "depth", "url")
+        if filter_conf or (extract_conf and schema_data):
+            # the results table intentionally drops html/cleaned_html
+            # (RESULT_COLS); the filter/extraction stages need the DOM,
+            # so re-resolve the crawled URLs through the same fetch
+            # seam and join the cleaned_html back (deterministic for
+            # --pages; a refetch for --live)
+            enriched = scrape_stage(
+                fetch_stage(df.select("url"), fetcher), "html", "url",
+                markdown=False,
+            ).select("url", "cleaned_html")
+            df = df.join(enriched, "url", "left")
     else:
         one = spark.createDataFrame([(url,)], "url string")
         df = scrape_stage(fetch_stage(one, fetcher), "html", "url",
@@ -260,6 +272,14 @@ def _run(spark, url, pages_path, live, crawler_config, crawler_kv,
                 "xpath" if extract_conf["type"] == "json-xpath" else "css"
             ),
         )
+    if deep_crawl:
+        # LAST, after every join/stage: a join would destroy the sort,
+        # and the first row (round 0 seed) is the "main result"
+        df = df.orderBy("round", "depth", "url")
+    if output != "all":
+        # every other mode prints only the main (first) result — don't
+        # ship a whole deep-crawl's markdown/links to the driver
+        df = df.limit(1)
     return df.collect()
 
 

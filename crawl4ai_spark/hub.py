@@ -115,8 +115,9 @@ class CrawlerHub:
 
     @classmethod
     def get(cls, name: str) -> Union[Type[BaseCrawler], None]:
-        if not cls._crawlers:
-            cls._discover_crawlers()
+        # unconditional: discovery is idempotent (setdefault), and an
+        # early register() must not hide the builtins
+        cls._discover_crawlers()
         return cls._crawlers.get(name)
 
 
@@ -246,6 +247,12 @@ class GoogleSearchCrawler(BaseCrawler):
         over every page, so the crawler scales with the cluster.
         """
         fetched = fetch_stage(urls, self._fetcher, url_col=url_col)
+        # materialize the fetch ONCE: without this, the schema sample
+        # below and the extraction stage would each re-run the fetch
+        # lineage — double live HTTP traffic against a host this
+        # crawler's own meta rates at 10 RPM, and the extracted page
+        # could differ from the one the schema was inferred from
+        fetched = fetched.localCheckpoint()
         schemas = None
         sample = (
             fetched.filter(F.col("html").isNotNull())

@@ -109,8 +109,10 @@ class CrawlerMonitor:
             disc = d if disc is None else disc.unionByName(d)
         disc = disc.groupBy("url", "host").agg(
             F.min("dir_round").alias("discovered_round"),
-            F.max("dir_round").alias("last_scheduled_round"),
         )
+        # a queued row's wait-so-far is measured to the next round that
+        # would run = last committed round + 1 (0 when nothing commits)
+        pending_round = (max(committed) + 1) if committed else 0
         res = None
         for r, p in result_dirs:
             d = self.spark.read.parquet(p).select(
@@ -127,7 +129,8 @@ class CrawlerMonitor:
                 "url", "host", F.lit(QUEUED).alias("status"),
                 "discovered_round",
                 F.lit(None).cast("int").alias("fetch_round"),
-                F.lit(None).cast("int").alias("wait_rounds"),
+                (F.lit(pending_round) - F.col("discovered_round"))
+                .cast("int").alias("wait_rounds"),
                 F.lit(None).cast("string").alias("fetch_status"),
                 F.lit(None).cast("string").alias("error_message"),
             )
@@ -149,7 +152,10 @@ class CrawlerMonitor:
                 status.alias("status"),
                 "discovered_round",
                 "fetch_round",
-                (F.col("fetch_round") - F.col("discovered_round"))
+                (
+                    F.coalesce(F.col("fetch_round"), F.lit(pending_round))
+                    - F.col("discovered_round")
+                )
                 .cast("int")
                 .alias("wait_rounds"),
                 "fetch_status",
@@ -157,18 +163,20 @@ class CrawlerMonitor:
             )
         )
 
-    # -- dashboard aggregates --------------------------------------------
-    def status_counts(self) -> dict:
+    # -- dashboard aggregates (all derivable from ONE task_stats pass;
+    #    pass ts= to share the plan across several aggregates) -----------
+    def status_counts(self, ts: DataFrame | None = None) -> dict:
         counts = {QUEUED: 0, IN_PROGRESS: 0, COMPLETED: 0, FAILED: 0}
-        for row in self.task_stats().groupBy("status").count().collect():
+        ts = self.task_stats() if ts is None else ts
+        for row in ts.groupBy("status").count().collect():
             counts[row["status"]] = row["count"]
         return counts
 
-    def queue_stats(self) -> dict:
+    def queue_stats(self, ts: DataFrame | None = None) -> dict:
         """Mirror of crawler_monitor.py:575-617, wait in rounds."""
+        ts = self.task_stats() if ts is None else ts
         agg = (
-            self.task_stats()
-            .agg(
+            ts.agg(
                 F.sum(F.when(F.col("status") == QUEUED, 1).otherwise(0))
                 .alias("q"),
                 F.max("wait_rounds").alias("hi"),
@@ -182,20 +190,20 @@ class CrawlerMonitor:
             "avg_wait_time": float(agg["avg"] or 0.0),
         }
 
-    def get_summary(self) -> dict:
+    def get_summary(self, ts: DataFrame | None = None) -> dict:
         """Field-for-field mirror of crawler_monitor.py:642-706 (memory
         fields documented as Spark-managed, see module docstring)."""
         manifests = self.manifests()
-        counts = self.status_counts()
+        counts = self.status_counts(ts)
         runtime = sum(m.get("wall_s", 0.0) for m in manifests)
         completed = counts[COMPLETED]
         urls_total = self.urls_total or sum(counts.values())
         completion_percentage = (
             completed / urls_total * 100 if urls_total else 0
         )
-        fetched = sum(
-            m.get("selected", 0) - m.get("deferred", 0) for m in manifests
-        )
+        # manifest "selected" already excludes deferred rows (it is
+        # computed from the results table, which deferrals never enter)
+        fetched = sum(m.get("selected", 0) for m in manifests)
         avg_task_duration = runtime / fetched if fetched else 0
         requeued_count = sum(m.get("deferred", 0) for m in manifests)
         n_tasks = sum(counts.values())
@@ -223,8 +231,14 @@ class CrawlerMonitor:
 
     # -- plain-text dashboard (TerminalUI panels, no rich dependency) ----
     def render(self) -> str:
-        s = self.get_summary()
-        q = self.queue_stats()
+        # one task_stats pass feeds every panel (the per-round parquet
+        # unions + join would otherwise re-execute per aggregate)
+        ts = self.task_stats().persist()
+        try:
+            s = self.get_summary(ts)
+            q = self.queue_stats(ts)
+        finally:
+            ts.unpersist(blocking=False)
         total = max(sum(s["status_counts"].values()), 1)
         lines = [
             "=" * 64,

@@ -138,6 +138,37 @@ def test_deep_crawl_and_monitor(spark, corpus, tmp_path):
     assert "Web Crawler Dashboard" in mon.output
 
 
+def test_deep_crawl_with_filter_and_extraction(corpus, tmp_path):
+    """Deep-crawl results drop cleaned_html; the CLI must re-resolve it
+    through the fetch seam for the filter/extraction stages."""
+    path, langs = corpus
+    url = page_url(0, langs[0])
+    (tmp_path / "filter.json").write_text('{"type": "pruning"}')
+    res = _invoke(
+        "crawl", url, "--pages", path, "--deep-crawl", "bfs",
+        "--max-pages", "3", "-f", str(tmp_path / "filter.json"),
+        "-o", "md-fit",
+    )
+    assert res.exit_code == 0, res.output
+    # the "main result" is the ROUND-0 SEED, even after the
+    # cleaned_html re-join (ordering must be applied last)
+    assert res.output.startswith("# Doc 0:")
+    (tmp_path / "extract.json").write_text('{"type": "json-css"}')
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "baseSelector": "a",
+        "fields": [{"name": "href", "selector": "", "type": "attribute",
+                    "attribute": "href"}],
+    }))
+    res = _invoke(
+        "crawl", url, "--pages", path, "--deep-crawl", "bfs",
+        "--max-pages", "3",
+        "-e", str(tmp_path / "extract.json"),
+        "-s", str(tmp_path / "schema.json"), "-o", "json",
+    )
+    assert res.exit_code == 0, res.output
+    assert isinstance(json.loads(res.output), list)
+
+
 def test_errors_and_seams(corpus, tmp_path):
     path, _ = corpus
     # no page source named

@@ -105,6 +105,12 @@ def test_register_custom_crawler(spark):
     assert MiniCrawler.meta == {"version": "0.1"}
     with pytest.raises(TypeError):
         CrawlerHub.register("bad", dict)
+    # an early register() must not hide the builtins (discovery is
+    # idempotent and runs on every get)
+    CrawlerHub._crawlers = {}
+    CrawlerHub.register("mini", MiniCrawler)
+    assert CrawlerHub.get("google_search") is GoogleSearchCrawler
+    assert CrawlerHub.get("mini") is MiniCrawler
 
 
 def test_subclass_signature_enforced():
@@ -232,3 +238,31 @@ def test_hub_google_serp_catalog_roundtrip(spark, sf_dir):
         assert row["link"] == f"https://ex.test/{did}"
         assert row["snippet"] == docs[did][:40].strip()
         assert row["result_date"] == f"{did % 24} hours ago"
+
+
+def test_run_batch_fetches_each_url_once(spark, tmp_path):
+    """The schema sample must not re-run the fetch lineage (double
+    live HTTP traffic); run_batch checkpoints the fetch."""
+    import glob
+
+    from crawl4ai_spark.operators.fetch import MapFetcher
+
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    urls = [GoogleSearchCrawler.build_url(f"u{i}") for i in range(6)]
+    body = SERP_HTML.encode()
+
+    def fn(url, extra=None):
+        # one marker file per fetch call (executor-local == driver-local
+        # on local[N])
+        import os
+        import uuid
+
+        open(os.path.join(str(calls_dir), uuid.uuid4().hex), "w").close()
+        return {"status": 200, "body": body}
+
+    g = GoogleSearchCrawler(fetcher=MapFetcher(fn))
+    urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = g.run_batch(spark, urls_df).collect()
+    assert len(rows) == len(urls)
+    assert len(glob.glob(str(calls_dir / "*"))) == len(urls)

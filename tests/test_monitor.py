@@ -102,9 +102,15 @@ def test_wait_rounds_and_queue_stats(spark, crawled):
     wd, _ = crawled
     mon = CrawlerMonitor(spark, wd)
     ts = mon.task_stats()
-    # every fetched URL waited >= 0 rounds; seeds fetched in round 0
+    # every URL waited >= 0 rounds; seeds fetched in round 0
     bad = ts.filter(F.col("wait_rounds") < 0).count()
     assert bad == 0
+    # QUEUED rows carry their wait-so-far (to the next pending round),
+    # not NULL — a starving URL must move the queue stats
+    n_null_queued = ts.filter(
+        (F.col("status") == QUEUED) & F.col("wait_rounds").isNull()
+    ).count()
+    assert n_null_queued == 0
     q = mon.queue_stats()
     assert q["total_queued"] == mon.status_counts()[QUEUED]
     assert q["highest_wait_time"] >= q["avg_wait_time"] >= 0
