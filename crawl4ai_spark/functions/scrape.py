@@ -166,6 +166,26 @@ def extract_metadata(root: _Node) -> dict:
     return meta
 
 
+def _abs_url(base: str, href: str) -> str:
+    """urljoin with a validated fast path: an absolute lowercase-scheme
+    href with a nonempty authority and no query/fragment round-trips
+    urljoin unchanged (cross-scheme returns verbatim; same-scheme
+    urlunparse∘urlparse is the identity on this shape — the '#'/'?'
+    guard excludes the empty-fragment/query normalization cases, the
+    authority guard excludes 'http://'). Equality is fuzz-pinned in
+    tests/test_markdown_fastpath.py; urljoin was ~14% of the extract
+    stage's profile."""
+    if (
+        href.startswith(("https://", "http://"))
+        and "#" not in href
+        and "?" not in href
+    ):
+        rest = href[href.index("://") + 3:]
+        if rest and rest[0] not in "/?#":
+            return href
+    return urljoin(base, href)
+
+
 def extract_links(root: _Node, page_url: str) -> list[dict]:
     """Harvest <a href> with first-seen dedup per normalized href
     (reference content_scraping_strategy.py:1119-1172, 683-691)."""
@@ -178,7 +198,7 @@ def extract_links(root: _Node, page_url: str) -> list[dict]:
         href = n.attrs.get("href")
         if not href or href.startswith(("javascript:", "#")):
             continue
-        abs_url = urljoin(page_url, href.strip())
+        abs_url = _abs_url(page_url, href.strip())
         if abs_url in seen:
             continue
         seen.add(abs_url)
@@ -207,7 +227,7 @@ def extract_images(root: _Node, page_url: str) -> list[dict]:
         src = n.attrs.get("src")
         if not src or src.startswith("data:"):
             continue
-        abs_src = urljoin(page_url, src.strip())
+        abs_src = _abs_url(page_url, src.strip())
         if abs_src in seen:
             continue
         seen.add(abs_src)
@@ -238,6 +258,94 @@ def cleaned_html(root: _Node, excluded: frozenset[str] = DEFAULT_EXCLUDED_TAGS) 
     return "".join(out).strip()
 
 
+def _md_events(node: _Node, out: list, excluded: frozenset[str]) -> bool:
+    """Collect the exact handler-event stream that reparsing
+    ``_serialize``'s output would produce, or return False when the
+    page is not provably round-trip-safe:
+
+    - text containing ``&`` or ``<`` re-tokenizes on reparse
+      (entityref / tag-open), so its event split differs;
+    - attribute values containing ``&`` (reparse unescapes them once
+      more), ``<``, or ``"`` (breaks the quoting) likewise.
+
+    Everything else maps 1:1: elements -> starttag [+ endtag unless
+    void], text -> data (adjacent text nodes merged, as one string
+    segment reparses to ONE data event)."""
+    if node.tag in STRIP_TAGS or node.tag in excluded:
+        return True
+    if node.tag == "":
+        t = node.attrs.get("text", "")
+        if not t:
+            return True
+        if "&" in t or "<" in t:
+            return False
+        if out and out[-1][0] == "d":
+            out[-1] = ("d", out[-1][1] + t)
+        else:
+            out.append(("d", t))
+        return True
+    attrs = []
+    for k, v in node.attrs.items():
+        if v is None:
+            continue
+        if "&" in v or "<" in v or '"' in v:
+            return False
+        attrs.append((k, v))
+    if node.tag != "#root":
+        out.append(("s", node.tag, attrs))
+    for c in node.children:
+        if not _md_events(c, out, excluded):
+            return False
+    if node.tag != "#root" and node.tag not in VOID_TAGS:
+        out.append(("e", node.tag))
+    return True
+
+
+def markdown_from_dom(
+    root: _Node,
+    base_url: str = "",
+    excluded: frozenset[str] = DEFAULT_EXCLUDED_TAGS,
+) -> str | None:
+    """raw_markdown straight off the cleaned DOM — the fast path of
+    ``html_to_markdown(cleaned_html(root), url)``, which serializes the
+    tree and RE-PARSES the string (two full HTMLParser passes per page;
+    ~1/3 of the extract stage's CPU). Dispatches the identical event
+    stream into the same ``_MdState`` emitter, so the output is
+    byte-identical by construction on round-trip-safe pages; returns
+    None (caller falls back to the string path) otherwise — pinned by
+    a corpus-wide equality test in tests/test_markdown_fastpath.py."""
+    events: list = []
+    if not _md_events(root, events, excluded):
+        return None
+    # mirror cleaned_html()'s .strip(): it can only affect text at the
+    # very start/end of the serialized string
+    if events and events[0][0] == "d":
+        t = events[0][1].lstrip()
+        if t:
+            events[0] = ("d", t)
+        else:
+            events.pop(0)
+    if events and events[-1][0] == "d":
+        t = events[-1][1].rstrip()
+        if t:
+            events[-1] = ("d", t)
+        else:
+            events.pop()
+    from .markdown import _MdState
+
+    p = _MdState(base_url=base_url)
+    for ev in events:
+        kind = ev[0]
+        if kind == "s":
+            p.handle_starttag(ev[1], ev[2])
+        elif kind == "e":
+            p.handle_endtag(ev[1])
+        else:
+            p.handle_data(ev[1])
+    md = p.result()
+    return md.replace("    ```", "```")
+
+
 def page_text(root: _Node) -> str:
     out: list[str] = []
     _visible_text(root, out)
@@ -248,19 +356,29 @@ def scrape_one(
     html: str | bytes | None,
     url: str,
     excluded_tags: frozenset[str] = DEFAULT_EXCLUDED_TAGS,
+    want_root: bool = False,
+    want_cleaned: bool = True,
 ) -> dict:
-    """Full scrape of one page -> plain-dict ScrapingResult."""
+    """Full scrape of one page -> plain-dict ScrapingResult.
+
+    ``want_root`` adds the parsed DOM under ``"_root"`` (consumed by
+    scrape_stage's DOM-direct markdown fast path); ``want_cleaned=False``
+    skips the serialization entirely — only valid when the caller drops
+    the cleaned_html column and regenerates it on demand."""
+    failed = {
+        "success": False,
+        "title": None,
+        "headings": None,
+        "meta": {},
+        "links": [],
+        "images": [],
+        "cleaned_html": None,
+        "text": None,
+    }
+    if want_root:
+        failed["_root"] = None
     if html is None:
-        return {
-            "success": False,
-            "title": None,
-            "headings": None,
-            "meta": {},
-            "links": [],
-            "images": [],
-            "cleaned_html": None,
-            "text": None,
-        }
+        return dict(failed)
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     root = parse_dom(html)
@@ -268,16 +386,7 @@ def scrape_one(
         # unrecoverable markup: error-fallback row (reference
         # content_scraping_strategy.py:1828-1864 returns success=False
         # with the crawl4ai_error_message div)
-        return {
-            "success": False,
-            "title": None,
-            "headings": None,
-            "meta": {},
-            "links": [],
-            "images": [],
-            "cleaned_html": None,
-            "text": None,
-        }
+        return dict(failed)
     meta = extract_metadata(root)
     heads: list[str] = []
     for n in _walk(root):
@@ -285,16 +394,21 @@ def scrape_one(
             parts: list[str] = []
             _visible_text(n, parts)
             heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
-    return {
+    out = {
         "success": True,
         "title": meta.get("title"),
         "headings": " ".join(h for h in heads if h),
         "meta": meta,
         "links": extract_links(root, url),
         "images": extract_images(root, url),
-        "cleaned_html": cleaned_html(root, excluded_tags),
+        "cleaned_html": (
+            cleaned_html(root, excluded_tags) if want_cleaned else None
+        ),
         "text": page_text(root),
     }
+    if want_root:
+        out["_root"] = root
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -344,16 +458,34 @@ def scrape_stage(df, html_col: str = "html", url_col: str = "url",
             "references_markdown string"
         )
 
+    # cleaned_html is serialized only if the caller keeps the column
+    # (or a page falls off the DOM-direct markdown fast path below) —
+    # at drop_cols=("html", "cleaned_html") the stage makes exactly ONE
+    # HTMLParser pass per page instead of two plus a serialization
+    skip_clean = markdown and "cleaned_html" in drop_cols
+
     def process(batches):
         import pandas as pd
 
         for pdf in batches:
             results = []
             for html, url in zip(pdf[html_col], pdf[url_col]):
-                r = scrape_one(html, url)
+                r = scrape_one(
+                    html, url,
+                    want_root=markdown, want_cleaned=not skip_clean,
+                )
+                root = r.pop("_root", None)
                 if markdown:
-                    if r["cleaned_html"] is not None:
-                        raw = html_to_markdown(r["cleaned_html"], url or "")
+                    if r["success"]:
+                        raw = (
+                            markdown_from_dom(root, url or "")
+                            if root is not None else None
+                        )
+                        if raw is None:  # not provably round-trip-safe
+                            ch = r["cleaned_html"]
+                            if ch is None:
+                                ch = cleaned_html(root)
+                            raw = html_to_markdown(ch, url or "")
                         cit, refs = links_to_citations(raw, url or "")
                     else:
                         raw = cit = refs = None

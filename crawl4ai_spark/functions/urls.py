@@ -19,6 +19,7 @@ expression that stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import parse_qsl, quote, unquote, urlencode, urljoin, urlparse, urlunparse
 
 import pandas as pd
@@ -102,8 +103,11 @@ def canonicalize_url(
     return urlunparse((parsed.scheme, netloc, path, parsed.params, query, fragment))
 
 
+@lru_cache(maxsize=65536)
 def get_base_domain_py(url: str) -> str:
-    """reference utils.py:2320-2368."""
+    """reference utils.py:2320-2368. Pure string->string; memoized —
+    link harvesting calls it once per harvested link and URLs repeat
+    heavily within a host (bounded cache, per Python worker)."""
     try:
         domain = urlparse(url).netloc.lower()
         if not domain:
