@@ -95,7 +95,15 @@ def start_stream_extract(
             status = F.when(F.col("html").isNotNull(), "fetched").otherwise(
                 "miss"
             )
-        extracted = scrape_stage(fetched, "html", base_col, markdown=True)
+        # materialize the status BEFORE the scrape drops html (both
+        # branch expressions reference it); dropping html/cleaned_html
+        # turns on scrape_stage's one-parser-pass markdown path
+        fetched = fetched.withColumn("_status", status)
+        status = F.col("_status")
+        extracted = scrape_stage(
+            fetched, "html", base_col, markdown=True,
+            drop_cols=("html", "cleaned_html"),
+        )
         out = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
             status.alias("fetch_status"),
