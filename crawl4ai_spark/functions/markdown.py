@@ -28,7 +28,7 @@ from html.entities import html5 as _HTML5_ENTITIES
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
-from .scrape import TolerantMarkupMixin
+from .scrape import TolerantMarkupMixin, _abs_url
 
 # ASCII substitutions for typographic entities (standard html2text-style
 # unification table; factual character mapping).
@@ -293,7 +293,9 @@ class _MdState(TolerantMarkupMixin, HTMLParser):
                             self.empty_link = False
                             self.maybe_auto_link = None
                         self.pending_nl = 0
-                        url = _escape_link_part(urljoin(self.base_url, a["href"]))
+                        # _abs_url == urljoin (fuzz-pinned), minus the
+                        # parse/unparse round trip for absolute hrefs
+                        url = _escape_link_part(_abs_url(self.base_url, a["href"]))
                         title = (a.get("title") or "")
                         title = (
                             ' "{}"'.format(_escape_link_part(title))
@@ -311,7 +313,7 @@ class _MdState(TolerantMarkupMixin, HTMLParser):
                     self.empty_link = False
                 alt = _escape_link_part(attrs.get("alt") or "")
                 self._emit("![" + alt + "]")
-                self._emit("(" + _escape_link_part(urljoin(self.base_url, src)) + ")")
+                self._emit("(" + _escape_link_part(_abs_url(self.base_url, src)) + ")")
 
         if tag in ("ol", "ul"):
             if not self.lists and not self.last_was_list:
