@@ -441,13 +441,18 @@ def _is_punct(ch: str) -> bool:
     return ch in string.punctuation
 
 
+def _finish(md: str) -> str:
+    """Shared final post-processing — the string path and scrape.py's
+    DOM-direct fast path MUST apply identical steps (byte parity)."""
+    return md.replace("    ```", "```")
+
+
 def html_to_markdown(html: str | None, base_url: str = "") -> str:
     """Convert HTML to markdown (raw_markdown stage)."""
     p = _MdState(base_url=base_url)
     p.feed(html or "")
     p.feed("")
-    md = p.result()
-    return md.replace("    ```", "```")
+    return _finish(p.result())
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,11 @@ def _abs_url(base: str, href: str) -> str:
         href.startswith(("https://", "http://"))
         and "#" not in href
         and "?" not in href
+        # urlsplit strips embedded tab/newline/CR (WHATWG, bpo-43882);
+        # such hrefs must go through urljoin to get the same stripping
+        and "\t" not in href
+        and "\n" not in href
+        and "\r" not in href
     ):
         rest = href[href.index("://") + 3:]
         if rest and rest[0] not in "/?#":
@@ -331,7 +336,7 @@ def markdown_from_dom(
             events[-1] = ("d", t)
         else:
             events.pop()
-    from .markdown import _MdState
+    from .markdown import _MdState, _finish
 
     p = _MdState(base_url=base_url)
     for ev in events:
@@ -342,8 +347,7 @@ def markdown_from_dom(
             p.handle_endtag(ev[1])
         else:
             p.handle_data(ev[1])
-    md = p.result()
-    return md.replace("    ```", "```")
+    return _finish(p.result())
 
 
 def page_text(root: _Node) -> str:
@@ -378,7 +382,7 @@ def scrape_one(
     if want_root:
         failed["_root"] = None
     if html is None:
-        return dict(failed)
+        return failed
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     root = parse_dom(html)
@@ -386,7 +390,7 @@ def scrape_one(
         # unrecoverable markup: error-fallback row (reference
         # content_scraping_strategy.py:1828-1864 returns success=False
         # with the crawl4ai_error_message div)
-        return dict(failed)
+        return failed
     meta = extract_metadata(root)
     heads: list[str] = []
     for n in _walk(root):

@@ -100,9 +100,14 @@ def start_stream_extract(
         # turns on scrape_stage's one-parser-pass markdown path
         fetched = fetched.withColumn("_status", status)
         status = F.col("_status")
+        # _sbase is read as url_col inside the stage, then dropped —
+        # same as the batch engine's _scrape_base — so the base-URL
+        # copy doesn't ride the Arrow egress
+        drop = ("html", "cleaned_html") + (
+            ("_sbase",) if base_col == "_sbase" else ()
+        )
         extracted = scrape_stage(
-            fetched, "html", base_col, markdown=True,
-            drop_cols=("html", "cleaned_html"),
+            fetched, "html", base_col, markdown=True, drop_cols=drop,
         )
         out = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",

@@ -119,7 +119,11 @@ def test_abs_url_matches_urljoin():
     suffixes = ["", "?q=1", "#f", "?q=1#f", "#", "?"]
     bases = ["https://base.example/dir/page.html", "http://b/x"]
     relatives = ["x.html", "/abs/path", "../up", "//proto.example/p",
-                 "mailto:a@b", "HTTPS://up.example/x", "http://"]
+                 "mailto:a@b", "HTTPS://up.example/x", "http://",
+                 # WHATWG control-char stripping (urlsplit removes
+                 # embedded \t\n\r): must NOT take the fast path
+                 "https://h.example/a\tb", "https://h.example/a\nb",
+                 "https://h.example/a\rb/c"]
     for b in bases:
         for s, h, p, suf in itertools.product(schemes, hosts, paths, suffixes):
             href = s + h + p + suf
