@@ -130,3 +130,50 @@ def test_abs_url_matches_urljoin():
             assert _abs_url(b, href) == urljoin(b, href), (b, href)
         for href in relatives:
             assert _abs_url(b, href) == urljoin(b, href), (b, href)
+
+
+def test_random_markup_differential():
+    """Randomized differential: on arbitrary generated markup the fast
+    path either declines or matches the string path byte-for-byte."""
+    import random
+
+    rng = random.Random(20260819)
+    tags = ["div", "p", "span", "b", "em", "h2", "li", "ul", "a", "pre",
+            "td", "tr", "table", "blockquote", "code", "br", "img", "hr"]
+    texts = ["plain", "two words", "  spaced  ", "*md*", "[x]", "a_b",
+             "AT&amp;T", "1 &lt; 2", "tail\n", "\tindent", "end.",
+             "entity &copy; here", "&#65;num"]
+    attrs = [("href", "https://a.example/x"), ("href", "rel/path"),
+             ("src", "i.png"), ("title", "t"), ("class", "c d"),
+             ("title", 'q"uote'), ("href", "x?a=1&amp;b=2"),
+             ("alt", ""), ("id", "z")]
+
+    def gen(depth):
+        n = rng.randint(1, 4)
+        parts = []
+        for _ in range(n):
+            if depth > 3 or rng.random() < 0.4:
+                parts.append(rng.choice(texts))
+                continue
+            t = rng.choice(tags)
+            a = ""
+            if rng.random() < 0.5:
+                k, v = rng.choice(attrs)
+                a = f' {k}="{v}"'
+            if t in ("br", "img", "hr"):
+                parts.append(f"<{t}{a}>")
+            else:
+                parts.append(f"<{t}{a}>{gen(depth + 1)}</{t}>")
+        return "".join(parts)
+
+    declined = matched = 0
+    for _ in range(300):
+        html = gen(0)
+        fast, slow = _both(html)
+        if fast is None:
+            declined += 1
+        else:
+            assert fast == slow, html
+            matched += 1
+    # both regimes must actually be exercised
+    assert matched > 50 and declined > 10, (matched, declined)
