@@ -130,9 +130,18 @@ def parse_dom(html: str) -> _Node:
 
 
 def _walk(node: _Node):
-    yield node
-    for c in node.children:
-        yield from _walk(c)
+    # iterative preorder: recursive `yield from` makes every yielded
+    # node climb the whole generator chain (O(depth) per node); an
+    # explicit stack yields each node once. Same order as the
+    # recursive form: node first, then children left-to-right.
+    stack = [node]
+    pop = stack.pop
+    while stack:
+        n = pop()
+        yield n
+        children = n.children
+        if children:
+            stack.extend(reversed(children))
 
 
 def _visible_text(node: _Node, out: list[str]) -> None:
