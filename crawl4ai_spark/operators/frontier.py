@@ -801,9 +801,12 @@ class CrawlRun:
 
         # traversal-strategy pool cut (T1 best-first batches / T7 DFS)
         if cfg.strategy == "best_first" and cfg.batch_size:
-            pool = candidate.orderBy(F.desc("_prio_eff"), F.asc("url")).limit(
-                cfg.batch_size
-            )
+            # tie-break mirrors the reference's priority-queue tuple
+            # (score, depth, url) — bff_strategy.py:146-151: equal
+            # scores pop the SHALLOWER url first, then lexicographic
+            pool = candidate.orderBy(
+                F.desc("_prio_eff"), F.asc("depth"), F.asc("url")
+            ).limit(cfg.batch_size)
             pool_rest = candidate.join(
                 pool.select("url_hash"), "url_hash", "left_anti"
             )

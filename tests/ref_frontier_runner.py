@@ -1,0 +1,249 @@
+"""Subprocess runner that drives the REFERENCE deep-crawl code live.
+
+The reference package root (`crawl4ai/__init__.py`) imports browser /
+TLS / HTTP client stacks this sandbox does not ship, but the traversal
+strategies themselves (`deep_crawling/{bfs,dfs,bff}_strategy.py`) are
+pure asyncio + stdlib once their third-party imports are stubbed. This
+script loads them under the real ``crawl4ai.*`` package names inside a
+THROWAWAY subprocess (so the test process' ``sys.modules`` is never
+touched — the round-3 silent-skip bug was exactly such residue), runs a
+crawl over an in-memory link graph, and prints the ordered results as
+one JSON document.
+
+Protocol: JSON on stdin -> JSON on stdout.
+  {"cmd": "crawl", "strategy": "bfs"|"dfs"|"best_first", "seed": url,
+   "graph": {url: {"internal": [hrefs], "external": [hrefs]}},
+   "max_depth": int, "max_pages": int|null, "score_threshold": f|null,
+   "include_external": bool, "keywords": [..]|null,
+   "negate_scorer": bool, "batch_size": int|null}
+      -> {"results": [{"url", "success", "depth", "parent", "score"}]}
+  {"cmd": "filters", "urls": [...], "filters": [{"name", "kind", "params"}]}
+      -> {name: [bool per url]}
+  {"cmd": "scorers", "urls": [...], "scorers": [{"name", "kind", "params"}]}
+      -> {name: [score per url]}
+
+Reference anchors: deep_crawling/bfs_strategy.py:46-186 (_arun_batch),
+dfs_strategy.py (LIFO stack, reversed() push), bff_strategy.py:131-213
+(asyncio.PriorityQueue of (score, depth, url, parent) — a MIN-heap, so
+the reference crawls LOWEST score first), filters.py, scorers.py.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import inspect
+import json
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _stub(name: str, attrs: tuple = ()) -> types.ModuleType:
+    m = types.ModuleType(name)
+    for a in attrs:
+        setattr(m, a, type(a, (), {}))
+    sys.modules[name] = m
+    return m
+
+
+def load_reference() -> dict:
+    """Import the reference deep_crawling modules with stubbed deps."""
+    sys.path.insert(0, REF)
+    _stub("OpenSSL")
+    _stub("OpenSSL.crypto")
+    _stub("bs4", ("BeautifulSoup", "Comment", "element", "Tag", "NavigableString"))
+    _stub("lxml", ("etree", "html"))
+    _stub("httpx")
+    _stub("xxhash")
+    _stub("aiohttp")
+    pkg = types.ModuleType("crawl4ai")
+    pkg.__path__ = [REF + "/crawl4ai"]
+    sys.modules["crawl4ai"] = pkg
+    dc = types.ModuleType("crawl4ai.deep_crawling")
+    dc.__path__ = [REF + "/crawl4ai/deep_crawling"]
+    sys.modules["crawl4ai.deep_crawling"] = dc
+
+    import importlib
+
+    base = importlib.import_module("crawl4ai.deep_crawling.base_strategy")
+    # submodules do `from . import DeepCrawlStrategy` — point the stub
+    # package at the REAL base class before loading them
+    dc.DeepCrawlStrategy = base.DeepCrawlStrategy
+    dc.DeepCrawlDecorator = getattr(base, "DeepCrawlDecorator", None)
+    mods = {"base_strategy": base}
+    for name in ("filters", "scorers", "bfs_strategy", "dfs_strategy", "bff_strategy"):
+        mods[name] = importlib.import_module(f"crawl4ai.deep_crawling.{name}")
+    return mods
+
+
+class FakeConfig:
+    """Duck-typed CrawlerRunConfig: the strategies only touch .stream,
+    .deep_crawl_strategy and .clone()."""
+
+    def __init__(self, stream: bool = False):
+        self.stream = stream
+        self.deep_crawl_strategy = None
+
+    def clone(self, **kw):
+        return FakeConfig(stream=kw.get("stream", self.stream))
+
+
+class FakeResult:
+    """Duck-typed CrawlResult: .url/.success/.links/.metadata only."""
+
+    __slots__ = ("url", "success", "links", "metadata")
+
+    def __init__(self, url, success, links, metadata=None):
+        self.url = url
+        self.success = success
+        self.links = links
+        self.metadata = metadata or {}
+
+
+class FakeCrawler:
+    """arun_many over a closed in-memory link graph.
+
+    URLs absent from the graph come back success=False with no links —
+    the analogue of the engine's pages-join miss (fetch_status='miss').
+    Results preserve input order (the reference's parent lookup scans
+    current_level in order)."""
+
+    def __init__(self, graph: dict):
+        self.graph = graph
+
+    def _result(self, u: str) -> FakeResult:
+        node = self.graph.get(u)
+        if node is None:
+            return FakeResult(u, False, {"internal": [], "external": []})
+        return FakeResult(
+            u,
+            True,
+            {
+                "internal": [{"href": h} for h in node.get("internal", [])],
+                "external": [{"href": h} for h in node.get("external", [])],
+            },
+        )
+
+    async def arun_many(self, urls, config):
+        results = [self._result(u) for u in urls]
+        if getattr(config, "stream", False):
+
+            async def gen():
+                for r in results:
+                    yield r
+
+            return gen()
+        return results
+
+
+class _NegatedScorer:
+    """Reference bff pushes raw scores on a MIN-heap; the engine crawls
+    priority-DESC. Negating the reference scorer makes both orders mean
+    'highest keyword relevance first' so sequences are comparable."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def score(self, url: str) -> float:
+        return -self._inner.score(url)
+
+
+def run_crawl(mods, spec: dict) -> dict:
+    scorer = None
+    if spec.get("keywords"):
+        scorer = mods["scorers"].KeywordRelevanceScorer(keywords=list(spec["keywords"]))
+        if spec.get("negate_scorer"):
+            scorer = _NegatedScorer(scorer)
+
+    kw = {"max_depth": spec["max_depth"]}
+    if scorer is not None:
+        kw["url_scorer"] = scorer
+    if spec.get("max_pages") is not None:
+        kw["max_pages"] = spec["max_pages"]
+    if spec.get("include_external"):
+        kw["include_external"] = True
+
+    name = spec["strategy"]
+    if name == "bfs":
+        if spec.get("score_threshold") is not None:
+            kw["score_threshold"] = spec["score_threshold"]
+        strat = mods["bfs_strategy"].BFSDeepCrawlStrategy(**kw)
+    elif name == "dfs":
+        if spec.get("score_threshold") is not None:
+            kw["score_threshold"] = spec["score_threshold"]
+        strat = mods["dfs_strategy"].DFSDeepCrawlStrategy(**kw)
+    elif name == "best_first":
+        if spec.get("batch_size"):
+            mods["bff_strategy"].BATCH_SIZE = int(spec["batch_size"])
+        strat = mods["bff_strategy"].BestFirstCrawlingStrategy(**kw)
+    else:
+        raise ValueError(f"unknown strategy {name!r}")
+
+    crawler = FakeCrawler(spec["graph"])
+    results = asyncio.run(strat._arun_batch(spec["seed"], crawler, FakeConfig()))
+    return {
+        "results": [
+            {
+                "url": r.url,
+                "success": bool(r.success),
+                "depth": r.metadata.get("depth"),
+                "parent": r.metadata.get("parent_url"),
+                "score": r.metadata.get("score", 0),
+            }
+            for r in results
+        ]
+    }
+
+
+def _build_scorer(mods, kind: str, params: dict):
+    sc = mods["scorers"]
+    if kind == "CompositeScorer":
+        inner = [
+            _build_scorer(mods, s["kind"], s["params"]) for s in params["scorers"]
+        ]
+        rest = {k: v for k, v in params.items() if k != "scorers"}
+        return sc.CompositeScorer(inner, **rest)
+    return getattr(sc, kind)(**params)
+
+
+def run_scorers(mods, spec: dict) -> dict:
+    out = {}
+    for s in spec["scorers"]:
+        obj = _build_scorer(mods, s["kind"], s["params"])
+        out[s["name"]] = [round(float(obj.score(u)), 6) for u in spec["urls"]]
+    return out
+
+
+def run_filters(mods, spec: dict) -> dict:
+    fl = mods["filters"]
+    out = {}
+    for f in spec["filters"]:
+        filt = getattr(fl, f["kind"])(**f["params"])
+        vals = []
+        for u in spec["urls"]:
+            r = filt.apply(u)
+            if inspect.iscoroutine(r):
+                r = asyncio.run(r)
+            vals.append(bool(r))
+        out[f["name"]] = vals
+    return out
+
+
+def main() -> None:
+    spec = json.load(sys.stdin)
+    mods = load_reference()
+    cmd = spec["cmd"]
+    if cmd == "crawl":
+        out = run_crawl(mods, spec)
+    elif cmd == "scorers":
+        out = run_scorers(mods, spec)
+    elif cmd == "filters":
+        out = run_filters(mods, spec)
+    else:
+        raise ValueError(f"unknown cmd {cmd!r}")
+    json.dump(out, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()
