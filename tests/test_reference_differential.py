@@ -306,6 +306,116 @@ def test_best_first_order_matches_reference_live(spark, corpus, link_graph, tmp_
     assert eng_order[: len(ref_order)] == ref_order
 
 
+def _micro_pages(spark, graph: dict):
+    """Render a hand-crafted link graph as a (url, html) pages table."""
+    rows = [
+        (
+            u,
+            "<html><head><title>t</title></head><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "</body></html>",
+        )
+        for u, hrefs in graph.items()
+    ]
+    return spark.createDataFrame(rows, "url string, html string").withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+
+
+def _micro_graph_spec(spark, graph: dict) -> dict:
+    """The reference-side view of the same micro graph: the hrefs as
+    the engine's extract stage emits them (base-resolved, classified)."""
+    df = scrape_stage(_micro_pages(spark, graph).select("url", "html"))
+    out = {}
+    for r in df.select("url", "links").collect():
+        out[r["url"]] = {
+            "internal": [lk["href"] for lk in r["links"] if lk["is_internal"]],
+            "external": [lk["href"] for lk in r["links"] if not lk["is_internal"]],
+        }
+    return out
+
+
+def test_max_pages_binding_matches_reference_live(spark, tmp_path):
+    """Capacity binding at a single-parent level with distinct scores:
+    the reference trims discoveries to max_pages - pages_crawled sorted
+    score-desc (bfs_strategy.py:124-131); the engine's T2 global
+    orderBy(priority desc).limit(remaining) picks the same set."""
+    S = "https://m.example.com/seed.html"
+    kws = ["k1", "k2", "k3", "k4", "k5"]
+    children = [
+        "https://m.example.com/k1-k2-k3-k4-k5.html",  # score 1.0
+        "https://m.example.com/k1-k2-k3-k4.html",     # 0.8
+        "https://m.example.com/k1-k2-k3.html",        # 0.6
+        "https://m.example.com/k1-k2.html",           # 0.4
+        "https://m.example.com/k1.html",              # 0.2
+        "https://m.example.com/none.html",            # 0.0
+    ]
+    graph = {S: children, **{c: [] for c in children}}
+    spec_graph = _micro_graph_spec(spark, graph)
+
+    ref = _reference(
+        {
+            "cmd": "crawl",
+            "strategy": "bfs",
+            "seed": S,
+            "graph": spec_graph,
+            "max_depth": 2,
+            "keywords": kws,
+            "max_pages": 4,
+        }
+    )["results"]
+    ref_set = {r["url"] for r in ref}
+    assert ref_set == {S, children[0], children[1], children[2]}
+
+    pages = _micro_pages(spark, graph)
+    cfg = CrawlConfig(
+        max_depth=2, round_seconds=1e6, keywords=tuple(kws), max_pages=4
+    )
+    eng = _engine_results(spark, pages, S, cfg, 3, str(tmp_path / "cap"))
+    assert {r["url"] for r in eng} == ref_set
+
+
+def test_max_pages_overshoot_divergence_pinned(spark, tmp_path):
+    """DOCUMENTED DIVERGENCE, both sides pinned live: the reference's
+    _pages_crawled updates once per level and link_discovery trims per
+    PAGE at the same remaining capacity (bfs_strategy.py:88-96,
+    168-174), so two parents discovering one child each overshoot
+    max_pages=4 to five crawled pages. The engine's global cap is
+    exact: four."""
+    S = "https://m.example.com/seed.html"
+    A = "https://m.example.com/a.html"
+    B = "https://m.example.com/b.html"
+    a_kids = [f"https://m.example.com/a{i}.html" for i in range(3)]
+    b_kids = [f"https://m.example.com/b{i}.html" for i in range(3)]
+    graph = {S: [A, B], A: a_kids, B: b_kids}
+    for leaf in a_kids + b_kids:
+        graph[leaf] = []
+    spec_graph = _micro_graph_spec(spark, graph)
+
+    ref = _reference(
+        {
+            "cmd": "crawl",
+            "strategy": "bfs",
+            "seed": S,
+            "graph": spec_graph,
+            "max_depth": 3,
+            "max_pages": 4,
+        }
+    )["results"]
+    ref_urls = [r["url"] for r in ref]
+    # reference: level0 = S (1), level1 = A,B (3), level2 trims each
+    # parent to remaining=1 SEPARATELY -> crawls BOTH survivors = 5
+    assert len(ref_urls) == 5
+    assert set(ref_urls[:3]) == {S, A, B}
+
+    pages = _micro_pages(spark, graph)
+    cfg = CrawlConfig(max_depth=3, round_seconds=1e6, max_pages=4)
+    eng = _engine_results(spark, pages, S, cfg, 4, str(tmp_path / "over"))
+    eng_urls = {r["url"] for r in eng}
+    assert len(eng_urls) == 4  # exact budget — no overshoot
+    assert {S, A, B} <= eng_urls
+
+
 def test_scorers_match_reference_live(spark, sf_dir):
     """Every URL scorer vs the reference scorer classes, value-exact at
     6 decimals over 500 synthetic URLs (the url_scoring gate entry's
