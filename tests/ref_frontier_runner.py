@@ -230,6 +230,21 @@ def run_filters(mods, spec: dict) -> dict:
     return out
 
 
+def run_normalize(spec: dict) -> dict:
+    """The reference's extended normalize_url (utils.py:2120-2204) over
+    (href, base_url) pairs — the function canonicalize_url mirrors."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    out = []
+    for href, base in spec["pairs"]:
+        try:
+            out.append(utils.normalize_url(href, base))
+        except Exception as e:  # record, don't die — parity on errors too
+            out.append(f"<error:{type(e).__name__}>")
+    return {"out": out}
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -240,6 +255,8 @@ def main() -> None:
         out = run_scorers(mods, spec)
     elif cmd == "filters":
         out = run_filters(mods, spec)
+    elif cmd == "normalize":
+        out = run_normalize(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

@@ -523,6 +523,54 @@ def test_scorers_match_reference_live(spark, sf_dir):
     )
 
 
+def test_canonicalize_matches_reference_normalize_live():
+    """canonicalize_url vs the reference's extended normalize_url
+    (utils.py:2120-2204) — byte-exact over handwritten edge cases plus
+    a deterministic generated grid. No Spark needed: the UDF wraps this
+    scalar."""
+    import itertools
+
+    from crawl4ai_spark.functions.urls import canonicalize_url
+
+    base = "https://WWW.Example.com/base/dir/page.html"
+    hand = [
+        "x.html",
+        "../up.html",
+        "./same.html",
+        "/rooted/path/",
+        "//other.example.com/proto/relative",
+        "HTTPS://UPPER.EXAMPLE.COM/Case/Path",
+        "a%20b/c d.html",
+        "?b=2&A=1&utm_source=t&FBCLID=x",
+        "?ref=abc&real=1&ref_src=t",
+        "q.html?one=1&one=2&empty=",
+        "frag.html#section-2",
+        "#inpage",
+        "x.html?gclid=1&utm_term=z&utm_content=c&utm_campaign=q&utm_medium=m",
+        "/double//slash///path",
+        "tel.html?z=26&y=25&x=24&w=23",
+        "",
+    ]
+    gen = [
+        f"{'../' * up}p{i}{ext}?{q}"
+        for up, i, ext, q in itertools.product(
+            range(3),
+            range(4),
+            (".html", "/", ""),
+            ("a=1", "B=2&a=1", "utm_source=x&k=v", ""),
+        )
+    ]
+    pairs = [[h, base] for h in hand + gen]
+    ref = _reference({"cmd": "normalize", "pairs": pairs})["out"]
+    for (h, b), want in zip(pairs, ref):
+        got = canonicalize_url(h, b)
+        if want == "<error:TypeError>" and h == "":
+            # both decline empty hrefs (reference returns None)
+            assert got is None
+            continue
+        assert got == want, f"href={h!r}: got {got!r} want {want!r}"
+
+
 def test_filters_match_reference_live(spark, sf_dir):
     """URLPatternFilter / ContentTypeFilter / DomainFilter vs the
     reference filter classes over 500 synthetic URLs (the url_filters
