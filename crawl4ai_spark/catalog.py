@@ -2784,7 +2784,13 @@ def q_adaptive_metrics(spark, sf_dir):
 
 
 def _oracle_adaptive_metrics() -> str:
-    toks = "list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    # the AdaptiveCrawler tokenizer (adaptive_crawler.py:576-585):
+    # punctuation -> space, whitespace split, drop tokens of length <= 2
+    toks = (
+        "list_filter(str_split_regex("
+        "regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),"
+        " x -> len(x) > 2)"
+    )
     return f"""
 WITH d AS (SELECT doc_id, doc_id % 5 AS r, {toks} AS toks FROM documents),
 t AS (SELECT doc_id, r, unnest(toks) AS t FROM d),
@@ -2813,7 +2819,12 @@ jac AS (SELECT sum(i / (sa.ns + sb.ns - i)) AS sj
 cons AS (SELECT coalesce(sj, 0.0) / ((SELECT n FROM nd) * ((SELECT n FROM nd) - 1) / 2.0)
            AS consistency FROM jac),
 first_seen AS (SELECT t, min(r) AS fr FROM t GROUP BY t),
-hist AS (SELECT fr, CAST(count(*) AS DOUBLE) AS new_terms FROM first_seen GROUP BY fr),
+-- rounds discovering nothing still enter the history as 0 (the
+-- reference's update_state appends 0 for such documents)
+hist AS (SELECT rr.fr, coalesce(h.new_terms, 0.0) AS new_terms
+         FROM (SELECT DISTINCT r AS fr FROM d) rr
+         LEFT JOIN (SELECT fr, CAST(count(*) AS DOUBLE) AS new_terms
+                    FROM first_seen GROUP BY fr) h USING (fr)),
 sat AS (SELECT greatest(0.0, least(
           1.0 - (CASE WHEN last_v > 0 THEN last_v ELSE 1 END)
                 / (CASE WHEN first_v > 0 THEN first_v ELSE 1 END), 1.0)) AS saturation

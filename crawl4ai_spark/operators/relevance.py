@@ -25,6 +25,31 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), "\\s+"), lambda w: w != "")
 
 
+def _adaptive_tokens(col):
+    """The AdaptiveCrawler's tokenizer (adaptive_crawler.py:576-585):
+    punctuation replaced by spaces, whitespace split, tokens of length
+    <= 2 dropped. ``\\w`` is ASCII on both Java and RE2; the reference's
+    Python ``\\w`` is unicode-aware — a documented divergence for
+    non-ASCII word characters (the engine's corpus is ASCII)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), r"[^\w\s]", " "), "\\s+"),
+        lambda w: F.length(w) > 2,
+    )
+
+
+def _adaptive_query_terms(query: str) -> list:
+    """Driver-side mirror of _adaptive_tokens for the query string.
+    The reference keeps DUPLICATE query terms (adaptive_crawler.py:316
+    tokenizes into a list, then averages over its length)."""
+    import re as _re
+
+    return [
+        t
+        for t in _re.sub(r"[^\w\s]", " ", query.lower()).split()
+        if len(t) > 2
+    ]
+
+
 def bm25_scores(
     df: DataFrame,
     text_col: str,
@@ -99,11 +124,15 @@ def bm25_scores(
 
 def coverage(df: DataFrame, text_col: str, id_col: str, query: str) -> DataFrame:
     """Adaptive coverage (adaptive_crawler.py:306-345): per query term
-    ``(df/N) * (1 + 0.5 * ln(1+tf)/ln(1+max_tf))`` averaged, then
-    sqrt-curved and capped at 1. One-row DataFrame (coverage double)."""
-    q_terms = sorted(set(query.lower().split()))
+    ``(df/N) * (1 + 0.5 * ln(1+tf)/ln(1+max_tf))`` averaged over the
+    query token LIST (duplicates count twice, as in the reference),
+    then sqrt-curved and capped at 1. One-row DataFrame."""
+    q_terms = _adaptive_query_terms(query)
+    if not q_terms:
+        return df.sparkSession.createDataFrame([(0.0,)], "coverage double")
     terms = df.select(
-        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+        F.col(id_col).alias("_id"),
+        F.explode(_adaptive_tokens(F.col(text_col))).alias("_t"),
     )
     stats = terms.groupBy("_t").agg(
         F.count("*").alias("_tf"), F.countDistinct("_id").alias("_df")
@@ -139,7 +168,8 @@ def consistency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     if n < 2:
         return df.sparkSession.createDataFrame([(1.0,)], "consistency double")
     ts = df.select(
-        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+        F.col(id_col).alias("_id"),
+        F.explode(_adaptive_tokens(F.col(text_col))).alias("_t"),
     ).distinct()
     sizes = ts.groupBy("_id").agg(F.count("*").alias("_n"))
     a, b = ts.alias("a"), ts.alias("b")
@@ -166,16 +196,35 @@ def consistency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def saturation(df: DataFrame, text_col: str, round_col: str) -> DataFrame:
     """New-term discovery decay (adaptive_crawler.py:374-389): per-round
     counts of first-seen terms; saturation = 1 - recent/initial with
-    zero-guards; <2 rounds -> 0."""
+    zero-guards; <2 rounds -> 0.
+
+    The reference appends to new_terms_history once per DOCUMENT
+    (update_state, adaptive_crawler.py:566-568) — an inherently
+    sequential notion; per-round is the batch-engine analogue and is
+    EXACTLY the reference number when each round holds one document
+    (pinned live in tests/test_reference_differential.py)."""
     first_seen = (
-        df.select(F.col(round_col).alias("_r"), F.explode(_tokens(F.col(text_col))).alias("_t"))
+        df.select(
+            F.col(round_col).alias("_r"),
+            F.explode(_adaptive_tokens(F.col(text_col))).alias("_t"),
+        )
         .groupBy("_t")
         .agg(F.min("_r").alias("_first"))
         .groupBy("_first")
         .agg(F.count("*").alias("_new"))
+    )
+    # rounds that discovered NOTHING still append to the reference's
+    # history (update_state records 0 for such documents) — a left join
+    # from the distinct round set keeps them; groupBy alone would drop
+    # them and skew recent/initial
+    hist_df = (
+        df.select(F.col(round_col).alias("_first"))
+        .distinct()
+        .join(first_seen, "_first", "left")
+        .select("_first", F.coalesce(F.col("_new"), F.lit(0)).alias("_new"))
         .orderBy("_first")
     )
-    hist = [int(r["_new"]) for r in first_seen.collect()]
+    hist = [int(r["_new"]) for r in hist_df.collect()]
     if len(hist) < 2:
         sat = 0.0
     else:

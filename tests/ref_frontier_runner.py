@@ -245,6 +245,43 @@ def run_normalize(spec: dict) -> dict:
     return {"out": out}
 
 
+def run_adaptive(spec: dict) -> dict:
+    """Drive the reference AdaptiveCrawler's StatisticalStrategy live:
+    update_state per document in order (adaptive_crawler.py:526-574),
+    then calculate_confidence (:287-304). The strategy module needs two
+    more stub roots (async_webcrawler / async_configs are typing-only
+    imports there)."""
+    import importlib
+
+    _stub("crawl4ai.async_webcrawler", ("AsyncWebCrawler",))
+    _stub("crawl4ai.async_configs", ("CrawlerRunConfig", "LinkPreviewConfig"))
+    ac = importlib.import_module("crawl4ai.adaptive_crawler")
+
+    class _Md:
+        def __init__(self, t):
+            self.raw_markdown = t
+
+    class _Res:
+        def __init__(self, url, t):
+            self.url = url
+            self.markdown = _Md(t)
+
+    strat = ac.StatisticalStrategy()
+    state = ac.CrawlState()
+    state.query = spec["query"]
+    results = [_Res(d["url"], d["text"]) for d in spec["docs"]]
+    asyncio.run(strat.update_state(state, results))
+    state.knowledge_base = results
+    confidence = asyncio.run(strat.calculate_confidence(state))
+    return {
+        "coverage": state.metrics["coverage"],
+        "consistency": state.metrics["consistency"],
+        "saturation": state.metrics["saturation"],
+        "confidence": confidence,
+        "new_terms_history": state.new_terms_history,
+    }
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -257,6 +294,8 @@ def main() -> None:
         out = run_filters(mods, spec)
     elif cmd == "normalize":
         out = run_normalize(spec)
+    elif cmd == "adaptive":
+        out = run_adaptive(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

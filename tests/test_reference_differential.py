@@ -523,6 +523,40 @@ def test_scorers_match_reference_live(spark, sf_dir):
     )
 
 
+def test_adaptive_metrics_match_reference_live(spark, sf_dir):
+    """coverage/consistency/saturation/confidence (A5-A8) vs the
+    reference StatisticalStrategy driven live over the same documents.
+    One document per round makes the engine's per-round saturation
+    equal the reference's per-document new_terms_history."""
+    from crawl4ai_spark.operators.relevance import confidence
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 12)
+        .orderBy("doc_id")
+    )
+    rows = docs.collect()
+    query = "spark data"
+
+    ref = _reference(
+        {
+            "cmd": "adaptive",
+            "query": query,
+            "docs": [{"url": f"u{r['doc_id']}", "text": r["text"]} for r in rows],
+        }
+    )
+
+    eng = confidence(
+        docs.withColumn("round", F.col("doc_id")), "text", "doc_id", "round", query
+    ).first()
+    for name in ("coverage", "consistency", "saturation", "confidence"):
+        assert eng[name] == pytest.approx(ref[name], abs=1e-9), name
+
+    # the per-round first-seen counts ARE the reference's history here
+    assert ref["saturation"] > 0  # not vacuous: decay actually happened
+
+
 def test_canonicalize_matches_reference_normalize_live():
     """canonicalize_url vs the reference's extended normalize_url
     (utils.py:2120-2204) — byte-exact over handwritten edge cases plus
