@@ -135,5 +135,7 @@ def client_hints(ua: Column | str) -> Column:
         F.when(chrome_v != "", chrome_hint)
         .when(firefox_v != "", F.lit('""'))
         .when(safari_v != "", safari_hint)
-        .otherwise(F.lit('""'))
+        # no recognized browser: the reference joins an EMPTY hints
+        # list -> "" (only firefox gets the literal '""')
+        .otherwise(F.lit(""))
     )

@@ -282,6 +282,35 @@ def run_adaptive(spec: dict) -> dict:
     }
 
 
+def run_chunk(spec: dict) -> dict:
+    """The reference's nltk-free chunking strategies
+    (chunking_strategy.py: RegexChunking, FixedLengthWordChunking,
+    SlidingWindowChunking, OverlappingWindowChunking, IdentityChunking)
+    over a list of texts."""
+    import importlib
+
+    _stub("crawl4ai.model_loader", ("load_nltk_punkt",))
+    ch = importlib.import_module("crawl4ai.chunking_strategy")
+    out = {}
+    for c in spec["chunkers"]:
+        obj = getattr(ch, c["kind"])(**c["params"])
+        out[c["name"]] = [obj.chunk(t) for t in spec["texts"]]
+    return out
+
+
+def run_client_hints(spec: dict) -> dict:
+    """The reference's Sec-CH-UA derivation
+    (user_agent_generator.py:24-66, a staticmethod on UAGen) over UA
+    strings."""
+    import importlib
+
+    _stub("fake_useragent", ("UserAgent",))
+    _stub("requests")
+    ua_mod = importlib.import_module("crawl4ai.user_agent_generator")
+    fn = ua_mod.UAGen.generate_client_hints
+    return {"out": [fn(u) for u in spec["uas"]]}
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -296,6 +325,10 @@ def main() -> None:
         out = run_normalize(spec)
     elif cmd == "adaptive":
         out = run_adaptive(spec)
+    elif cmd == "chunk":
+        out = run_chunk(spec)
+    elif cmd == "client_hints":
+        out = run_client_hints(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

@@ -557,6 +557,118 @@ def test_adaptive_metrics_match_reference_live(spark, sf_dir):
     assert ref["saturation"] > 0  # not vacuous: decay actually happened
 
 
+def test_chunkers_match_reference_live(spark, sf_dir):
+    """The four nltk-free chunkers (X5) vs the reference chunking
+    strategies run live — list-exact per text, including the
+    edge semantics (short text returns the ORIGINAL string verbatim in
+    the windowed chunkers, not rejoined words)."""
+    from crawl4ai_spark.functions.chunking import (
+        fixed_word_chunks,
+        identity_chunks,
+        overlapping_window_chunks,
+        regex_chunks,
+        sliding_word_chunks,
+    )
+
+    base = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .orderBy("doc_id")
+        .select("text")
+        .collect()
+    ]
+    texts = []
+    for i, t in enumerate(base):
+        words = t.split(" ")
+        # re-join with paragraph breaks so RegexChunking has work to do
+        texts.append(
+            "\n\n".join(
+                " ".join(words[j : j + 7]) for j in range(0, len(words), 7)
+            )
+        )
+        if i % 3 == 0:
+            texts.append(" ".join(words[:5]))  # shorter than any window
+    texts += ["", "word", "two  spaces", "trail ", " lead"]
+
+    specs = [
+        ("identity", "IdentityChunking", {}, identity_chunks("text")),
+        ("regex", "RegexChunking", {}, regex_chunks("text")),
+        (
+            "fixed",
+            "FixedLengthWordChunking",
+            {"chunk_size": 25},
+            fixed_word_chunks("text", chunk_size=25),
+        ),
+        (
+            "sliding",
+            "SlidingWindowChunking",
+            {"window_size": 30, "step": 15},
+            sliding_word_chunks("text", window_size=30, step=15),
+        ),
+        (
+            "overlap",
+            "OverlappingWindowChunking",
+            {"window_size": 40, "overlap": 10},
+            overlapping_window_chunks("text", window_size=40, overlap=10),
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id", *[col.alias(name) for name, _, _, col in specs]
+    ).orderBy("id").collect()
+    ref = _reference(
+        {
+            "cmd": "chunk",
+            "texts": texts,
+            "chunkers": [
+                {"name": name, "kind": kind, "params": params}
+                for name, kind, params, _ in specs
+            ],
+        }
+    )
+    for name, _, _, _ in specs:
+        for i, r in enumerate(rows):
+            assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
+
+
+def test_client_hints_match_reference_live(spark):
+    """Sec-CH-UA derivation (X14) vs the reference's
+    UAGen.generate_client_hints over the engine's generated UA spread
+    plus handwritten browser shapes."""
+    from crawl4ai_spark.functions.user_agent import client_hints, user_agent
+
+    df = spark.range(40).select(F.col("id").cast("int").alias("i"))
+    combos = [
+        {},
+        {"device_type": "mobile"},
+        {"browser_type": "chrome"},
+        {"browser_type": "edge"},
+        {"browser_type": "firefox"},
+    ]
+    uas = []
+    for kw in combos:
+        uas += [
+            r["ua"]
+            for r in df.select(user_agent("i", **kw).alias("ua")).collect()
+        ]
+    uas += [
+        "Mozilla/5.0 (Macintosh) AppleWebKit/605.1.15 Version/16.5 Safari/605.1.15",
+        "Mozilla/5.0 (X11) Gecko/20100101 Firefox/119.0",
+        "nonsense without any browser token",
+    ]
+    got = [
+        r["h"]
+        for r in spark.createDataFrame([(u,) for u in uas], "ua string")
+        .select(client_hints("ua").alias("h"))
+        .collect()
+    ]
+    ref = _reference({"cmd": "client_hints", "uas": uas})["out"]
+    assert got == ref
+
+
 def test_canonicalize_matches_reference_normalize_live():
     """canonicalize_url vs the reference's extended normalize_url
     (utils.py:2120-2204) — byte-exact over handwritten edge cases plus
