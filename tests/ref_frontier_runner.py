@@ -311,6 +311,73 @@ def run_client_hints(spec: dict) -> dict:
     return {"out": [fn(u) for u in spec["uas"]]}
 
 
+def _load_extraction_strategy():
+    """extraction_strategy.py needs a wider stub surface (it does
+    `from .utils import *` and touches lxml/bs4/rich symbols at class
+    scope); everything it needs at RUNTIME for the regex strategy is
+    stdlib."""
+    import importlib
+
+    for name, attrs in (
+        ("fake_useragent", ("UserAgent",)),
+        ("rank_bm25", ("BM25Okapi",)),
+        ("snowballstemmer", ("stemmer",)),
+        ("rich", ()),
+        ("rich.console", ("Console",)),
+        ("rich.text", ("Text",)),
+        ("requests", ()),
+    ):
+        _stub(name, attrs)
+    lh = sys.modules["lxml"].html
+    for a in ("HtmlElement", "fromstring", "etree"):
+        setattr(lh, a, type(a, (), {}))
+    le = sys.modules["lxml"].etree
+    for a in ("Element", "_Element"):
+        setattr(le, a, type(a, (), {}))
+    setattr(sys.modules["bs4"], "PageElement", type("PageElement", (), {}))
+    return importlib.import_module("crawl4ai.extraction_strategy")
+
+
+def run_regex_extract(spec: dict) -> dict:
+    """RegexExtractionStrategy (extraction_strategy.py:1706-1876) with
+    ALL built-in patterns over each text; returns per-text match lists."""
+    es = _load_extraction_strategy()
+    strat = es.RegexExtractionStrategy(pattern=es.RegexExtractionStrategy.All)
+    out = []
+    for t in spec["texts"]:
+        out.append(
+            [
+                {"label": m["label"], "value": m["value"], "span": m["span"]}
+                for m in strat.extract("http://x.invalid/", t)
+            ]
+        )
+    return {"out": out}
+
+
+def run_robots(spec: dict) -> dict:
+    """The reference RobotsParser (utils.py:252-366) with a pre-seeded
+    cache (no network: _cache_rules makes the fetch path a cache hit).
+    Decision core = stdlib RobotFileParser, exactly what the reference
+    ships."""
+    import asyncio as aio
+    import importlib
+    import tempfile
+
+    utils = importlib.import_module("crawl4ai.utils")
+    out = []
+    for case in spec["cases"]:
+        with tempfile.TemporaryDirectory() as td:
+            rp = utils.RobotsParser(cache_dir=td)
+            rp._cache_rules(case["domain"], case["body"])
+            out.append(
+                [
+                    bool(aio.run(rp.can_fetch(u, case.get("ua", "*"))))
+                    for u in case["urls"]
+                ]
+            )
+    return {"out": out}
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -329,6 +396,10 @@ def main() -> None:
         out = run_chunk(spec)
     elif cmd == "client_hints":
         out = run_client_hints(spec)
+    elif cmd == "regex_extract":
+        out = run_regex_extract(spec)
+    elif cmd == "robots":
+        out = run_robots(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

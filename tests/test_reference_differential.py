@@ -634,6 +634,169 @@ def test_chunkers_match_reference_live(spark, sf_dir):
             assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
 
 
+def _robots_engine_decisions(spark, body, urls, ua="*"):
+    from crawl4ai_spark.operators.robots import rules_table, with_robots_decision
+
+    host = urls[0].split("/")[2]
+    rules = rules_table(spark, {host: body}, ua=ua)
+    frontier = spark.createDataFrame(
+        [(u, host) for u in urls], "url string, host string"
+    )
+    rows = (
+        with_robots_decision(frontier, rules)
+        .select("url", "robots_allowed")
+        .collect()
+    )
+    by_url = {r["url"]: bool(r["robots_allowed"]) for r in rows}
+    return [by_url[u] for u in urls]
+
+
+def test_robots_decisions_match_reference_live(spark):
+    """S12 vs the reference RobotsParser run live. The engine is RFC
+    9309 (wildcards, $-anchors, longest-match); the reference wraps
+    stdlib RobotFileParser. On the plain-prefix grammar they must agree
+    url-for-url; the two documented divergences (robots.py docstrings)
+    are pinned in their exact direction rather than silently allowed:
+    stdlib percent-quotes '$' so $-anchored rules never match, and
+    stdlib takes the FIRST matching rule in file order where RFC takes
+    the longest match."""
+    D = "agree.example.com"
+    agree_cases = [
+        {
+            "domain": D,
+            "body": "User-agent: *\nDisallow: /private/\nAllow: /pub/\n",
+            "urls": [
+                f"https://{D}/",
+                f"https://{D}/private/x.html",
+                f"https://{D}/private/",
+                f"https://{D}/pub/y",
+                f"https://{D}/other",
+                f"https://{D}/privateer",
+            ],
+        },
+        {
+            # specific rule listed first: first-match == longest-match
+            "domain": D,
+            "body": "User-agent: *\nAllow: /private/public\nDisallow: /private/\n",
+            "urls": [
+                f"https://{D}/private/public/x",
+                f"https://{D}/private/secret",
+                f"https://{D}/private/publicity",
+            ],
+        },
+        {
+            # specific UA group + fallback star group
+            "domain": D,
+            "body": (
+                "User-agent: testbot\nDisallow: /bot-only/\n\n"
+                "User-agent: *\nDisallow: /everyone/\n"
+            ),
+            "urls": [
+                f"https://{D}/bot-only/x",
+                f"https://{D}/everyone/x",
+                f"https://{D}/free",
+            ],
+            "ua": "testbot",
+        },
+        {
+            "domain": D,
+            "body": "# comments only\n",
+            "urls": [f"https://{D}/anything"],
+        },
+        {
+            "domain": D,
+            "body": "User-agent: *\nCrawl-delay: 2\nDisallow: /slow/\n",
+            "urls": [f"https://{D}/slow/x", f"https://{D}/fast"],
+        },
+    ]
+    ref = _reference({"cmd": "robots", "cases": agree_cases})["out"]
+    for case, want in zip(agree_cases, ref):
+        got = _robots_engine_decisions(
+            spark, case["body"], case["urls"], case.get("ua", "*")
+        )
+        assert got == want, case["body"]
+
+    # documented divergence 1: $-anchored rule (RFC matches, stdlib
+    # quoted it away)
+    dollar = {
+        "domain": D,
+        "body": "User-agent: *\nDisallow: /*.pdf$\n",
+        "urls": [f"https://{D}/doc.pdf", f"https://{D}/doc.pdfx"],
+    }
+    ref_d = _reference({"cmd": "robots", "cases": [dollar]})["out"][0]
+    got_d = _robots_engine_decisions(spark, dollar["body"], dollar["urls"])
+    assert ref_d == [True, True]  # stdlib: rule never matches
+    assert got_d == [False, True]  # RFC: anchored match blocks .pdf only
+
+    # documented divergence 2: rule-order vs longest-match (disallow
+    # listed first shadows the longer allow in stdlib)
+    order = {
+        "domain": D,
+        "body": "User-agent: *\nDisallow: /private/\nAllow: /private/public\n",
+        "urls": [f"https://{D}/private/public/x", f"https://{D}/private/z"],
+    }
+    ref_o = _reference({"cmd": "robots", "cases": [order]})["out"][0]
+    got_o = _robots_engine_decisions(spark, order["body"], order["urls"])
+    assert ref_o == [False, False]  # stdlib: first match (disallow) wins
+    assert got_o == [True, False]  # RFC: longest match (allow) wins
+
+
+def test_regex_entities_match_reference_live(spark, sf_dir):
+    """All 21 built-in entity patterns (X7) vs the reference
+    RegexExtractionStrategy run live — per-label ordered match lists
+    must be identical (Java vs Python regex engines agree on this
+    catalog over ASCII text; that agreement is exactly what this
+    pins)."""
+    from crawl4ai_spark.functions.entities import DEFAULT_PATTERNS, extract_entities
+
+    base = [
+        r["text"][:160]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .orderBy("doc_id")
+        .select("text")
+        .collect()
+    ]
+    soup = [
+        "mail First.Last+tag@sub.domain.co.uk or x@y.io now",
+        "call +44 (0)20 7946-0958 or (555) 123 4567 today",
+        "see https://a.example.com/p?q=1&r=2#frag, then http://b.io/x.",
+        "hosts 10.0.0.1 and 255.255.255.255 and 999.1.1.1",
+        "v6 2001:0DB8:85A3:0000:0000:8A2E:0370:7334 ok",
+        "id 123e4567-e89b-12d3-a456-426614174000 done",
+        "pay USD 1,299.99 or €5 or £12.50 or RM 3.20",
+        "rates 12.5% and 100% and 0.01%",
+        "big 1,234,567.89 and 12 345 678 and 1.234",
+        "due 2024-03-01 or 3/14/24 or 12/31/1999",
+        "at 09:30 or 23:59:59 or 7:05.30",
+        "zip 90210-1234 and 10001, uk SW1A 1AA and m1 1ae",
+        "color #FF00ff and #abcdef now",
+        "ping @jack and @a_very_long_handle_x #rust-lang #2024",
+        "mac 00:1A:2b:3C:4d:5E up",
+        "iban GB82WEST12345698765432 and DE89370400440532013000",
+        "cards 4111111111111111 5500005555555559 378282246310005 6011000990139424",
+    ]
+    texts = base + soup + ["", "no entities here at all"]
+
+    ref = _reference({"cmd": "regex_extract", "texts": texts})["out"]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = extract_entities(df, "text", id_cols=["id"]).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["id"], r["label"]), []).append(r["value"])
+    want = {}
+    for i, matches_ in enumerate(ref):
+        for m in matches_:
+            want.setdefault((i, m["label"]), []).append(m["value"])
+    # per (text, label): identical ordered match lists
+    assert got == want
+    # not vacuous: every pattern label matched somewhere
+    assert {k[1] for k in want} == set(DEFAULT_PATTERNS)
+
+
 def test_client_hints_match_reference_live(spark):
     """Sec-CH-UA derivation (X14) vs the reference's
     UAGen.generate_client_hints over the engine's generated UA spread
