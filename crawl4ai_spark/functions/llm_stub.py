@@ -22,29 +22,47 @@ def merge_chunks(
     docs: list[str],
     target_size: int = 512,
     overlap: int = 0,
-    word_token_ratio: float = 0.75,
+    word_token_ratio: float = 1.3,
 ) -> list[str]:
-    """Greedy token-budget packing of chunks into sections (reference
-    merge_chunks utils.py:162-224 semantics: estimated tokens =
-    words / ratio; a chunk that overflows the budget closes the current
-    section; `overlap` words of the previous section's tail prefix the
-    next)."""
-    sections: list[str] = []
-    current: list[str] = []
-    current_tokens = 0.0
+    """Algorithm-identical port of utils.py:162-224 (pinned live in
+    tests/test_reference_differential.py): per-doc token estimate =
+    int(words * ratio) — docs whose estimate rounds to ZERO are dropped
+    whole, a reference quirk — the estimates size a FIXED chunk count
+    ceil(total/target), then raw words distribute sequentially,
+    advancing (with `overlap` carryover words) once a chunk holds
+    target_size words; the final chunk absorbs any remainder unbounded.
+    Default ratio = the reference's config.WORD_TOKEN_RATE (1.3)."""
+    token_counts: list[int] = []
+    all_tokens: list[list[str]] = []
+    total_tokens = 0
     for doc in docs:
-        words = doc.split()
-        tokens = len(words) / word_token_ratio
-        if current and current_tokens + tokens > target_size:
-            sections.append(" ".join(current))
-            tail = current[-overlap:] if overlap > 0 else []
-            current = list(tail)
-            current_tokens = len(tail) / word_token_ratio
-        current.extend(words)
-        current_tokens += tokens
-    if current:
-        sections.append(" ".join(current))
-    return sections
+        tokens = doc.split()
+        count = int(len(tokens) * word_token_ratio)
+        if count:
+            token_counts.append(count)
+            all_tokens.append(tokens)
+            total_tokens += count
+    if not total_tokens:
+        return []
+
+    num_chunks = max(1, (total_tokens + target_size - 1) // target_size)
+    chunks: list[list[str]] = [[] for _ in range(num_chunks)]
+    curr_chunk = 0
+    curr_size = 0
+    for token in (t for doc in all_tokens for t in doc):
+        if curr_size >= target_size and curr_chunk < num_chunks - 1:
+            if overlap > 0:
+                overlap_tokens = chunks[curr_chunk][-overlap:]
+                curr_chunk += 1
+                chunks[curr_chunk].extend(overlap_tokens)
+                curr_size = len(overlap_tokens)
+            else:
+                curr_chunk += 1
+                curr_size = 0
+        chunks[curr_chunk].append(token)
+        curr_size += 1
+
+    return [" ".join(chunk) for chunk in chunks if chunk]
 
 
 def fake_llm(prompt: str, instruction: str = "") -> str:

@@ -378,6 +378,55 @@ def run_robots(spec: dict) -> dict:
     return {"out": out}
 
 
+def run_head_filters(mods, spec: dict) -> dict:
+    """ContentRelevanceFilter / SEOFilter (filters.py:506-686) driven
+    live with HeadPeekr.peek_html monkeypatched to serve the given head
+    fragment (its real network fetch is the only impure part). Returns
+    decision ladders over the provided thresholds — a score comparison
+    at ladder resolution without re-implementing the scoring here."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    fl = mods["filters"]
+    out = []
+    for case in spec["cases"]:
+        head = case["head"]
+
+        async def _fake_peek(url, timeout=0.3, _h=head):
+            return _h
+
+        utils.HeadPeekr.peek_html = staticmethod(_fake_peek)
+        rel = []
+        for t in case["relevance_thresholds"]:
+            f = fl.ContentRelevanceFilter(query=case["query"], threshold=t)
+            rel.append(bool(asyncio.run(f.apply(case["url"]))))
+        seo = []
+        for t in case["seo_thresholds"]:
+            f = fl.SEOFilter(threshold=t, keywords=case.get("keywords"))
+            seo.append(bool(asyncio.run(f.apply(case["url"]))))
+        out.append({"relevance": rel, "seo": seo})
+    return {"out": out}
+
+
+def run_merge_chunks(spec: dict) -> dict:
+    """The reference's merge_chunks (utils.py:162-224) over each case's
+    (docs, target_size, overlap, word_token_ratio)."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    out = []
+    for c in spec["cases"]:
+        out.append(
+            utils.merge_chunks(
+                c["docs"],
+                c["target_size"],
+                overlap=c.get("overlap", 0),
+                word_token_ratio=c.get("word_token_ratio", 1.0),
+            )
+        )
+    return {"out": out}
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -400,6 +449,10 @@ def main() -> None:
         out = run_regex_extract(spec)
     elif cmd == "robots":
         out = run_robots(spec)
+    elif cmd == "head_filters":
+        out = run_head_filters(mods, spec)
+    elif cmd == "merge_chunks":
+        out = run_merge_chunks(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

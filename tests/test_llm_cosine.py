@@ -16,16 +16,21 @@ from crawl4ai_spark.operators.cosine_strategy import (
 
 
 def test_merge_chunks_budget_and_overlap():
-    chunks = ["one two three"] * 10  # 3 words -> 4 est tokens each
+    # 30 words, est tokens = 30*1.3 = 39 -> 4 pre-allocated chunks, but
+    # the 30 raw words fill exactly three at target_size and the empty
+    # fourth is dropped
+    chunks = ["one two three"] * 10
     sections = merge_chunks(chunks, target_size=10, overlap=0)
-    assert len(sections) > 1
-    assert all(len(s.split()) / 0.75 <= 10 + 4 for s in sections)
+    assert [len(s.split()) for s in sections] == [10, 10, 10]
     # overlap: next section starts with the previous tail words
     s2 = merge_chunks(["a b c d e", "f g h i j", "k l m n o"],
                       target_size=8, overlap=2)
     assert len(s2) >= 2
     tail = s2[0].split()[-2:]
     assert s2[1].split()[:2] == tail
+    # reference quirk: a doc whose token estimate rounds to zero is
+    # dropped whole
+    assert merge_chunks(["solo"], target_size=8, word_token_ratio=0.5) == []
 
 
 def test_fake_llm_deterministic():

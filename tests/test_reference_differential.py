@@ -634,6 +634,126 @@ def test_chunkers_match_reference_live(spark, sf_dir):
             assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
 
 
+def test_merge_chunks_matches_reference_live():
+    """The LLM stage's section packer vs the reference merge_chunks
+    (utils.py:162-224), list-exact over a deterministic grid of docs,
+    budgets, overlaps, and token ratios — including the zero-estimate
+    doc-drop quirk and the unbounded final chunk."""
+    from crawl4ai_spark.functions.llm_stub import merge_chunks
+
+    docsets = [
+        [f"w{i} " * (i % 7 + 1) for i in range(9)],
+        ["one two three"] * 10,
+        ["a b c d e", "f g h i j", "k l m n o"],
+        ["single"],
+        ["", "only real words here", ""],
+        ["x " * 50, "y", "z " * 3],
+    ]
+    cases = [
+        {
+            "docs": [d.strip() for d in ds],
+            "target_size": ts,
+            "overlap": ov,
+            "word_token_ratio": r,
+        }
+        for ds in docsets
+        for ts in (4, 10, 512)
+        for ov in (0, 2)
+        for r in (1.0, 1.3, 0.5)
+    ]
+    ref = _reference({"cmd": "merge_chunks", "cases": cases})["out"]
+    for case, want in zip(cases, ref):
+        got = merge_chunks(
+            case["docs"],
+            case["target_size"],
+            overlap=case["overlap"],
+            word_token_ratio=case["word_token_ratio"],
+        )
+        assert got == want, case
+
+
+def test_head_filters_match_reference_live(spark):
+    """ContentRelevanceFilter (F5) + SEOFilter (F6) vs the reference
+    filters run live over synthesized head fragments. Decision ladders
+    across threshold grids pin the scores to ladder resolution and the
+    >= decision semantics, without duplicating the scoring here."""
+    from crawl4ai_spark.functions.headpeek import (
+        content_relevance_score,
+        seo_score,
+    )
+
+    good_title = "Spark Data Engineering Guide For Production Teams!"  # 50 chars
+    desc_150 = ("spark data pipelines at scale " * 5).strip()[:150]
+    heads = [
+        (
+            "https://ex.example.com/guide/spark",
+            f"<head><title>{good_title}</title>"
+            f'<meta name="description" content="{desc_150}">'
+            '<meta name="keywords" content="spark data">'
+            '<script type="application/ld+json">{}</script></head>',
+        ),
+        (
+            "https://ex.example.com/blog_post/2024?id=9",
+            "<head><title>tiny</title>"
+            '<meta name="robots" content="noindex,follow">'
+            '<meta name="canonical" content="https://ex.example.com/other"></head>',
+        ),
+        (
+            "https://ex.example.com/a",
+            "<head><title>Spark spark SPARK data overview page here now</title>"
+            '<meta property="og:description" content="spark everywhere">'
+            '<meta name="canonical" content="https://ex.example.com/a"></head>',
+        ),
+        (
+            "https://ex.example.com/" + "p" * 90,
+            "<head></head>",
+        ),
+        (
+            "https://ex.example.com/q",
+            '<head><title>Data & Spark — the "quoted" title exists</title>'
+            '<meta name="description" content="short desc">'
+            '<meta name="description" content="'
+            + ("d" * 145)
+            + '"></head>',
+        ),
+    ]
+    query = "spark data"
+    keywords = ["spark", "data"]
+    rel_ts = [round(0.2 * i, 2) for i in range(16)]
+    seo_ts = [round(0.05 * i, 2) for i in range(21)]
+
+    ref = _reference(
+        {
+            "cmd": "head_filters",
+            "cases": [
+                {
+                    "url": u,
+                    "head": h,
+                    "query": query,
+                    "keywords": keywords,
+                    "relevance_thresholds": rel_ts,
+                    "seo_thresholds": seo_ts,
+                }
+                for u, h in heads
+            ],
+        }
+    )["out"]
+
+    df = spark.createDataFrame(heads, "url string, head string")
+    rows = df.select(
+        "url",
+        content_relevance_score("head", query).alias("rel"),
+        seo_score("head", "url", keywords=keywords).alias("seo"),
+    ).collect()
+    by_url = {r["url"]: r for r in rows}
+    for (u, _), want in zip(heads, ref):
+        r = by_url[u]
+        got_rel = [bool(r["rel"] >= t) for t in rel_ts]
+        got_seo = [bool(r["seo"] >= t) for t in seo_ts]
+        assert got_rel == want["relevance"], (u, r["rel"])
+        assert got_seo == want["seo"], (u, r["seo"])
+
+
 def _robots_engine_decisions(spark, body, urls, ua="*"):
     from crawl4ai_spark.operators.robots import rules_table, with_robots_decision
 
