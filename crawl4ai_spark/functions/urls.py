@@ -203,9 +203,14 @@ def is_external(url: Column | str, base_dom: Column | str) -> Column:
     special = F.lit(False)
     for p in SPECIAL_SCHEMES:
         special = special | low.startswith(p)
-    url_dom = F.regexp_replace(host(u), "www\\.", "")
+    # the reference compares parsed.netloc — authority WITH any port —
+    # so https://example.com:444 is external to base "example.com"
+    # (pinned live in tests/test_reference_differential.py); HOST would
+    # strip the port and flip that case
+    netloc = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    url_dom = F.regexp_replace(netloc, "www\\.", "")
     base_clean = F.regexp_replace(F.lower(b), "www\\.", "")
-    has_netloc = host(u).isNotNull() & (host(u) != "")
+    has_netloc = netloc.isNotNull() & (netloc != "")
     return F.when(special, F.lit(True)).otherwise(
         F.when(~has_netloc, F.lit(False)).otherwise(~url_dom.endswith(base_clean))
     )

@@ -427,6 +427,28 @@ def run_merge_chunks(spec: dict) -> dict:
     return {"out": out}
 
 
+def run_url_helpers(spec: dict) -> dict:
+    """Pure scalar helpers: get_base_domain (utils.py:2320-2368),
+    is_external_url (:2371-2402), clean_tokens (:2405+)."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    out = {}
+    if "base_domain_urls" in spec:
+        out["base_domain"] = [
+            utils.get_base_domain(u) for u in spec["base_domain_urls"]
+        ]
+    if "external_pairs" in spec:
+        out["is_external"] = [
+            bool(utils.is_external_url(u, b)) for u, b in spec["external_pairs"]
+        ]
+    if "token_lists" in spec:
+        out["clean_tokens"] = [
+            utils.clean_tokens(ts) for ts in spec["token_lists"]
+        ]
+    return out
+
+
 def main() -> None:
     spec = json.load(sys.stdin)
     mods = load_reference()
@@ -453,6 +475,8 @@ def main() -> None:
         out = run_head_filters(mods, spec)
     elif cmd == "merge_chunks":
         out = run_merge_chunks(spec)
+    elif cmd == "url_helpers":
+        out = run_url_helpers(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

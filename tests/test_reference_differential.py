@@ -634,6 +634,68 @@ def test_chunkers_match_reference_live(spark, sf_dir):
             assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
 
 
+def test_url_helpers_match_reference_live(spark):
+    """get_base_domain (F12) / is_external (F13) / clean_tokens (X12)
+    vs the reference's pure utils helpers, value-exact over a grid of
+    multi-level TLDs, ports, IPs, and noisy token lists."""
+    from crawl4ai_spark.functions.content_filter import clean_tokens
+    from crawl4ai_spark.functions.urls import base_domain, is_external
+
+    urls = [
+        "https://www.example.com/a",
+        "https://sub.deep.example.co.uk/b?q=1",
+        "http://example.com.au:8080/c",
+        "https://bbc.co.uk/",
+        "https://localhost/x",
+        "https://192.168.0.1:81/admin",
+        "https://a.b.c.d.example.org.uk/z",
+        "ftp://files.example.net/pub",
+        "https://example.ac.jp/x",
+        "https://single",
+        "",
+    ]
+    pairs = [
+        ["https://www.example.com/a", "example.com"],
+        ["https://blog.example.com/a", "example.com"],
+        ["https://evil.com/example.com", "example.com"],
+        ["https://example.co.uk/a", "example.com"],
+        ["/relative/path", "example.com"],
+        ["https://example.com:444/a", "example.com"],
+    ]
+    token_lists = [
+        ["the", "spark", "engine", "up", "of", "↑top", "runs", "at", "scale"],
+        ["a", "an", "ab", "abc", "ccp", "▲x", "⬆️y", "normal"],
+        [],
+    ]
+    ref = _reference(
+        {
+            "cmd": "url_helpers",
+            "base_domain_urls": urls,
+            "external_pairs": pairs,
+            "token_lists": token_lists,
+        }
+    )
+
+    got_bd = [
+        # Column null is the engine's spelling of the reference's ""
+        # (no-host urls); values must otherwise be byte-equal
+        r["bd"] if r["bd"] is not None else ""
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(base_domain("u").alias("bd"))
+        .collect()
+    ]
+    assert got_bd == ref["base_domain"]
+
+    ext_df = spark.createDataFrame(pairs, "u string, b string")
+    got_ext = [
+        bool(r["e"])
+        for r in ext_df.select(is_external("u", F.col("b")).alias("e")).collect()
+    ]
+    assert got_ext == ref["is_external"]
+
+    assert [clean_tokens(ts) for ts in token_lists] == ref["clean_tokens"]
+
+
 def test_merge_chunks_matches_reference_live():
     """The LLM stage's section packer vs the reference merge_chunks
     (utils.py:162-224), list-exact over a deterministic grid of docs,

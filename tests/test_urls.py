@@ -215,7 +215,9 @@ def test_user_agent_client_hints_branches(spark):
         ("Mozilla/5.0 (X) Gecko/20100101 Firefox/119.0", '""'),
         ("Mozilla/5.0 (iPhone) Version/16.5 Mobile/15E148", 
          '"Safari";v="16", "Not_A Brand";v="8"'),
-        ("curl/8.0", '""'),
+        # no recognized browser -> EMPTY string (the reference joins an
+        # empty hints list; only firefox yields the literal '""')
+        ("curl/8.0", ""),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "ua string")
     got = [r["h"] for r in df.select(client_hints("ua").alias("h")).collect()]
