@@ -427,6 +427,26 @@ def run_merge_chunks(spec: dict) -> dict:
     return {"out": out}
 
 
+def run_nonsense(spec: dict) -> dict:
+    """The seeder's nonsense-URL filter (async_url_seeder.py:1284-1379)
+    — an instance method that never reads self, driven unbound."""
+    import importlib
+
+    for extra, attrs in (
+        ("aiofiles", ()),
+        ("rank_bm25", ("BM25Okapi",)),
+        ("fake_useragent", ("UserAgent",)),
+        ("requests", ()),
+        ("rich", ()),
+        ("rich.console", ("Console",)),
+        ("rich.text", ("Text",)),
+    ):
+        _stub(extra, attrs)
+    m = importlib.import_module("crawl4ai.async_url_seeder")
+    f = m.AsyncUrlSeeder._is_nonsense_url
+    return {"out": [bool(f(None, u)) for u in spec["urls"]]}
+
+
 def run_url_helpers(spec: dict) -> dict:
     """Pure scalar helpers: get_base_domain (utils.py:2320-2368),
     is_external_url (:2371-2402), clean_tokens (:2405+)."""
@@ -477,6 +497,8 @@ def main() -> None:
         out = run_merge_chunks(spec)
     elif cmd == "url_helpers":
         out = run_url_helpers(spec)
+    elif cmd == "nonsense":
+        out = run_nonsense(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

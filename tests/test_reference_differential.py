@@ -634,6 +634,57 @@ def test_chunkers_match_reference_live(spark, sf_dir):
             assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
 
 
+def test_nonsense_filter_matches_reference_live(spark):
+    """The seeder's nonsense-URL filter (F9) vs the reference's
+    _is_nonsense_url driven live over a grid spanning every rule
+    family (robots/sitemaps, utility files, hidden segments,
+    non-content paths, print params, short paths, and keepers)."""
+    from crawl4ai_spark.sources.seeder import is_nonsense_url
+
+    urls = [
+        "https://x.com/robots.txt",
+        "https://x.com/sitemap.xml",
+        "https://x.com/sitemap_index.xml",
+        "https://x.com/sitemap-news.xml",
+        "https://x.com/deep/robots.txt",
+        "https://x.com/ads.txt",
+        "https://x.com/humans.txt",
+        "https://x.com/.well-known/security.txt",
+        "https://x.com/favicon.ico",
+        "https://x.com/apple-touch-icon.png",
+        "https://x.com/manifest.json",
+        "https://x.com/browserconfig.xml",
+        "https://x.com/.hidden/page",
+        "https://x.com/a/.git/config",
+        "https://x.com/wp-admin/options.php",
+        "https://x.com/wp-includes/js/x.js",
+        "https://x.com/wp-content/uploads/img.png",
+        "https://x.com/cgi-bin/script",
+        "https://x.com/article?print=1",
+        "https://x.com/article?a=1&print=true",
+        "https://x.com/page.html",
+        "https://x.com/blog/2024/post-title",
+        "https://x.com/api/v1/data",
+        "https://x.com/style.css?v=2",
+        "https://x.com/",
+        "https://x.com",
+        "https://x.com/a",
+        "https://x.com/index.php",
+        "https://x.com/feed.xml",
+        "https://x.com/atom.xml",
+        "https://x.com/crossdomain.xml",
+    ]
+    ref = _reference({"cmd": "nonsense", "urls": urls})["out"]
+    got = [
+        bool(r["n"])
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(is_nonsense_url("u").alias("n"))
+        .collect()
+    ]
+    for u, g, w in zip(urls, got, ref):
+        assert g == w, f"{u}: engine={g} reference={w}"
+
+
 def test_url_helpers_match_reference_live(spark):
     """get_base_domain (F12) / is_external (F13) / clean_tokens (X12)
     vs the reference's pure utils helpers, value-exact over a grid of
