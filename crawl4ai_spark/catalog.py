@@ -2816,8 +2816,13 @@ inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
 jac AS (SELECT sum(i / (sa.ns + sb.ns - i)) AS sj
         FROM inter JOIN sizes sa ON inter.ia = sa.doc_id
                    JOIN sizes sb ON inter.ib = sb.doc_id),
-cons AS (SELECT coalesce(sj, 0.0) / ((SELECT n FROM nd) * ((SELECT n FROM nd) - 1) / 2.0)
-           AS consistency FROM jac),
+-- denominator counts only docs with a nonempty term set (the
+-- reference excludes pairs where either side is empty); no pair -> 0
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM sizes),
+cons AS (SELECT CASE WHEN (SELECT m FROM mm) >= 2
+                THEN coalesce(sj, 0.0)
+                     / ((SELECT m FROM mm) * ((SELECT m FROM mm) - 1) / 2.0)
+                ELSE 0.0 END AS consistency FROM jac),
 first_seen AS (SELECT t, min(r) AS fr FROM t GROUP BY t),
 -- rounds discovering nothing still enter the history as 0 (the
 -- reference's update_state appends 0 for such documents)

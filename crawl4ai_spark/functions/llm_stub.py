@@ -8,8 +8,10 @@ model call is a PLUGGABLE HOOK with a deterministic fake default; the
 Spark-side shape — token-budget chunk merging, Arrow-batched fan-out,
 JSON block output, content-hash memoization — is real and tested.
 
-``merge_chunks`` ports utils.py:162-224: greedy packing of chunks into
-sections under a token budget with a word-overlap carryover.
+``merge_chunks`` ports utils.py:162-224 algorithm-identically: the
+token estimates size a fixed chunk count, raw words then distribute
+sequentially with a word-overlap carryover, and the final chunk
+absorbs any remainder unbounded.
 """
 
 from __future__ import annotations
@@ -32,14 +34,12 @@ def merge_chunks(
     advancing (with `overlap` carryover words) once a chunk holds
     target_size words; the final chunk absorbs any remainder unbounded.
     Default ratio = the reference's config.WORD_TOKEN_RATE (1.3)."""
-    token_counts: list[int] = []
     all_tokens: list[list[str]] = []
     total_tokens = 0
     for doc in docs:
         tokens = doc.split()
         count = int(len(tokens) * word_token_ratio)
         if count:
-            token_counts.append(count)
             all_tokens.append(tokens)
             total_tokens += count
     if not total_tokens:

@@ -40,12 +40,15 @@ def _adaptive_tokens(col):
 def _adaptive_query_terms(query: str) -> list:
     """Driver-side mirror of _adaptive_tokens for the query string.
     The reference keeps DUPLICATE query terms (adaptive_crawler.py:316
-    tokenizes into a list, then averages over its length)."""
+    tokenizes into a list, then averages over its length). re.ASCII
+    keeps \\w consistent with the Java/RE2 \\w used on the document
+    side — without it a non-ASCII query term would survive here but
+    never match any document token."""
     import re as _re
 
     return [
         t
-        for t in _re.sub(r"[^\w\s]", " ", query.lower()).split()
+        for t in _re.sub(r"[^\w\s]", " ", query.lower(), flags=_re.ASCII).split()
         if len(t) > 2
     ]
 
@@ -162,8 +165,13 @@ def coverage(df: DataFrame, text_col: str, id_col: str, query: str) -> DataFrame
 
 def consistency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Mean pairwise Jaccard of document term SETS
-    (adaptive_crawler.py:347-372). Pairs with empty intersection count
-    as 0 — the denominator is C(n,2), not the join cardinality."""
+    (adaptive_crawler.py:347-372). Pairs with empty INTERSECTION count
+    as 0, but pairs where either doc's term set is EMPTY are excluded
+    entirely (the reference's `if terms_i and terms_j` guard) — the
+    denominator is C(m,2) over the m docs with nonempty term sets, and
+    no qualifying pair at all yields 0.0. The <2-docs early exit of 1.0
+    counts ALL docs, empty or not, like the reference's
+    knowledge_base length check."""
     n = df.count()
     if n < 2:
         return df.sparkSession.createDataFrame([(1.0,)], "consistency double")
@@ -189,7 +197,9 @@ def consistency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
     )
     total = j.agg(F.sum("_j")).first()[0] or 0.0
-    cons = total / (n * (n - 1) / 2)
+    m = sizes.count()  # docs with at least one adaptive token
+    pairs = m * (m - 1) / 2
+    cons = total / pairs if pairs > 0 else 0.0
     return df.sparkSession.createDataFrame([(cons,)], "consistency double")
 
 

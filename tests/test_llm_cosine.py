@@ -16,9 +16,9 @@ from crawl4ai_spark.operators.cosine_strategy import (
 
 
 def test_merge_chunks_budget_and_overlap():
-    # 30 words, est tokens = 30*1.3 = 39 -> 4 pre-allocated chunks, but
-    # the 30 raw words fill exactly three at target_size and the empty
-    # fourth is dropped
+    # per-doc estimate int(3*1.3)=3, summed over 10 docs -> 30 tokens
+    # -> ceil(30/10)=3 pre-allocated chunks; the 30 raw words fill them
+    # at exactly target_size each
     chunks = ["one two three"] * 10
     sections = merge_chunks(chunks, target_size=10, overlap=0)
     assert [len(s.split()) for s in sections] == [10, 10, 10]

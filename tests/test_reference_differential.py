@@ -536,7 +536,15 @@ def test_adaptive_metrics_match_reference_live(spark, sf_dir):
         .filter(F.col("doc_id") < 12)
         .orderBy("doc_id")
     )
-    rows = docs.collect()
+    # append a doc whose every token is <= 2 chars: its adaptive term
+    # set is EMPTY, so the reference excludes its pairs from the
+    # consistency denominator — the exact edge a review found the
+    # engine mishandling
+    empty_tok = spark.createDataFrame(
+        [(999, "a b c of at up")], "doc_id long, text string"
+    )
+    docs = docs.unionByName(empty_tok)
+    rows = docs.orderBy("doc_id").collect()
     query = "spark data"
 
     ref = _reference(
