@@ -642,6 +642,48 @@ def test_chunkers_match_reference_live(spark, sf_dir):
             assert list(r[name]) == ref[name][i], f"{name} text#{i}: {texts[i][:60]!r}"
 
 
+def test_bfs_random_graphs_match_reference_live(spark, tmp_path):
+    """Randomized equivalence: deterministic pseudo-random micro-graphs
+    (varying fan-out, cross links, back edges, dead ends) crawled by
+    both engines; visited set, depths, and per-level sets must agree
+    after dropping the reference's seed-re-crawl quirk rows."""
+    import random
+
+    for seed_no in range(3):
+        rng = random.Random(1000 + seed_no)
+        n = rng.randint(10, 16)
+        urls = [f"https://g{seed_no}.example.com/n{i}.html" for i in range(n)]
+        graph = {}
+        for i, u in enumerate(urls):
+            fanout = rng.randint(0, 4)
+            targets = rng.sample(range(n), min(fanout, n))
+            graph[u] = [urls[t] for t in targets if t != i]
+        spec_graph = _micro_graph_spec(spark, graph)
+
+        ref = _reference(
+            {
+                "cmd": "crawl",
+                "strategy": "bfs",
+                "seed": urls[0],
+                "graph": spec_graph,
+                "max_depth": 3,
+            }
+        )["results"]
+        first, dups = _first_occurrence(ref)
+        assert {d["url"] for d in dups} <= {urls[0]}
+
+        pages = _micro_pages(spark, graph)
+        cfg = CrawlConfig(max_depth=3, round_seconds=1e6)
+        eng = _engine_results(
+            spark, pages, urls[0], cfg, 4, str(tmp_path / f"rg{seed_no}")
+        )
+        assert {r["url"] for r in eng} == set(first), seed_no
+        eng_by_url = {r["url"]: r for r in eng}
+        for url, rr in first.items():
+            assert eng_by_url[url]["depth"] == rr["depth"], (seed_no, url)
+            assert eng_by_url[url]["round"] == rr["depth"], (seed_no, url)
+
+
 def test_nonsense_filter_matches_reference_live(spark):
     """The seeder's nonsense-URL filter (F9) vs the reference's
     _is_nonsense_url driven live over a grid spanning every rule
