@@ -227,6 +227,16 @@ def run_filters(mods, spec: dict) -> dict:
                 r = asyncio.run(r)
             vals.append(bool(r))
         out[f["name"]] = vals
+    if spec.get("chain"):
+        chain = fl.FilterChain(
+            [getattr(fl, f["kind"])(**f["params"]) for f in spec["chain"]]
+        )
+        out["chain"] = [bool(asyncio.run(chain.apply(u))) for u in spec["urls"]]
+        out["chain_stats"] = {
+            "total": chain.stats.total_urls,
+            "passed": chain.stats.passed_urls,
+            "rejected": chain.stats.rejected_urls,
+        }
     return out
 
 

@@ -1230,3 +1230,57 @@ def test_filters_match_reference_live(spark, sf_dir):
     for name in ("f_html", "f_not_html", "f_text", "f_image", "f_dom"):
         got = [bool(r[name]) for r in rows]
         assert got == ref[name], name
+
+
+def test_filter_chain_stats_match_reference_live(spark, sf_dir):
+    """FilterChain decisions + FilterStats counters (F1/A1) vs the
+    reference chain run live over the gate inputs. For all-sync member
+    filters the reference's rejected counter is one per rejected url,
+    so (total, passed, rejected) maps onto the engine's one-pass
+    aggregation exactly."""
+    from crawl4ai_spark.operators.filters import (
+        content_type_filter,
+        domain_filter,
+        filter_chain,
+        url_pattern_filter,
+    )
+
+    df = _docs(spark, sf_dir).withColumn("url", _url1())
+    chain_col = filter_chain(
+        url_pattern_filter("url", ["*.html"]),
+        content_type_filter("url", ["text"]),
+        domain_filter(
+            "url",
+            allowed_domains=["example.com"],
+            blocked_domains=["src0.example.com"],
+        ),
+    )
+    rows = df.select("url", chain_col.alias("c")).orderBy("url").collect()
+    urls = [r["url"] for r in rows]
+    ref = _reference(
+        {
+            "cmd": "filters",
+            "urls": urls,
+            "filters": [],
+            "chain": [
+                {"kind": "URLPatternFilter", "params": {"patterns": ["*.html"]}},
+                {
+                    "kind": "ContentTypeFilter",
+                    "params": {"allowed_types": ["text"]},
+                },
+                {
+                    "kind": "DomainFilter",
+                    "params": {
+                        "allowed_domains": ["example.com"],
+                        "blocked_domains": ["src0.example.com"],
+                    },
+                },
+            ],
+        }
+    )
+    got = [bool(r["c"]) for r in rows]
+    assert got == ref["chain"]
+    stats = ref["chain_stats"]
+    assert stats["total"] == len(urls)
+    assert stats["passed"] == sum(got)
+    assert stats["rejected"] == len(urls) - sum(got)
