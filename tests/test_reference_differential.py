@@ -36,6 +36,7 @@ Documented reference quirks pinned here (each with a file:line cite):
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -48,6 +49,14 @@ from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun, run_crawl
 from crawl4ai_spark.synth import generate_pages, page_url
 
 RUNNER = __file__.rsplit("/", 1)[0] + "/ref_frontier_runner.py"
+
+# absent reference tree -> skip the module (nothing to differential
+# against); present-but-unloadable must FAIL loudly in _reference(),
+# never skip silently (the round-3 lesson from the markdown golden)
+if not os.path.isdir("/root/reference/crawl4ai"):
+    pytest.skip(
+        "reference tree not present", allow_module_level=True
+    )
 
 
 def _reference(spec: dict) -> dict:
