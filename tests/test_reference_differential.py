@@ -532,6 +532,112 @@ def test_scorers_match_reference_live(spark, sf_dir):
     )
 
 
+def test_scorer_edges_match_reference_live(spark):
+    """ContentTypeScorer plus freshness/path-depth edge shapes vs the
+    reference scorers live: full-date urls, query/fragment/path-param
+    extensions, deep and empty paths."""
+    from crawl4ai_spark.operators.scorers import (
+        content_type_score,
+        freshness_score,
+        path_depth_score,
+    )
+
+    urls = [
+        "https://e.com/a/2023/05/14/post.html",
+        "https://e.com/x-2021-12-31.php",
+        "https://e.com/y_2019_01_02/z",
+        "https://e.com/multi/2018/and/2024/picks",
+        "https://e.com/nodate/page",
+        "https://e.com/q.php?id=1",
+        "https://e.com/doc.pdf#page=2",
+        "https://e.com/img.jpg;width=100",
+        "https://e.com/",
+        "https://e.com/a/b/c/d/e/f",
+        "https://e.com/blog/roundup.HTML",
+        "https://e.com/archive.tar.gz",
+    ]
+    weights = {".html$": 1.0, ".pdf$": 0.8, ".php$": 0.6, "blog": 0.5}
+    rows = (
+        spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(
+            "u",
+            F.round(content_type_score("u", weights), 6).alias("ct"),
+            F.round(freshness_score("u", current_year=2024), 6).alias("fr"),
+            F.round(path_depth_score("u", optimal_depth=2), 6).alias("pd"),
+        )
+        .collect()
+    )
+    by_url = {r["u"]: r for r in rows}
+    ref = _reference(
+        {
+            "cmd": "scorers",
+            "urls": urls,
+            "scorers": [
+                {
+                    "name": "ct",
+                    "kind": "ContentTypeScorer",
+                    "params": {"type_weights": weights},
+                },
+                {
+                    "name": "fr",
+                    "kind": "FreshnessScorer",
+                    "params": {"current_year": 2024},
+                },
+                {
+                    "name": "pd",
+                    "kind": "PathDepthScorer",
+                    "params": {"optimal_depth": 2},
+                },
+            ],
+        }
+    )
+    for name in ("ct", "fr", "pd"):
+        got = [float(by_url[u][name]) for u in urls]
+        assert got == pytest.approx(ref[name], abs=2e-6), (
+            name,
+            list(zip(urls, got, ref[name])),
+        )
+
+
+def test_bfs_include_external_matches_reference_live(spark, tmp_path):
+    """include_external=True follows cross-host links in both engines
+    identically (J5/F13 externality at the frontier seam)."""
+    A = "https://alpha.example.com/a.html"
+    B = "https://alpha.example.com/b.html"
+    X = "https://beta.other.org/x.html"
+    Y = "https://beta.other.org/y.html"
+    graph = {A: [B, X], B: [Y], X: [Y], Y: []}
+    spec_graph = _micro_graph_spec(spark, graph)
+    # sanity: the cross-host links really are classified external
+    assert X in spec_graph[A]["external"]
+
+    for include_external, expect in ((False, {A, B}), (True, {A, B, X, Y})):
+        ref = _reference(
+            {
+                "cmd": "crawl",
+                "strategy": "bfs",
+                "seed": A,
+                "graph": spec_graph,
+                "max_depth": 3,
+                "include_external": include_external,
+            }
+        )["results"]
+        first, _ = _first_occurrence(ref)
+        assert set(first) == expect, include_external
+
+        pages = _micro_pages(spark, graph)
+        cfg = CrawlConfig(
+            max_depth=3, round_seconds=1e6, include_external=include_external
+        )
+        eng = _engine_results(
+            spark, pages, A, cfg, 4, str(tmp_path / f"ext{include_external}")
+        )
+        assert {r["url"] for r in eng} == set(first), include_external
+        eng_by = {r["url"]: r for r in eng}
+        for url, rr in first.items():
+            assert eng_by[url]["depth"] == rr["depth"], url
+
+
 def test_adaptive_metrics_match_reference_live(spark, sf_dir):
     """coverage/consistency/saturation/confidence (A5-A8) vs the
     reference StatisticalStrategy driven live over the same documents.
