@@ -1138,6 +1138,25 @@ def test_robots_decisions_match_reference_live(spark):
     assert ref_o == [False, False]  # stdlib: first match (disallow) wins
     assert got_o == [True, False]  # RFC: longest match (allow) wins
 
+    # documented divergence 3: user-agent GROUP selection — stdlib
+    # takes the first group whose token is a substring of the UA in
+    # file order; RFC 9309 takes the most specific (longest) token
+    groups = {
+        "domain": D,
+        "body": (
+            "User-agent: test\nDisallow: /short/\n\n"
+            "User-agent: testbot\nDisallow: /long/\n"
+        ),
+        "urls": [f"https://{D}/short/x", f"https://{D}/long/x"],
+        "ua": "testbot",
+    }
+    ref_g = _reference({"cmd": "robots", "cases": [groups]})["out"][0]
+    got_g = _robots_engine_decisions(
+        spark, groups["body"], groups["urls"], ua="testbot"
+    )
+    assert ref_g == [False, True]  # stdlib: 'test' group (file order)
+    assert got_g == [True, False]  # RFC: 'testbot' group (most specific)
+
 
 def test_regex_entities_match_reference_live(spark, sf_dir):
     """All 21 built-in entity patterns (X7) vs the reference
