@@ -163,13 +163,18 @@ def update_state(
     *,
     host_col: str = "host",
     success_col: str = "success",
+    jitter_value: float | None = None,
 ) -> DataFrame:
     """Fold one round's per-host outcomes into the backoff state.
 
     success on all fetches -> delay * 0.75 (floored at base);
     any failure -> delay * 2 * jitter(0.75..1.25), capped at 60s;
     fail_count increments on all-failed rounds, resets on success.
-    Jitter is xxhash64(host, round)-derived — deterministic.
+    Jitter is xxhash64(host, round)-derived — deterministic. The
+    reference's jitter is random.uniform(0.75, 1.25)
+    (async_dispatcher.py:73-75); ``jitter_value`` pins it to a constant
+    so the live differential can compare delay trajectories against the
+    reference RateLimiter with its random patched to the same constant.
     """
     # one-exchange fold: instead of (groupBy exchange) + (full_outer
     # sort-merge = two more exchanges), union the raw round rows with
@@ -207,10 +212,15 @@ def update_state(
     ok = F.coalesce(F.col("_ok"), F.lit(0))
     n = F.coalesce(F.col("_n"), F.lit(0))
     had_failure = (n > 0) & (ok < n)
-    jitter = F.lit(0.75) + (
-        F.pmod(F.xxhash64(F.col("_host"), F.lit(round_no)), F.lit(1000)).cast("double")
-        / F.lit(2000.0)
-    )
+    if jitter_value is not None:
+        jitter = F.lit(float(jitter_value))
+    else:
+        jitter = F.lit(0.75) + (
+            F.pmod(
+                F.xxhash64(F.col("_host"), F.lit(round_no)), F.lit(1000)
+            ).cast("double")
+            / F.lit(2000.0)
+        )
     new_delay = (
         F.when(had_failure, F.least(delay * 2.0 * jitter, F.lit(MAX_DELAY)))
         .otherwise(F.greatest(delay * 0.75, F.lit(BASE_DELAY)))

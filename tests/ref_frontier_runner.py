@@ -457,6 +457,49 @@ def run_nonsense(spec: dict) -> dict:
     return {"out": [bool(f(None, u)) for u in spec["urls"]]}
 
 
+def run_rate_limiter(spec: dict) -> dict:
+    """The reference RateLimiter backoff state machine
+    (async_dispatcher.py:24-83) driven per status code with
+    random.uniform pinned to the interval midpoint (deterministic
+    jitter 1.0 on backoff, exact base on success). Returns the
+    (current_delay, fail_count, keep) trajectory per sequence."""
+    import importlib
+
+    _stub("psutil")
+    _stub("crawl4ai.components", ())
+    _stub("crawl4ai.components.crawler_monitor", ("CrawlerMonitor",))
+    _stub("crawl4ai.async_webcrawler", ("AsyncWebCrawler",))
+    _stub("crawl4ai.async_configs", ("CrawlerRunConfig",))
+    ad = importlib.import_module("crawl4ai.async_dispatcher")
+    ad.random.uniform = lambda a, b: (a + b) / 2.0
+
+    out = []
+    for case in spec["cases"]:
+        rl = ad.RateLimiter(
+            base_delay=tuple(case.get("base_delay", (1.0, 1.0))),
+            max_delay=case.get("max_delay", 60.0),
+            max_retries=case.get("max_retries", 3),
+            rate_limit_codes=case.get("rate_limit_codes"),
+        )
+        url = case.get("url", "https://h.example.com/x")
+        # first wait initializes current_delay from base; no sleep
+        # happens because last_request_time is unset
+        asyncio.run(rl.wait_if_needed(url))
+        steps = []
+        for status in case["statuses"]:
+            keep = rl.update_delay(url, int(status))
+            st = rl.domains[rl.get_domain(url)]
+            steps.append(
+                {
+                    "delay": round(st.current_delay, 9),
+                    "fail_count": st.fail_count,
+                    "keep": bool(keep),
+                }
+            )
+        out.append(steps)
+    return {"out": out}
+
+
 def run_url_helpers(spec: dict) -> dict:
     """Pure scalar helpers: get_base_domain (utils.py:2320-2368),
     is_external_url (:2371-2402), clean_tokens (:2405+)."""
@@ -509,6 +552,8 @@ def main() -> None:
         out = run_url_helpers(spec)
     elif cmd == "nonsense":
         out = run_nonsense(spec)
+    elif cmd == "rate_limiter":
+        out = run_rate_limiter(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

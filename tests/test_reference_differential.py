@@ -799,6 +799,59 @@ def test_bfs_random_graphs_match_reference_live(spark, tmp_path):
             assert eng_by_url[url]["round"] == rr["depth"], (seed_no, url)
 
 
+def test_rate_limiter_backoff_matches_reference_live(spark):
+    """W2 backoff math vs the reference RateLimiter run live with its
+    jitter pinned: per-status delay and fail-count trajectories must
+    match the engine's update_state fold (one request per round,
+    jitter_value=1.0), and the drop point (fail_count > max_retries)
+    must align with the reference's keep=False."""
+    from crawl4ai_spark.operators.politeness import (
+        BASE_DELAY,
+        MAX_RETRIES,
+        update_state,
+    )
+
+    rate_codes = (429, 503)
+    sequences = [
+        [429, 429, 200, 503, 200, 200, 429],
+        [200, 200, 200],
+        [429, 429, 429, 429],  # runs past max_retries
+        [503, 200, 503, 200, 503, 200],
+    ]
+    ref = _reference(
+        {
+            "cmd": "rate_limiter",
+            "cases": [
+                {
+                    "statuses": seq,
+                    "base_delay": (BASE_DELAY, BASE_DELAY),
+                    "rate_limit_codes": list(rate_codes),
+                }
+                for seq in sequences
+            ],
+        }
+    )["out"]
+
+    for seq, want in zip(sequences, ref):
+        state = None
+        for i, (status, w) in enumerate(zip(seq, want)):
+            results = spark.createDataFrame(
+                [("h.example.com", status not in rate_codes)],
+                "host string, success boolean",
+            )
+            state = update_state(state, results, i, jitter_value=1.0)
+            row = state.first()
+            # the reference stops updating the delay once the domain is
+            # dropped (update_delay returns False before touching it);
+            # fail_count and the drop decision must still align
+            if w["keep"]:
+                assert row["current_delay"] == pytest.approx(
+                    w["delay"], abs=1e-9
+                ), (seq, i)
+                assert row["fail_count"] == w["fail_count"], (seq, i)
+            assert (row["fail_count"] <= MAX_RETRIES) == w["keep"], (seq, i)
+
+
 def test_nonsense_filter_matches_reference_live(spark):
     """The seeder's nonsense-URL filter (F9) vs the reference's
     _is_nonsense_url driven live over a grid spanning every rule
