@@ -457,6 +457,24 @@ def run_nonsense(spec: dict) -> dict:
     return {"out": [bool(f(None, u)) for u in spec["urls"]]}
 
 
+def run_coverage_gaps(spec: dict) -> dict:
+    """EmbeddingStrategy.find_coverage_gaps
+    (adaptive_crawler.py:774-801) — numpy-only — over raw embedding
+    vectors; the constructor only stores config."""
+    import importlib
+
+    import numpy as np
+
+    _stub("crawl4ai.async_webcrawler", ("AsyncWebCrawler",))
+    _stub("crawl4ai.async_configs", ("CrawlerRunConfig", "LinkPreviewConfig"))
+    ac = importlib.import_module("crawl4ai.adaptive_crawler")
+    strat = ac.EmbeddingStrategy()
+    kb = np.array(spec["kb"], dtype="float64") if spec["kb"] else None
+    queries = np.array(spec["queries"], dtype="float64")
+    gaps = strat.find_coverage_gaps(kb, queries)
+    return {"out": [round(float(g), 9) for _, g in gaps]}
+
+
 def run_rate_limiter(spec: dict) -> dict:
     """The reference RateLimiter backoff state machine
     (async_dispatcher.py:24-83) driven per status code with
@@ -554,6 +572,8 @@ def main() -> None:
         out = run_nonsense(spec)
     elif cmd == "rate_limiter":
         out = run_rate_limiter(spec)
+    elif cmd == "coverage_gaps":
+        out = run_coverage_gaps(spec)
     else:
         raise ValueError(f"unknown cmd {cmd!r}")
     json.dump(out, sys.stdout)

@@ -799,6 +799,50 @@ def test_bfs_random_graphs_match_reference_live(spark, tmp_path):
             assert eng_by_url[url]["round"] == rr["depth"], (seed_no, url)
 
 
+def test_coverage_gaps_match_reference_live(spark, sf_dir):
+    """Embedding-adaptive coverage gaps vs the reference
+    EmbeddingStrategy.find_coverage_gaps over real embedding vectors
+    from the embeddings table, value-exact at 1e-6 — including the
+    empty-KB all-gaps-1.0 branch."""
+    from crawl4ai_spark.operators.adaptive_embedding import coverage_gaps
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(24)
+        .collect()
+    )
+    vecs = [list(map(float, r["embedding"])) for r in emb]
+    kb_vecs, q_vecs = vecs[:16], vecs[16:]
+
+    q_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(q_vecs)],
+        "query_id long, embedding array<double>",
+    )
+    kb_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(kb_vecs)],
+        "kb_id long, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: float(r["gap"])
+        for r in coverage_gaps(kb_df, q_df).collect()
+    }
+    ref = _reference({"cmd": "coverage_gaps", "kb": kb_vecs, "queries": q_vecs})[
+        "out"
+    ]
+    assert [got[i] for i in range(len(q_vecs))] == pytest.approx(ref, abs=1e-6)
+
+    got_empty = {
+        r["query_id"]: float(r["gap"]) for r in coverage_gaps(None, q_df).collect()
+    }
+    ref_empty = _reference(
+        {"cmd": "coverage_gaps", "kb": [], "queries": q_vecs}
+    )["out"]
+    assert [got_empty[i] for i in range(len(q_vecs))] == pytest.approx(
+        ref_empty, abs=1e-12
+    )
+
+
 def test_rate_limiter_backoff_matches_reference_live(spark):
     """W2 backoff math vs the reference RateLimiter run live with its
     jitter pinned: per-status delay and fail-count trajectories must
