@@ -83,7 +83,17 @@ def overlapping_window_chunks(
     """Windows that restart at end - overlap (reference :240-256):
     starts are k*(window-overlap); the first start whose window reaches
     the end terminates the loop (its chunk included).
+
+    overlap >= window_size is rejected here: the reference's while loop
+    never advances on that input (start = end - overlap) and hangs on
+    any text longer than the window — refusing the parameters is the
+    deliberate divergence.
     """
+    if overlap >= window_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than window_size "
+            f"({window_size}) — the reference loops forever on this input"
+        )
     c = _c(text)
     w = _words(c)
     n = F.size(w)

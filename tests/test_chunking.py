@@ -83,6 +83,16 @@ def test_overlap_parity(spark, window, overlap):
         assert list(g) == ref_overlap(t, window, overlap), (t, window, overlap)
 
 
+def test_overlap_rejects_non_advancing_params(spark):
+    # the reference's while loop never advances when overlap >=
+    # window_size (chunking_strategy.py:238-256) and hangs; the engine
+    # refuses the parameters instead (documented divergence)
+    with pytest.raises(ValueError, match="overlap"):
+        overlapping_window_chunks("text", window_size=5, overlap=5)
+    with pytest.raises(ValueError, match="overlap"):
+        overlapping_window_chunks("text", window_size=5, overlap=7)
+
+
 def test_identity_and_regex(spark):
     got = _run(spark, ["a the b the c"], identity_chunks("text"))
     assert list(got[0]) == ["a the b the c"]
