@@ -43,7 +43,12 @@ def regex_chunks(text: Column | str, patterns: list[str] | None = None) -> Colum
 
 
 def fixed_word_chunks(text: Column | str, chunk_size: int = 100) -> Column:
-    """Non-overlapping chunks of `chunk_size` words (reference :166-171)."""
+    """Non-overlapping chunks of `chunk_size` words (reference :166-171).
+
+    chunk_size < 1 raises here at plan time — the reference's range()
+    raises the same ValueError per row at run time."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     w = _words(_c(text))
     n = F.size(w)
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(chunk_size))).otherwise(
@@ -62,7 +67,12 @@ def sliding_word_chunks(
     - windows at i = 0, step, ... while i <= len - window;
     - if the loop's final i + window < len, append the last `window`
       words as a tail chunk.
+
+    step < 1 raises here at plan time — the reference's range() raises
+    the same ValueError per row at run time.
     """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
     c = _c(text)
     w = _words(c)
     n = F.size(w)

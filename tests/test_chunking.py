@@ -91,6 +91,12 @@ def test_overlap_rejects_non_advancing_params(spark):
         overlapping_window_chunks("text", window_size=5, overlap=5)
     with pytest.raises(ValueError, match="overlap"):
         overlapping_window_chunks("text", window_size=5, overlap=7)
+    # the other windowed chunkers mirror the reference's range()
+    # ValueError at plan time
+    with pytest.raises(ValueError, match="chunk_size"):
+        fixed_word_chunks("text", chunk_size=0)
+    with pytest.raises(ValueError, match="step"):
+        sliding_word_chunks("text", window_size=5, step=0)
 
 
 def test_identity_and_regex(spark):
