@@ -13,6 +13,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from crawl4ai_spark.catalog import ORACLES, QUERIES
+from crawl4ai_spark.session import ensure_runtime_confs
+
+
+def _with_confs(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Apply the engine's runtime-settable confs before every query.
+
+    The correctness driver runs the catalog on a VANILLA SparkSession
+    (not the repo's get_spark factory); anything the engine needs —
+    legacy charset decoding for the byte-boundary queries — must be set
+    at runtime here, not only at session-build time (the r4 pages_meta
+    regression)."""
+
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return runner
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     import shutil
     import tempfile
+
+    ensure_runtime_confs(spark)
 
     from crawl4ai_spark.operators.frontier import CrawlConfig, CrawlRun, run_crawl
     from crawl4ai_spark.synth import generate_pages
@@ -46,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _with_confs(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

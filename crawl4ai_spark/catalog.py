@@ -2175,7 +2175,11 @@ def q_pages_meta(spark, sf_dir):
     decoded text. The oracle mirrors the construction analytically —
     the corpus being single-spaced ASCII means every expected decode is
     exactly the constructed string."""
+    from .session import ensure_runtime_confs
 
+    # the decode layer needs the legacy-charset confs even on a session
+    # the library did not build (the r4 driver-gate regression)
+    ensure_runtime_confs(spark)
     pages = _pages(spark, sf_dir)
     # pages drops doc_id; the synth url embeds it as '/p{doc_id}.html'
     did = F.regexp_extract("url", r"/p(\d+)\.html$", 1).cast("long")

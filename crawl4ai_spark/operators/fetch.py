@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.encoding import decode_html
+from ..session import ensure_runtime_confs
 
 FETCH_FIELDS = (
     "body binary, http_status int, final_url string, "
@@ -82,6 +83,7 @@ class PagesJoinFetcher:
         # sniff+decode, same as MapFetcher's byte path — so downstream
         # sees one type regardless of fetcher choice
         if dict(right.dtypes)["html"] == "binary":
+            ensure_runtime_confs(right.sparkSession)
             right = right.withColumn("html", decode_html("html"))
         hit = F.col("html").isNotNull()
         return (
@@ -336,6 +338,7 @@ class MapFetcher:
                 yield pdf
 
         raw = df.mapInPandas(run, schema)
+        ensure_runtime_confs(df.sparkSession)
         body_ok = F.col("body").isNotNull()
         return (
             raw.withColumn(

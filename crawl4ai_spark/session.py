@@ -19,6 +19,41 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Confs the ENGINE depends on that are runtime-settable (SQLConf, not
+# core/JVM), so they can be applied to a session the library did not
+# build. The r4 gate regression was exactly this class of bug: the
+# charset decode layer worked on every repo-built session (get_spark
+# sets these at build time) but failed on the driver's vanilla session.
+# Anything the engine needs at runtime MUST be in this dict and applied
+# via ensure_runtime_confs() from the code path that needs it.
+RUNTIME_CONFS: dict[str, str] = {
+    # decode() malformed bytes -> U+FFFD replacement instead of a
+    # task-killing MALFORMED_CHARACTER_CODING error (crawler survives
+    # garbage bytes; functions/encoding.py relies on this)
+    "spark.sql.legacy.codingErrorAction": "true",
+    # allow the full JVM charset set in encode/decode — Spark 4
+    # whitelists 7 charsets by default, and the web's second-most
+    # common single-byte encoding is windows-1252
+    "spark.sql.legacy.javaCharsets": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime-settable confs to ANY session.
+
+    Idempotent and cheap (conf reads are driver-local); called from the
+    charset-decode code paths (functions/encoding.py consumers) and from
+    every ``__spark_entry__.queries()`` callable so a vanilla
+    ``SparkSession.builder.getOrCreate()`` session — like the
+    correctness driver's — behaves identically to ``get_spark()``."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            cur = spark.conf.get(k, None)
+        except Exception:
+            cur = None
+        if cur != v:
+            spark.conf.set(k, v)
+
 
 def get_spark(
     parallelism: int | None = None,
@@ -40,18 +75,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # decode() malformed bytes -> U+FFFD replacement instead of a
-        # task-killing MALFORMED_CHARACTER_CODING error: a crawler MUST
-        # survive garbage bytes (same degradation contract as the
-        # scrape stage's tolerant parser; functions/encoding.py relies
-        # on this for charset-sniffed WARC payload decoding)
-        .config("spark.sql.legacy.codingErrorAction", "true")
-        # allow the full JVM charset set in encode/decode (Spark 4
-        # whitelists 7 charsets by default): the web's second-most
-        # common single-byte encoding is windows-1252, which WHATWG
-        # even makes the decoder for pages LABELLED iso-8859-1
-        .config("spark.sql.legacy.javaCharsets", "true")
     )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
