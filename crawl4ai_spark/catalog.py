@@ -4005,32 +4005,149 @@ ORACLES.update(
 
 
 def q_tables_extract(spark, sf_dir):
-    """Score-gated table extraction over the synthetic corpus: pages
-    with doc_id %% 5 == 0 embed a 2-col k/v table whose contents are
-    analytic in doc_id/lang."""
+    """Score-gated table extraction + scored-media scrape, one tagged
+    union (the §2.8 media sub-operators share the row because the
+    50-entry driver window is full).
+
+    kind='table' (reference is_data_table/extract_table_data
+    :1454-1564): pages with doc_id %% 5 == 0 embed a 2-col k/v table
+    whose contents are analytic in doc_id/lang.
+
+    kind='image'/'video'/'audio' (reference _process_element media
+    portion :1174-1221 + process_image :1271-1376 via
+    functions/scrape.py extract_media): every doc renders a
+    deterministic media page — a scored hero image (width
+    100+(doc_id%%8)*20 so the >150 point flips at doc_id%%8>=3, alt on
+    doc_id%%3>0, srcset variant on doc_id%%4==0, always-on height/
+    position/format points -> score 3..6, always above the threshold
+    cut of 2), an always-skipped logo image, a video+source pair on
+    doc_id%%5==0 and an audio on doc_id%%7==0 — so the whole scoring
+    formula and variant expansion are mirrored analytically by the
+    oracle.
+
+    Unified columns: url, kind, f1 (headers|src), f2 (id_val|width),
+    f3 (lang_val|format), dsc (closest-parent description), score.
+    """
+    from .functions.scrape import ScrapeOptions, scrape_stage
     from .functions.tables import tables_stage
 
     pages = _pages(spark, sf_dir)
     out = tables_stage(pages, "html", score_threshold=7.0)
     t = F.element_at("tables", 1)
-    return out.filter(F.size("tables") > 0).select(
+    s = F.lit(None).cast("string")
+    tabs = out.filter(F.size("tables") > 0).select(
         "url",
-        F.array_join(t["headers"], ",").alias("headers"),
-        t["rows"][0][1].alias("id_val"),
-        t["rows"][1][1].alias("lang_val"),
+        F.lit("table").alias("kind"),
+        F.array_join(t["headers"], ",").alias("f1"),
+        t["rows"][0][1].alias("f2"),
+        t["rows"][1][1].alias("f3"),
+        s.alias("dsc"),
+        F.lit(None).cast("long").alias("score"),
     )
 
+    did = F.regexp_extract("url", r"/p(\d+)\.html$", 1).cast("long")
+    ds = did.cast("string")
+    width = (F.lit(100) + F.pmod(did, F.lit(8)) * 20).cast("string")
+    alt = F.when(
+        F.pmod(did, F.lit(3)) > 0,
+        F.concat(F.lit(' alt="a'), ds, F.lit('"')),
+    ).otherwise("")
+    srcset = F.when(
+        F.pmod(did, F.lit(4)) == 0,
+        F.concat(F.lit(' srcset="img'), ds, F.lit('-2x.jpg 2w"')),
+    ).otherwise("")
+    video = F.when(
+        F.pmod(did, F.lit(5)) == 0,
+        F.concat(
+            F.lit('<video src="vid'), ds, F.lit('.mp4"><source src="vid'),
+            ds, F.lit('.webm"></video>'),
+        ),
+    ).otherwise("")
+    audio = F.when(
+        F.pmod(did, F.lit(7)) == 0,
+        F.concat(F.lit('<audio src="aud'), ds, F.lit('.mp3"></audio>')),
+    ).otherwise("")
+    mhtml = F.concat(
+        F.lit("<body><div>ctx "), ds, F.lit(' words<img src="img'), ds,
+        F.lit('.jpg" width="'), width, F.lit('" height="200"'), alt,
+        srcset, F.lit('><img src="logo.png"></div>'), video, audio,
+        F.lit("</body>"),
+    )
+    scraped = scrape_stage(
+        pages.select("url", mhtml.alias("mhtml")),
+        html_col="mhtml",
+        markdown=False,
+        opts=ScrapeOptions(media=True),
+        drop_cols=("mhtml",),
+    )
+    imgs = scraped.select(
+        "url", F.explode("media.images").alias("m")
+    ).select(
+        "url",
+        F.lit("image").alias("kind"),
+        F.col("m.src").alias("f1"),
+        F.col("m.width").alias("f2"),
+        F.col("m.format").alias("f3"),
+        F.col("m.desc").alias("dsc"),
+        F.col("m.score").cast("long").alias("score"),
+    )
 
-ORACLE_TABLES_EXTRACT = """
-SELECT 'https://h' ||
-         CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 32 ELSE 0 END AS VARCHAR)
-       || '.example.com/' || lang || '/p' || CAST(doc_id AS VARCHAR) || '.html'
-         AS url,
-       'k,v' AS headers,
-       CAST(doc_id AS VARCHAR) AS id_val,
-       lang AS lang_val
-FROM documents
+    def _av(field, kind):
+        return scraped.select(
+            "url", F.explode("media." + field).alias("m")
+        ).select(
+            "url",
+            F.lit(kind).alias("kind"),
+            F.col("m.src").alias("f1"),
+            s.alias("f2"),
+            s.alias("f3"),
+            F.col("m.description").alias("dsc"),
+            F.lit(None).cast("long").alias("score"),
+        )
+
+    return tabs.unionByName(imgs).unionByName(
+        _av("videos", "video")
+    ).unionByName(_av("audios", "audio"))
+
+
+ORACLE_TABLES_EXTRACT = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_PAGE_URL_SQL} AS url FROM documents
+)
+SELECT url, 'table' AS kind, 'k,v' AS f1,
+       CAST(doc_id AS VARCHAR) AS f2, lang AS f3,
+       CAST(NULL AS VARCHAR) AS dsc, CAST(NULL AS BIGINT) AS score
+FROM base WHERE doc_id % 5 = 0
+UNION ALL
+SELECT url, 'image',
+       'img' || doc_id || '.jpg',
+       CAST(NULL AS VARCHAR),
+       'jpg',
+       'ctx ' || doc_id || ' words',
+       3 + CASE WHEN doc_id % 8 >= 3 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+FROM base
+UNION ALL
+SELECT url, 'image',
+       'img' || doc_id || '-2x.jpg',
+       '2',
+       'jpg',
+       'ctx ' || doc_id || ' words',
+       3 + CASE WHEN doc_id % 8 >= 3 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 > 0 THEN 1 ELSE 0 END + 1
+FROM base WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, 'video', 'vid' || doc_id || s, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM base, (SELECT unnest(['.mp4', '.webm']) AS s)
 WHERE doc_id % 5 = 0
+UNION ALL
+SELECT url, 'audio', 'aud' || doc_id || '.mp3', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM base WHERE doc_id % 7 = 0
 """
 
 

@@ -21,9 +21,10 @@ shuffle; downstream link explosion is a plain ``explode``.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 from html import unescape
 from html.parser import HTMLParser
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlparse
 
 from .urls import get_base_domain_py
 
@@ -39,6 +40,100 @@ VOID_TAGS = {
 }
 
 _WS_RX = re.compile(r"\s+")
+
+# --- reference config constants (config.py:47-94) -------------------------
+# attributes kept by the attribute-strip pass (config.py:50)
+IMPORTANT_ATTRS = frozenset({"src", "href", "alt", "title", "width", "height"})
+# inline tags flattened to plain-text spans by only_text (config.py:51-73);
+# processed in this exact list order, like the reference's tag loop
+ONLY_TEXT_ELIGIBLE_TAGS = (
+    "b", "i", "u", "span", "del", "ins", "sub", "sup", "strong", "em",
+    "code", "kbd", "var", "s", "q", "abbr", "cite", "dfn", "time",
+    "small", "mark",
+)
+# domains folded into exclude_domains by exclude_social_media_links
+# (config.py:74-85)
+SOCIAL_MEDIA_DOMAINS = (
+    "facebook.com", "twitter.com", "x.com", "linkedin.com",
+    "instagram.com", "pinterest.com", "tiktok.com", "snapchat.com",
+    "reddit.com",
+)
+# image-usefulness cut (config.py:94); score formula in process_image
+IMAGE_SCORE_THRESHOLD = 2
+IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD = 1  # config.py:48
+# format sniff list (content_scraping_strategy.py:1309): the reference
+# iterates a set literal, so ITS detected_format is hash-order-dependent
+# when a URL mentions several formats; we fix a deterministic order
+IMAGE_FORMATS = ("jpg", "jpeg", "png", "webp", "avif", "gif")
+# tags exempt from empty-element pruning
+# (content_scraping_strategy.py:1383-1398)
+PRUNE_BYPASS_TAGS = frozenset({
+    "a", "img", "br", "hr", "input", "meta", "link", "source", "track",
+    "wbr", "tr", "td", "th",
+})
+# base64 data-URI image sources are blanked, not kept
+# (content_scraping_strategy.py:1099, 1724-1728)
+BASE64_IMG_RX = re.compile(r'data:image/[^;]+;base64,([^"]+)')
+
+
+@dataclass(frozen=True)
+class ScrapeOptions:
+    """Scrape-stage content-shaping knobs, mirroring the kwargs of the
+    reference's ``LXMLWebScrapingStrategy._scrap``
+    (content_scraping_strategy.py:1566-1750) and the fetch-time
+    ``css_selector`` projection (async_crawler_strategy.py:1022-1045).
+
+    Defaults preserve this engine's established output byte-for-byte
+    (every knob off). Documented divergences from the reference, chosen
+    deliberately:
+
+    - the reference's lxml ``remove()`` drops the removed element's
+      TAIL text; our removals mirror that for the knob-driven removal
+      paths (excluded_selector / prune / exclusions) via ``drop_tail``,
+      but the always-on script/style strip stays serialization-time
+      (tail kept — strictly more content-preserving);
+    - ``target_elements`` in the reference deep-copies the matched
+      subtrees BEFORE the script-strip / only_text / prune / attr-strip
+      passes, so those never apply inside targeted content; we apply
+      every pass uniformly to the tree and serialize the selected
+      subtrees afterwards (cleaner output, one tree);
+    - the lxml strategy hard-codes the empty-element prune threshold to
+      1 and ignores ``word_count_threshold`` (:1731); we honor the knob
+      (``None`` = off, ``1`` = reference-default behavior);
+    - attribute stripping always runs in the reference (:1734-1736);
+      ours is opt-in (``strip_attrs``) so default cleaned_html keeps
+      the engine's established shape.
+    """
+
+    excluded_tags: frozenset[str] = DEFAULT_EXCLUDED_TAGS
+    excluded_selector: str = ""
+    css_selector: str = ""
+    target_elements: tuple[str, ...] = ()
+    word_count_threshold: int | None = None
+    only_text: bool = False
+    remove_forms: bool = False
+    strip_attrs: bool = False
+    keep_data_attributes: bool = False
+    exclude_all_images: bool = False
+    exclude_external_images: bool = False
+    exclude_external_links: bool = False
+    exclude_domains: frozenset[str] = frozenset()
+    exclude_social_media_links: bool = False
+    media: bool = False
+    image_score_threshold: int = IMAGE_SCORE_THRESHOLD
+    image_description_min_word_threshold: int = (
+        IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD
+    )
+
+    def effective_exclude_domains(self) -> frozenset[str]:
+        """exclude_domains, with the social-media list folded in when
+        exclude_social_media_links is set (reference :1682-1689)."""
+        if self.exclude_social_media_links:
+            return self.exclude_domains | frozenset(SOCIAL_MEDIA_DOMAINS)
+        return self.exclude_domains
+
+
+DEFAULT_OPTS = ScrapeOptions()
 
 
 class _Node:
@@ -249,6 +344,439 @@ def extract_images(root: _Node, page_url: str) -> list[dict]:
     return images
 
 
+# ---------------------------------------------------------------------------
+# knob-driven DOM transforms + scored media harvest (reference
+# content_scraping_strategy.py:1095-1452, 1566-1750)
+# ---------------------------------------------------------------------------
+
+
+def _parent_map(root: _Node) -> dict[int, _Node]:
+    """id(node) -> parent for every node reachable from root."""
+    parents: dict[int, _Node] = {}
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for c in n.children:
+            parents[id(c)] = n
+            if c.children:
+                stack.append(c)
+    return parents
+
+
+def _remove_node(
+    parents: dict[int, _Node], node: _Node, drop_tail: bool = True
+) -> None:
+    """Remove ``node`` from its parent. ``drop_tail=True`` also drops
+    the immediately-following text siblings, mirroring lxml's
+    ``parent.remove(el)`` (which discards ``el.tail``) — the removal
+    primitive the reference uses throughout its scrape stage."""
+    parent = parents.get(id(node))
+    if parent is None:
+        return
+    kids = parent.children
+    for i, c in enumerate(kids):
+        if c is node:
+            j = i + 1
+            if drop_tail:
+                while j < len(kids) and kids[j].tag == "":
+                    j += 1
+            del kids[i:j]
+            return
+
+
+def _text_content(node: _Node) -> str:
+    """lxml ``text_content()`` parity: ALL descendant text, including
+    script/style (unlike ``_visible_text``)."""
+    out: list[str] = []
+    for n in _walk(node):
+        if n.tag == "":
+            out.append(n.attrs.get("text", ""))
+    return "".join(out)
+
+
+def _has_direct_text(node: _Node) -> bool:
+    """lxml ``element.text`` truthiness: text (even whitespace) directly
+    after the opening tag, before any child element."""
+    return bool(
+        node.children
+        and node.children[0].tag == ""
+        and node.children[0].attrs.get("text")
+    )
+
+
+def _is_external_url_py(url: str, base_domain: str) -> bool:
+    """Mirror of reference utils.py:2371-2402 ``is_external_url`` (the
+    endswith/`www.`-stripped compare used for image/media exclusion —
+    distinct from the authority-exact ``is_external`` of the link
+    layer)."""
+    special = ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
+    if url.lower().startswith(special):
+        return True
+    try:
+        parsed = urlparse(url)
+        if not parsed.netloc:
+            return False
+        url_domain = parsed.netloc.lower().replace("www.", "")
+        base = (base_domain or "").lower().replace("www.", "")
+        return not url_domain.endswith(base)
+    except Exception:
+        return False
+
+
+def find_closest_parent_with_useful_text(
+    node: _Node,
+    parents: dict[int, _Node],
+    min_words: int = IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD,
+) -> str | None:
+    """Walk up from ``node`` to the first ancestor that has direct text
+    and whose full text content reaches ``min_words`` words
+    (content_scraping_strategy.py:1241-1256)."""
+    current: _Node | None = node
+    while current is not None and current.tag != "#root":
+        if (
+            _has_direct_text(current)
+            and len(_text_content(current).split()) >= min_words
+        ):
+            return _text_content(current).strip()
+        current = parents.get(id(current))
+    return None
+
+
+def process_image(
+    img: _Node,
+    parents: dict[int, _Node],
+    index: int,
+    total_images: int,
+    opts: ScrapeOptions = DEFAULT_OPTS,
+) -> list[dict] | None:
+    """Usefulness-scored image variant expansion — exact mirror of the
+    reference's ``process_image`` (content_scraping_strategy.py:
+    1271-1376): icon/button/logo heuristics, the 6-signal point score,
+    the ``image_score_threshold`` cut, then variants from src /
+    data-src / srcset / data-srcset / ancestor ``<picture>`` sources /
+    framework ``data-*src*`` attributes (srcs kept RAW, as the
+    reference does — no normalization)."""
+    from .html_tools import parse_srcset
+
+    a = img.attrs
+    style = a.get("style") or ""
+    alt = a.get("alt") or ""
+    src = a.get("src") or ""
+    data_src = a.get("data-src") or ""
+    srcset = a.get("srcset") or ""
+    data_srcset = a.get("data-srcset") or ""
+
+    if "display:none" in style:
+        return None
+    parent = parents.get(id(img))
+    if parent is not None and parent.tag in ("button", "input"):
+        return None
+    parent_classes = (parent.attrs.get("class") or "").split() if parent else []
+    if any(
+        "button" in cls or "icon" in cls or "logo" in cls
+        for cls in parent_classes
+    ):
+        return None
+    if (src and any(c in src for c in ("button", "icon", "logo"))) or (
+        alt and any(c in alt for c in ("button", "icon", "logo"))
+    ):
+        return None
+
+    score = 0
+    width = a.get("width")
+    if width and width.isdigit():
+        score += 1 if int(width) > 150 else 0
+    height = a.get("height")
+    if height and height.isdigit():
+        score += 1 if int(height) > 150 else 0
+    if alt:
+        score += 1
+    score += index / total_images < 0.5
+
+    detected_format = None
+    for u in (src, data_src, srcset, data_srcset):
+        if u:
+            low = u.lower()
+            matches = [fmt for fmt in IMAGE_FORMATS if fmt in low]
+            if matches:
+                detected_format = matches[0]
+                score += 1
+                break
+
+    if srcset or data_srcset:
+        score += 1
+
+    picture: _Node | None = None
+    anc = parents.get(id(img))
+    while anc is not None and anc.tag != "#root":
+        if anc.tag == "picture":
+            picture = anc
+            break
+        anc = parents.get(id(anc))
+    if picture is not None:
+        score += 1
+
+    if score <= opts.image_score_threshold:
+        return None
+
+    unique_urls: set[str] = set()
+    variants: list[dict] = []
+    base_info = {
+        "alt": alt,
+        "desc": find_closest_parent_with_useful_text(
+            img, parents, opts.image_description_min_word_threshold
+        ),
+        "score": int(score),
+        "type": "image",
+        "group_id": index,
+        "format": detected_format,
+    }
+
+    def add_variant(u: str | None, w: str | None = None) -> None:
+        if u and not u.startswith("data:") and u not in unique_urls:
+            unique_urls.add(u)
+            v = dict(base_info)
+            v["src"] = u
+            v["width"] = w
+            variants.append(v)
+
+    add_variant(src)
+    add_variant(data_src)
+    for srcset_attr in (srcset, data_srcset):
+        if srcset_attr:
+            for source in parse_srcset(srcset_attr):
+                add_variant(source["url"], source["width"])
+    if picture is not None:
+        for n in _walk(picture):
+            if n.tag == "source" and n.attrs.get("srcset"):
+                for src_data in parse_srcset(n.attrs["srcset"]):
+                    add_variant(src_data["url"], src_data["width"])
+    for attr, value in a.items():
+        if (
+            attr.startswith("data-")
+            and ("src" in attr or "srcset" in attr)
+            and value
+            and "http" in value
+        ):
+            add_variant(value)
+
+    return variants or None
+
+
+def extract_media(
+    root: _Node,
+    parents: dict[int, _Node],
+    page_url: str,
+    opts: ScrapeOptions = DEFAULT_OPTS,
+) -> dict:
+    """Scored media harvest (images + videos + audios) mirroring
+    ``_process_element``'s media portion (content_scraping_strategy.py:
+    1174-1221). Image exclusion (exclude_domains /
+    exclude_external_images) REMOVES the element from the tree, as the
+    reference does; videos/audios also expand nested ``<source>``
+    children, one row per source, sharing the parent's description."""
+    base_domain = get_base_domain_py(page_url)
+    exclude_domains = opts.effective_exclude_domains()
+    media: dict = {"images": [], "videos": [], "audios": []}
+
+    images = [n for n in _walk(root) if n.tag == "img"]
+    total = len(images)
+    for idx, img in enumerate(images):
+        src = img.attrs.get("src") or ""
+        img_domain = get_base_domain_py(src)
+        if (img_domain and img_domain in exclude_domains) or (
+            opts.exclude_external_images
+            and _is_external_url_py(src, base_domain)
+        ):
+            _remove_node(parents, img)
+            continue
+        variants = process_image(img, parents, idx, total, opts)
+        if variants:
+            media["images"].extend(variants)
+
+    for media_type in ("video", "audio"):
+        for elem in [n for n in _walk(root) if n.tag == media_type]:
+            info = {
+                "src": elem.attrs.get("src"),
+                "alt": elem.attrs.get("alt"),
+                "type": media_type,
+                "description": find_closest_parent_with_useful_text(
+                    elem, parents, opts.image_description_min_word_threshold
+                ),
+            }
+            media[media_type + "s"].append(info)
+            for n in _walk(elem):
+                if n.tag == "source" and n.attrs.get("src"):
+                    media[media_type + "s"].append(
+                        {**info, "src": n.attrs["src"]}
+                    )
+    return media
+
+
+def _extract_links_ex(
+    root: _Node,
+    parents: dict[int, _Node],
+    page_url: str,
+    opts: ScrapeOptions,
+) -> list[dict]:
+    """extract_links plus the reference's exclusion flags
+    (content_scraping_strategy.py:1152-1165): an external link hit by
+    ``exclude_external_links`` or whose base domain is in
+    ``exclude_domains`` (social-media list folded in) is REMOVED from
+    the tree — every occurrence, not just the first — and not
+    harvested."""
+    base_dom = get_base_domain_py(page_url)
+    exclude_domains = opts.effective_exclude_domains()
+    seen: set[str] = set()
+    links: list[dict] = []
+    for n in [x for x in _walk(root) if x.tag == "a"]:
+        href = n.attrs.get("href")
+        if not href or href.startswith(("javascript:", "#")):
+            continue
+        abs_url = _abs_url(page_url, href.strip())
+        link_dom = get_base_domain_py(abs_url)
+        is_internal = bool(link_dom) and link_dom == base_dom
+        if not is_internal and (
+            opts.exclude_external_links
+            or (link_dom and link_dom in exclude_domains)
+        ):
+            _remove_node(parents, n)
+            continue
+        if abs_url in seen:
+            continue
+        seen.add(abs_url)
+        text_parts: list[str] = []
+        _visible_text(n, text_parts)
+        links.append(
+            {
+                "href": abs_url,
+                "text": _WS_RX.sub(" ", "".join(text_parts)).strip(),
+                "title": n.attrs.get("title") or "",
+                "base_domain": link_dom,
+                "is_internal": is_internal,
+            }
+        )
+    return links
+
+
+def prune_empty_elements(
+    root: _Node, parents: dict[int, _Node], word_count_threshold: int = 1
+) -> None:
+    """Bottom-up removal of childless elements below the word threshold
+    (``remove_empty_elements_fast``, content_scraping_strategy.py:
+    1378-1415): bypass tags are kept; removing a leaf can cascade into
+    its parent because parents are visited after their children."""
+    order = [n for n in _walk(root) if n.tag not in ("", "#root")]
+    for el in reversed(order):
+        if el.tag in PRUNE_BYPASS_TAGS:
+            continue
+        if any(c.tag != "" for c in el.children):
+            continue
+        if len(_text_content(el).strip().split()) < word_count_threshold:
+            _remove_node(parents, el)
+
+
+def strip_attributes(
+    root: _Node, keep_data_attributes: bool = False
+) -> None:
+    """Keep only IMPORTANT_ATTRS (+ ``data-*`` when requested) on every
+    element (``remove_unwanted_attributes_fast``,
+    content_scraping_strategy.py:1417-1452)."""
+    for n in _walk(root):
+        if n.tag in ("", "#root"):
+            continue
+        n.attrs = {
+            k: v
+            for k, v in n.attrs.items()
+            if k in IMPORTANT_ATTRS
+            or (keep_data_attributes and k.startswith("data-"))
+        }
+
+
+def only_text_transform(root: _Node, parents: dict[int, _Node]) -> None:
+    """Replace inline formatting elements that carry direct text with a
+    plain ``<span>`` holding their full text content (reference
+    :1714-1722), tag by tag in ONLY_TEXT_ELIGIBLE_TAGS order. The
+    replacement span keeps the element's position; following text is
+    preserved."""
+    for tag in ONLY_TEXT_ELIGIBLE_TAGS:
+        for el in [n for n in _walk(root) if n.tag == tag]:
+            if not _has_direct_text(el):
+                continue
+            parent = parents.get(id(el))
+            if parent is None:
+                continue
+            span = _Node("span")
+            text = _Node("", {"text": _text_content(el)})
+            span.children.append(text)
+            parents[id(span)] = parent
+            parents[id(text)] = span
+            for i, c in enumerate(parent.children):
+                if c is el:
+                    parent.children[i] = span
+                    break
+
+
+def clean_base64_images(root: _Node) -> None:
+    """Blank base64 data-URI image srcs (reference :1724-1728): the
+    matched ``data:image/...;base64,<payload>`` span is stripped from
+    the attribute value."""
+    for n in _walk(root):
+        if n.tag == "img":
+            src = n.attrs.get("src")
+            if src and BASE64_IMG_RX.match(src):
+                n.attrs["src"] = BASE64_IMG_RX.sub("", src)
+
+
+def flatten_nested_elements(node: _Node) -> _Node:
+    """Collapse chains of single-child same-tag nesting
+    (``flatten_nested_elements``, content_scraping_strategy.py:
+    1258-1269): ``<div><div>x</div></div>`` -> ``<div>x</div>``,
+    applied recursively to every child."""
+    kids = [c for c in node.children if c.tag != ""]
+    if (
+        node.tag not in ("", "#root")
+        and len(node.children) == 1
+        and len(kids) == 1
+        and kids[0].tag == node.tag
+    ):
+        return flatten_nested_elements(kids[0])
+    for i, c in enumerate(node.children):
+        if c.tag not in ("", "#root"):
+            flat = flatten_nested_elements(c)
+            if flat is not c:
+                node.children[i] = flat
+    return node
+
+
+def project_css_selector(root: _Node, css_selector: str) -> _Node:
+    """The fetch-time ``css_selector`` projection
+    (async_crawler_strategy.py:1022-1045): split the selector on
+    commas, collect each part's matches independently (duplicates
+    across parts kept, like repeated ``querySelectorAll`` calls), and
+    rebuild the page as ``<div class="crawl4ai-result">`` wrapping the
+    matches — parts separated by newline text nodes, mirroring the
+    reference's string join. Invalid selector parts contribute nothing
+    (reference logs and continues)."""
+    from .schema_extract import select_all
+
+    div = _Node("div", {"class": "crawl4ai-result"})
+    div.children.append(_Node("", {"text": "\n"}))
+    for part in css_selector.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            matches = select_all(root, part)
+        except Exception:
+            continue
+        div.children.extend(matches)
+        div.children.append(_Node("", {"text": "\n"}))
+    new_root = _Node("#root")
+    new_root.children.append(div)
+    return new_root
+
+
 def _serialize(node: _Node, out: list[str], excluded: frozenset[str]) -> None:
     if node.tag in STRIP_TAGS or node.tag in excluded:
         return
@@ -365,19 +893,162 @@ def page_text(root: _Node) -> str:
     return _WS_RX.sub(" ", "".join(out)).strip()
 
 
+def _scrape_extended(
+    html: str | bytes | None,
+    url: str,
+    opts: ScrapeOptions,
+    want_root: bool = False,
+    want_cleaned: bool = True,
+) -> dict:
+    """scrape_one with the full knob set, pass order mirroring the
+    reference's ``LXMLWebScrapingStrategy._scrap``
+    (content_scraping_strategy.py:1566-1750):
+
+    css_selector projection -> exclude_all_images -> excluded_tags ->
+    excluded_selector -> metadata -> forms -> link harvest (+exclusion
+    removal) -> media harvest (+image exclusion removal) -> only_text
+    -> base64 clean -> empty-element prune -> attribute strip ->
+    target_elements selection -> serialize.
+
+    Removals drop the element's trailing text run (lxml ``remove()``
+    tail semantics). See ScrapeOptions for the documented divergences.
+    """
+    failed = {
+        "success": False,
+        "title": None,
+        "headings": None,
+        "meta": {},
+        "links": [],
+        "images": [],
+        "cleaned_html": None,
+        "text": None,
+    }
+    if opts.media:
+        failed["media"] = {"images": [], "videos": [], "audios": []}
+    if want_root:
+        failed["_root"] = None
+    if html is None:
+        return failed
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = parse_dom(html)
+    if root.attrs.get("parse_error"):
+        return failed
+    if opts.css_selector:
+        root = project_css_selector(root, opts.css_selector)
+    parents = _parent_map(root)
+
+    if opts.exclude_all_images:  # reference :1615-1619
+        for img in [n for n in _walk(root) if n.tag == "img"]:
+            _remove_node(parents, img)
+    if opts.excluded_tags:  # reference :1627-1634
+        for tag in opts.excluded_tags:
+            for el in [n for n in _walk(root) if n.tag == tag]:
+                _remove_node(parents, el)
+    if opts.excluded_selector:  # reference :1636-1645 (invalid -> skip)
+        from .schema_extract import select_all
+
+        try:
+            matches = select_all(root, opts.excluded_selector)
+        except Exception:
+            matches = []
+        for el in matches:
+            _remove_node(parents, el)
+
+    meta = extract_metadata(root)  # reference :1647-1654
+
+    if opts.remove_forms:  # reference :1691-1694
+        for el in [n for n in _walk(root) if n.tag == "form"]:
+            _remove_node(parents, el)
+
+    links = _extract_links_ex(root, parents, url, opts)
+
+    media = None
+    if opts.media:
+        media = extract_media(root, parents, url, opts)
+    elif opts.exclude_external_images or opts.effective_exclude_domains():
+        # image exclusion runs even without the scored harvest
+        # (reference's image loop always executes, :1176-1192)
+        base_domain = get_base_domain_py(url)
+        exclude_domains = opts.effective_exclude_domains()
+        for img in [n for n in _walk(root) if n.tag == "img"]:
+            src = img.attrs.get("src") or ""
+            img_domain = get_base_domain_py(src)
+            if (img_domain and img_domain in exclude_domains) or (
+                opts.exclude_external_images
+                and _is_external_url_py(src, base_domain)
+            ):
+                _remove_node(parents, img)
+
+    if opts.only_text:  # reference :1714-1722
+        only_text_transform(root, parents)
+    clean_base64_images(root)  # reference :1724-1728 (always)
+    if opts.word_count_threshold is not None:  # reference :1731
+        prune_empty_elements(root, parents, opts.word_count_threshold)
+    if opts.strip_attrs:  # reference :1734-1736
+        strip_attributes(root, opts.keep_data_attributes)
+
+    content_root = root
+    if opts.target_elements:  # reference :1657-1676
+        div = _Node("div")
+        try:
+            from .schema_extract import select_all
+
+            for sel in opts.target_elements:
+                div.children.extend(select_all(root, sel))
+        except Exception:
+            # reference returns None (scrape failure) on a selector
+            # error here, unlike excluded_selector which is forgiven
+            return failed
+        content_root = _Node("#root")
+        content_root.children.append(div)
+
+    heads: list[str] = []
+    for n in _walk(content_root):
+        if n.tag in ("h1", "h2", "h3"):
+            parts: list[str] = []
+            _visible_text(n, parts)
+            heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
+    out = {
+        "success": True,
+        "title": meta.get("title"),
+        "headings": " ".join(h for h in heads if h),
+        "meta": meta,
+        "links": links,
+        "images": extract_images(content_root, url),
+        "cleaned_html": (
+            cleaned_html(content_root) if want_cleaned else None
+        ),
+        "text": page_text(content_root),
+    }
+    if opts.media:
+        out["media"] = media
+    if want_root:
+        out["_root"] = content_root
+    return out
+
+
 def scrape_one(
     html: str | bytes | None,
     url: str,
     excluded_tags: frozenset[str] = DEFAULT_EXCLUDED_TAGS,
     want_root: bool = False,
     want_cleaned: bool = True,
+    opts: ScrapeOptions | None = None,
 ) -> dict:
     """Full scrape of one page -> plain-dict ScrapingResult.
 
     ``want_root`` adds the parsed DOM under ``"_root"`` (consumed by
     scrape_stage's DOM-direct markdown fast path); ``want_cleaned=False``
     skips the serialization entirely — only valid when the caller drops
-    the cleaned_html column and regenerates it on demand."""
+    the cleaned_html column and regenerates it on demand.
+
+    ``opts`` (any non-default ScrapeOptions) routes through the
+    knob-driven extended flow, where ``excluded_tags`` uses the
+    reference's removal semantics (trailing text run dropped) rather
+    than this default path's serialization-skip (text kept)."""
+    if opts is not None and opts != DEFAULT_OPTS:
+        return _scrape_extended(html, url, opts, want_root, want_cleaned)
     failed = {
         "success": False,
         "title": None,
@@ -436,9 +1107,22 @@ SCRAPE_FIELDS_DDL = (
     "cleaned_html string, text string"
 )
 
+# scored media harvest column (opts.media=True): reference media dict
+# shape (content_scraping_strategy.py:1174-1221, 1334-1341)
+MEDIA_FIELD_DDL = (
+    "media struct<"
+    "images:array<struct<src:string,alt:string,desc:string,score:int,"
+    "type:string,group_id:int,format:string,width:string>>,"
+    "videos:array<struct<src:string,alt:string,type:string,"
+    "description:string>>,"
+    "audios:array<struct<src:string,alt:string,type:string,"
+    "description:string>>>"
+)
+
 
 def scrape_stage(df, html_col: str = "html", url_col: str = "url",
-                 markdown: bool = True, drop_cols: tuple = ()):
+                 markdown: bool = True, drop_cols: tuple = (),
+                 opts: ScrapeOptions | None = None):
     """Append scrape (+ optional markdown) columns via one mapInPandas.
 
     Narrow transformation: preserves the input partitioning; one Python
@@ -458,6 +1142,9 @@ def scrape_stage(df, html_col: str = "html", url_col: str = "url",
     scrape_ddl = SCRAPE_FIELDS_DDL.replace("text string", "text_extracted string")
     if "cleaned_html" in drop_cols:
         scrape_ddl = scrape_ddl.replace("cleaned_html string, ", "")
+    with_media = opts is not None and opts.media
+    if with_media:
+        scrape_ddl += ", " + MEDIA_FIELD_DDL
     out_ddl = ", ".join(
         [
             f.name + " " + f.dataType.simpleString()
@@ -486,6 +1173,7 @@ def scrape_stage(df, html_col: str = "html", url_col: str = "url",
                 r = scrape_one(
                     html, url,
                     want_root=markdown, want_cleaned=not skip_clean,
+                    opts=opts,
                 )
                 root = r.pop("_root", None)
                 if markdown:

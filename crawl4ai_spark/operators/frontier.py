@@ -69,6 +69,22 @@ class CrawlConfig:
     n_shards: int = 32  # url_seen shard count
     salt: int = 8  # hot-host spread factor
     include_external: bool = False
+    # F10 link-exclusion flags (reference content_scraping_strategy.py
+    # :661-691, :1152-1165 + config.py SOCIAL_MEDIA_DOMAINS): external
+    # links whose registrable base domain is in exclude_domains (or in
+    # the social-media list when exclude_social_media_links is set) are
+    # dropped at the post-explode filter, so they never enter the
+    # frontier. Internal links are never excluded (reference checks
+    # only the external branch). Matters with include_external=True —
+    # otherwise externals are dropped wholesale anyway.
+    exclude_domains: tuple = ()
+    exclude_social_media_links: bool = False
+    # scrape-stage content-shaping knobs (functions/scrape.py
+    # ScrapeOptions): excluded_tags / excluded_selector / css_selector /
+    # target_elements / word_count_threshold / only_text / strip_attrs /
+    # media harvest ... applied to every fetched page in the round.
+    # None = the engine's default scrape (fast path).
+    scrape_options: object | None = None
     keywords: tuple = ()
     robots_rules: object | None = None  # DataFrame | None
     # live robots.txt acquisition (reference: RobotsParser.can_fetch's
@@ -197,6 +213,8 @@ class CrawlConfig:
             "n_shards": self.n_shards,
             "salt": self.salt,
             "include_external": self.include_external,
+            "exclude_domains": list(self.exclude_domains),
+            "exclude_social_media_links": self.exclude_social_media_links,
             "keywords": list(self.keywords),
             "strategy": self.strategy,
             "batch_size": self.batch_size,
@@ -1009,6 +1027,7 @@ class CrawlRun:
         extracted = scrape_stage(
             fetched, "html", "_scrape_base", markdown=True,
             drop_cols=("html", "cleaned_html", "_scrape_base"),
+            opts=cfg.scrape_options,
         )
         results = extracted.select(
             "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
@@ -1151,6 +1170,22 @@ class CrawlRun:
         )
         if not cfg.include_external:
             links = links.filter(F.col("lk.is_internal"))
+        excluded_doms = set(d.lower() for d in cfg.exclude_domains)
+        if cfg.exclude_social_media_links:
+            from ..functions.scrape import SOCIAL_MEDIA_DOMAINS
+
+            excluded_doms |= set(SOCIAL_MEDIA_DOMAINS)
+        if excluded_doms:
+            # F10: external links to excluded registrable domains never
+            # enter the frontier; internal links are exempt (reference
+            # checks only the external branch, :1152-1165)
+            links = links.filter(
+                F.col("lk.is_internal")
+                | F.col("lk.base_domain").isNull()  # unresolvable: keep
+                | ~F.lower(F.col("lk.base_domain")).isin(
+                    sorted(excluded_doms)
+                )
+            )
         canon = canonicalize_udf(F.col("lk.href"), F.lit("https://unused.invalid/"))
         child_key = F.concat(
             F.coalesce(F.col("parent_dfs_key"), F.lit("")),
