@@ -90,6 +90,89 @@ class RecordedAdapter:
         )
 
 
+class HttpJsonAdapter:
+    """Chat-completions HTTP adapter on stdlib urllib — the production
+    shape of the seam the reference reaches through litellm
+    (utils.py:1721-1790). Speaks the OpenAI-style wire format (the de
+    facto cross-provider JSON shape):
+
+    request:  POST {endpoint}  {"model", "messages":[{"role":"system",
+              "content": instruction}?, {"role":"user","content":
+              prompt}], "temperature"}
+    response: {"choices":[{"message":{"content": ...}}],
+               "usage":{"prompt_tokens","completion_tokens",
+               "total_tokens"}}
+
+    429/503/529 map to RateLimitedError (the one retry-eligible class
+    of ``complete_with_backoff``); every other HTTP or transport error
+    propagates, which ``llm_extract_stage`` turns into the reference's
+    error block instead of a task failure. Offline-tested against a
+    local http.server fake; no provider SDK involved."""
+
+    RATE_LIMIT_CODES = (429, 503, 529)
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "default",
+        api_key: str | None = None,
+        timeout: float = 30.0,
+        temperature: float = 0.0,
+        extra_headers: dict | None = None,
+        extra_body: dict | None = None,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.api_key = api_key
+        self.timeout = float(timeout)
+        self.temperature = float(temperature)
+        self.extra_headers = dict(extra_headers or {})
+        self.extra_body = dict(extra_body or {})
+
+    def complete(self, prompt: str, instruction: str = "") -> LLMResponse:
+        import urllib.error
+        import urllib.request
+
+        messages = []
+        if instruction:
+            messages.append({"role": "system", "content": instruction})
+        messages.append({"role": "user", "content": prompt})
+        body = dict(self.extra_body)
+        body.update(
+            {
+                "model": self.model,
+                "messages": messages,
+                "temperature": self.temperature,
+            }
+        )
+        headers = {"Content-Type": "application/json", **self.extra_headers}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            self.endpoint,
+            data=json.dumps(body).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                payload = json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code in self.RATE_LIMIT_CODES:
+                raise RateLimitedError(f"HTTP {e.code}") from e
+            raise
+        content = payload["choices"][0]["message"]["content"]
+        u = payload.get("usage") or {}
+        return LLMResponse(
+            content=content,
+            usage=TokenUsage(
+                completion_tokens=int(u.get("completion_tokens", 0)),
+                prompt_tokens=int(u.get("prompt_tokens", 0)),
+                total_tokens=int(u.get("total_tokens", 0)),
+            ),
+        )
+
+
 def complete_with_backoff(
     adapter,
     prompt: str,

@@ -84,6 +84,140 @@ def fake_llm(prompt: str, instruction: str = "") -> str:
     )
 
 
+def extract_xml_data(tags: list[str], string: str) -> dict:
+    """Port of reference utils.py:1688-1718: for each tag, the LONGEST
+    ``<tag>...</tag>`` match (DOTALL), stripped; "" when absent."""
+    import re
+
+    data = {}
+    for tag in tags:
+        matches = re.findall(f"<{tag}>(.*?)</{tag}>", string, re.DOTALL)
+        data[tag] = max(matches, key=len).strip() if matches else ""
+    return data
+
+
+def _sanitize_html_for_prompt(html: str) -> str:
+    """Reference utils.py:752-773 sanitize_html: escape quotes."""
+    return html.replace('"', '\\"').replace("'", "\\'")
+
+
+# Functional mirror of the reference's PROMPT_FILTER_CONTENT contract
+# (prompts.py:263): the model receives the HTML and the instruction and
+# must answer with the cleaned markdown inside a <content> block.
+FILTER_PROMPT_TEMPLATE = (
+    "Filter and convert this HTML into clean, focused markdown, "
+    "keeping only content relevant to the request.\n"
+    "<html_input>{HTML}</html_input>\n<request>{REQUEST}</request>\n"
+    "Return the markdown wrapped in <content>...</content> tags."
+)
+DEFAULT_FILTER_REQUEST = (
+    "Convert this HTML into clean, relevant markdown, removing any "
+    "noise or irrelevant content."
+)
+
+
+def llm_filter_stage(
+    df,
+    html_col: str,
+    *,
+    adapter,
+    instruction: str | None = None,
+    chunk_token_threshold: int = int(1e9),
+    overlap_rate: float = 0.1,
+    word_token_rate: float = 1.3,
+    out_col: str = "fit_blocks",
+    usage_col: str = "llm_usage",
+    max_attempts: int = 3,
+    base_delay: float = 2.0,
+):
+    """LLMContentFilter as one Arrow-batched mapInPandas (reference
+    content_filter_strategy.py:780-1060 ``filter_content``): chunk the
+    html with ``merge_chunks`` (defaults = the reference's — one giant
+    chunk unless the caller lowers the threshold; overlap =
+    ``int(threshold * overlap_rate)``), build the filter prompt per
+    chunk (quotes escaped like sanitize_html), call the adapter through
+    ``complete_with_backoff``, and keep each response's longest
+    ``<content>`` block (extract_xml_data, utils.py:1688-1718). Failed
+    or empty chunks are SKIPPED (the reference logs and drops them —
+    no error blocks here, unlike extraction). Emits
+    ``out_col array<string>`` (the ordered blocks — the reference's
+    return value) and a per-row ``usage_col`` token struct; totals are
+    one agg away, the distributed ``show_usage``. An in-batch md5 memo
+    on (html-chunk, instruction) mirrors the reference's
+    llm_cache/content_filter disk cache (:905-931) — memo hits account
+    zero usage like the reference's cache path."""
+    from .llm_adapter import complete_with_backoff
+
+    request = instruction or DEFAULT_FILTER_REQUEST
+    out_ddl = ", ".join(
+        f.name + " " + f.dataType.simpleString() for f in df.schema.fields
+    ) + (
+        f", {out_col} array<string>, {usage_col} "
+        "struct<prompt_tokens:bigint,completion_tokens:bigint,"
+        "total_tokens:bigint>"
+    )
+    overlap = int(chunk_token_threshold * overlap_rate)
+
+    def process(batches):
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            vals, usages = [], []
+            for html in pdf[html_col]:
+                if html is None or not isinstance(html, str) or not html:
+                    vals.append([])
+                    usages.append(None)
+                    continue
+                chunks = merge_chunks(
+                    [html],
+                    target_size=chunk_token_threshold,
+                    overlap=overlap,
+                    word_token_ratio=word_token_rate,
+                )
+                blocks = []
+                usage = {
+                    "prompt_tokens": 0,
+                    "completion_tokens": 0,
+                    "total_tokens": 0,
+                }
+                for chunk in chunks:
+                    key = hashlib.md5(
+                        (chunk + request).encode()
+                    ).hexdigest()
+                    if key in memo:
+                        content = memo[key]
+                    else:
+                        prompt = FILTER_PROMPT_TEMPLATE.replace(
+                            "{HTML}", _sanitize_html_for_prompt(chunk)
+                        ).replace("{REQUEST}", request)
+                        try:
+                            resp = complete_with_backoff(
+                                adapter,
+                                prompt,
+                                max_attempts=max_attempts,
+                                base_delay=base_delay,
+                            )
+                        except Exception:  # noqa: BLE001 — chunk dropped
+                            continue
+                        u = getattr(resp, "usage", None)
+                        if u is not None:
+                            usage["prompt_tokens"] += u.prompt_tokens
+                            usage["completion_tokens"] += u.completion_tokens
+                            usage["total_tokens"] += u.total_tokens
+                        content = resp.content
+                        memo[key] = content
+                    block = extract_xml_data(["content"], content)["content"]
+                    if block:
+                        blocks.append(block)
+                vals.append(blocks)
+                usages.append(usage)
+            out = pdf.copy()
+            out[out_col] = vals
+            out[usage_col] = usages
+            yield out
+
+    return df.mapInPandas(process, schema=out_ddl)
+
+
 def llm_extract_stage(
     df,
     text_col: str,

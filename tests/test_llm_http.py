@@ -1,0 +1,269 @@
+"""HttpJsonAdapter: the LLM seam exercised over a REAL HTTP hop
+(local http.server speaking the OpenAI-style chat-completions wire
+format), driving llm_extract_stage (LLMExtractionStrategy analog) and
+llm_filter_stage (LLMContentFilter analog) end-to-end — VERDICT r4
+item 5. The fake server computes the same deterministic transforms as
+the in-process adapters, so fake <-> http swaps must produce identical
+outputs and identical accounted tokens."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from crawl4ai_spark.functions.llm_adapter import (
+    FakeAdapter,
+    HttpJsonAdapter,
+    LLMResponse,
+    RateLimitedError,
+    TokenUsage,
+    complete_with_backoff,
+)
+from crawl4ai_spark.functions.llm_stub import (
+    extract_xml_data,
+    fake_llm,
+    llm_extract_stage,
+    llm_filter_stage,
+)
+
+
+def _filter_model(prompt: str) -> str:
+    """Deterministic 'model' for filter prompts: markdown headline from
+    the first five words of the embedded html."""
+    inner = extract_xml_data(["html_input"], prompt)["html_input"]
+    words = inner.split()[:5]
+    return "<content># " + " ".join(words) + "</content>"
+
+
+def _respond(prompt: str, instruction: str) -> str:
+    if "<html_input>" in prompt:
+        return _filter_model(prompt)
+    return fake_llm(prompt, instruction)
+
+
+def _filter_prompts(htmls, chunk_token_threshold=int(1e9), overlap_rate=0.1):
+    """Driver-side replay of llm_filter_stage's prompt construction, to
+    build RecordedAdapter transcripts (test-module classes can't be
+    pickled to Spark workers; RecordedAdapter lives in the package)."""
+    from crawl4ai_spark.functions.llm_stub import (
+        FILTER_PROMPT_TEMPLATE,
+        DEFAULT_FILTER_REQUEST,
+        _sanitize_html_for_prompt,
+        merge_chunks,
+    )
+
+    prompts = []
+    for html in htmls:
+        for chunk in merge_chunks(
+            [html],
+            target_size=chunk_token_threshold,
+            overlap=int(chunk_token_threshold * overlap_rate),
+        ):
+            prompts.append(
+                FILTER_PROMPT_TEMPLATE.replace(
+                    "{HTML}", _sanitize_html_for_prompt(chunk)
+                ).replace("{REQUEST}", DEFAULT_FILTER_REQUEST)
+            )
+    return prompts
+
+
+def _local_filter_adapter(htmls, **chunk_kw):
+    """RecordedAdapter twin of the http server's filter behavior (same
+    deterministic transform, same usage convention)."""
+    from crawl4ai_spark.functions.llm_adapter import RecordedAdapter
+
+    return RecordedAdapter(
+        {("", p): _filter_model(p) for p in _filter_prompts(htmls, **chunk_kw)}
+    )
+
+
+STATE = {"fail": 0, "status": 200}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"]))
+        )
+        if STATE["fail"] > 0:
+            STATE["fail"] -= 1
+            self.send_response(429)
+            self.end_headers()
+            return
+        if STATE["status"] != 200:
+            self.send_response(STATE["status"])
+            self.end_headers()
+            return
+        instruction = ""
+        prompt = ""
+        for m in body["messages"]:
+            if m["role"] == "system":
+                instruction = m["content"]
+            elif m["role"] == "user":
+                prompt = m["content"]
+        content = _respond(prompt, instruction)
+        p = len(prompt.split()) + len(instruction.split())
+        c = len(content.split())
+        payload = json.dumps(
+            {
+                "choices": [{"message": {"content": content}}],
+                "usage": {
+                    "prompt_tokens": p,
+                    "completion_tokens": c,
+                    "total_tokens": p + c,
+                },
+                "model": body.get("model"),
+            }
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/v1/chat/completions"
+    srv.shutdown()
+
+
+@pytest.fixture(autouse=True)
+def _reset_state():
+    STATE["fail"] = 0
+    STATE["status"] = 200
+    yield
+    STATE["fail"] = 0
+    STATE["status"] = 200
+
+
+TEXTS = [
+    "Spark processes Data in Parallel. Rows flow through stages.",
+    "The Crawler fetches Pages politely. Hosts get budgets.",
+    None,
+]
+HTMLS = [
+    "<div><p>alpha beta gamma delta epsilon zeta</p></div>",
+    "<article>one two three four five six seven</article>",
+]
+
+
+def test_http_adapter_matches_fake_adapter_exactly(endpoint):
+    http = HttpJsonAdapter(endpoint, model="m1", api_key="k")
+    fake = FakeAdapter()
+    r_http = http.complete("Hello World. More text.", "extract")
+    r_fake = fake.complete("Hello World. More text.", "extract")
+    assert r_http.content == r_fake.content
+    assert r_http.usage == r_fake.usage
+
+
+def test_http_adapter_rate_limit_maps_and_retries(endpoint):
+    http = HttpJsonAdapter(endpoint)
+    STATE["fail"] = 1
+    with pytest.raises(RateLimitedError):
+        http.complete("x", "")
+    # backoff loop absorbs two 429s, third attempt lands
+    STATE["fail"] = 2
+    r = complete_with_backoff(
+        http, "Hello There.", "i", max_attempts=3, sleep=lambda s: None
+    )
+    assert r.content == fake_llm("Hello There.", "i")
+    # exhaustion propagates
+    STATE["fail"] = 5
+    with pytest.raises(RateLimitedError):
+        complete_with_backoff(
+            http, "x", "", max_attempts=3, sleep=lambda s: None
+        )
+
+
+def test_http_adapter_non_rate_limit_errors_propagate(endpoint):
+    import urllib.error
+
+    STATE["status"] = 404
+    with pytest.raises(urllib.error.HTTPError):
+        HttpJsonAdapter(endpoint).complete("x", "")
+
+
+def test_extract_stage_fake_vs_http_identical(spark, endpoint):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    kw = dict(instruction="pull entities", base_delay=0.0)
+    a = llm_extract_stage(df, "text", adapter=FakeAdapter(), **kw) \
+        .orderBy("text").collect()
+    b = llm_extract_stage(
+        df, "text", adapter=HttpJsonAdapter(endpoint), **kw
+    ).orderBy("text").collect()
+    assert [r["extracted_content"] for r in a] == [
+        r["extracted_content"] for r in b]
+    assert [r["llm_usage"] for r in a] == [r["llm_usage"] for r in b]
+    usable = [r for r in b if r["llm_usage"] is not None]
+    assert usable and all(
+        r["llm_usage"]["total_tokens"]
+        == r["llm_usage"]["prompt_tokens"] + r["llm_usage"]["completion_tokens"]
+        for r in usable
+    )
+
+
+def test_filter_stage_local_vs_http_identical(spark, endpoint):
+    df = spark.createDataFrame([(h,) for h in HTMLS], "html string")
+    a = llm_filter_stage(
+        df, "html", adapter=_local_filter_adapter(HTMLS), base_delay=0.0
+    ).orderBy("html").collect()
+    b = llm_filter_stage(
+        df, "html", adapter=HttpJsonAdapter(endpoint), base_delay=0.0
+    ).orderBy("html").collect()
+    assert [r["fit_blocks"] for r in a] == [r["fit_blocks"] for r in b]
+    assert [r["llm_usage"] for r in a] == [r["llm_usage"] for r in b]
+    # the blocks really are the <content> payloads
+    assert a[0]["fit_blocks"] == ["# <article>one two three four five"]
+    assert a[1]["fit_blocks"] == ["# <div><p>alpha beta gamma delta epsilon"]
+
+
+def test_filter_stage_chunking_and_failed_chunk_skip(spark, endpoint):
+    # low threshold -> several chunks per row; reference drops failed
+    # chunks silently (content_filter_strategy.py:1034-1040)
+    html = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(html,)], "html string")
+    out = llm_filter_stage(
+        df, "html", adapter=HttpJsonAdapter(endpoint),
+        chunk_token_threshold=13, overlap_rate=0.0, base_delay=0.0,
+    ).collect()[0]
+    # int(40 * 1.3) = 52 est tokens -> ceil(52/13) = 4 chunks
+    assert len(out["fit_blocks"]) == 4
+    assert out["fit_blocks"][0] == "# w0 w1 w2 w3 w4"
+
+    # an adapter that only knows chunks 0 and 2: chunks 1 and 3 raise
+    # inside complete(), and the stage drops them silently (reference
+    # behavior), keeping order
+    from crawl4ai_spark.functions.llm_adapter import RecordedAdapter
+
+    prompts = _filter_prompts(
+        [html], chunk_token_threshold=13, overlap_rate=0.0
+    )
+    assert len(prompts) == 4
+    half = RecordedAdapter(
+        {("", p): _filter_model(p) for p in (prompts[0], prompts[2])}
+    )
+    out2 = llm_filter_stage(
+        df, "html", adapter=half,
+        chunk_token_threshold=13, overlap_rate=0.0, base_delay=0.0,
+    ).collect()[0]
+    assert len(out2["fit_blocks"]) == 2  # failed chunks skipped, order kept
+    assert out2["fit_blocks"][0] == "# w0 w1 w2 w3 w4"
+
+
+def test_extract_stage_http_error_becomes_error_block(spark, endpoint):
+    STATE["status"] = 500
+    df = spark.createDataFrame([("Some Text.",)], "text string")
+    out = llm_extract_stage(
+        df, "text", adapter=HttpJsonAdapter(endpoint), base_delay=0.0
+    ).collect()[0]
+    blocks = json.loads(out["extracted_content"])
+    assert blocks[0]["error"] is True
+    assert "HTTPError" in blocks[0]["content"]
