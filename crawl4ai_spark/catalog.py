@@ -795,17 +795,96 @@ WHERE rn <= 100
 
 
 def q_term_stats(spark, sf_dir):
+    """Corpus term stats + the BPE tokenizer's train-order and encode
+    bytes (operators/bpe.py), one tagged union (r4 verdict item 6: the
+    tokenizer paths were pytest-only).
+
+    kind='term': the original tf/df rows.
+
+    kind='bpe_merge': train_bpe over a deterministic worked corpus —
+    doc d contributes the word 'ab'*(1+d%3) repeated (3-d%3) times —
+    whose three merges are strictly ordered at ANY corpus size
+    (weighted pair counts: (a,b)=3n0+4n1+3n2 dominates, then
+    (ab,</w>)=3n0+2n1+n2 > (ab,ab)=2n1+2n2 because 3n0 > n2, then
+    (ab,ab</w>)=2n1+n2 > (ab,ab)=n2). The oracle pins the merge order
+    as literals; tf carries the rank.
+
+    kind='bpe_encode_count': every real doc's token count when encoded
+    with merge (a,b) alone — per word: len+1 symbols (the </w> marker)
+    minus the non-overlapping 'ab' occurrences, which SQL mirrors with
+    a replace() length diff over the single-spaced corpus text.
+
+    kind='bpe_encode_tokens': five worked words encoded with ALL three
+    merges, the full '|'-joined token bytes as literals — pins greedy
+    lowest-rank-first application (e.g. 'ababab' -> ab|abab</w>:
+    merge2 beats merge3 at the word end before merge3 fuses the rest).
+    """
+    from .operators.bpe import bpe_encode_stage, train_bpe
+
     df = _docs(spark, sf_dir)
-    terms = df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    return terms.groupBy("term").agg(
-        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    terms = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    base = terms.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    ).select(F.lit("term").alias("kind"), "term", "tf", "df")
+
+    word = F.repeat(F.lit("ab"), (_d() % 3 + 1).cast("int"))
+    reps = (F.lit(3) - _d() % 3).cast("int")
+    synth = df.select(
+        F.array_join(
+            F.array_repeat(word, reps), " "
+        ).alias("text")
+    )
+    merges = train_bpe(synth, "text", num_merges=3, min_pair_count=2)
+    merge_rows = spark.createDataFrame(
+        [("bpe_merge", f"{a}+{b}", i, 0) for i, (a, b) in enumerate(merges)],
+        "kind string, term string, tf long, df long",
+    )
+
+    enc1 = bpe_encode_stage(
+        df.select("doc_id", "text"), merges[:1]
+    ).select(
+        F.lit("bpe_encode_count").alias("kind"),
+        F.col("doc_id").cast("string").alias("term"),
+        F.size("bpe_tokens").cast("long").alias("tf"),
+        F.lit(0).cast("long").alias("df"),
+    )
+
+    words5 = spark.createDataFrame(
+        [(w,) for w in ("ab", "abab", "ababab", "aab", "abba")],
+        "text string",
+    )
+    enc3 = bpe_encode_stage(words5, merges).select(
+        F.lit("bpe_encode_tokens").alias("kind"),
+        F.concat(
+            F.col("text"), F.lit("="), F.array_join("bpe_tokens", "|")
+        ).alias("term"),
+        F.size("bpe_tokens").cast("long").alias("tf"),
+        F.lit(0).cast("long").alias("df"),
+    )
+    return base.unionByName(merge_rows).unionByName(enc1).unionByName(enc3)
 
 
 ORACLE_TERM_STATS = f"""
-SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+SELECT 'term' AS kind, term, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents)
 GROUP BY term
+UNION ALL
+SELECT 'bpe_merge', m.term, m.tf, 0
+FROM (VALUES ('a+b', 0), ('ab+</w>', 1), ('ab+ab</w>', 2)) m(term, tf)
+UNION ALL
+SELECT 'bpe_encode_count', CAST(doc_id AS VARCHAR),
+       length(replace(text, ' ', ''))
+         + (length(text) - length(replace(text, ' ', '')) + 1)
+         - (length(text) - length(replace(text, 'ab', ''))) / 2,
+       0
+FROM documents
+UNION ALL
+SELECT 'bpe_encode_tokens', e.term, e.tf, 0
+FROM (VALUES ('ab=ab</w>', 1), ('abab=abab</w>', 1),
+             ('ababab=ab|abab</w>', 2), ('aab=a|ab</w>', 2),
+             ('abba=ab|b|a|</w>', 4)) e(term, tf)
 """
 
 

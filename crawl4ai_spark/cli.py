@@ -238,12 +238,26 @@ def _run(spark, url, pages_path, live, crawler_config, crawler_kv,
         if filter_conf or (extract_conf and schema_data):
             # the results table intentionally drops html/cleaned_html
             # (RESULT_COLS); the filter/extraction stages need the DOM,
-            # so re-resolve the crawled URLs through the same fetch
-            # seam and join the cleaned_html back (deterministic for
-            # --pages; a refetch for --live)
+            # so re-resolve the crawled URLs through the fetch seam and
+            # join the cleaned_html back (deterministic for --pages; a
+            # refetch for --live — content may have changed between the
+            # crawl and this pass). Only successfully-crawled rows are
+            # refetched (they passed robots gating during the crawl;
+            # blocked/missed rows have nothing to extract), and the
+            # --live refetch paces hosts at the crawl's politeness
+            # floor instead of sweeping them unthrottled.
+            enrich_fetcher = fetcher
+            if pages_df is None:
+                from .operators.fetch import UrllibFetcher
+                from .operators.politeness import BASE_DELAY
+
+                enrich_fetcher = UrllibFetcher(host_interval=BASE_DELAY)
             enriched = scrape_stage(
-                fetch_stage(df.select("url"), fetcher), "html", "url",
-                markdown=False,
+                fetch_stage(
+                    df.filter(F.col("success")).select("url"),
+                    enrich_fetcher,
+                ),
+                "html", "url", markdown=False,
             ).select("url", "cleaned_html")
             df = df.join(enriched, "url", "left")
     else:

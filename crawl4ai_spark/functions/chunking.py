@@ -45,8 +45,11 @@ def regex_chunks(text: Column | str, patterns: list[str] | None = None) -> Colum
 def fixed_word_chunks(text: Column | str, chunk_size: int = 100) -> Column:
     """Non-overlapping chunks of `chunk_size` words (reference :166-171).
 
-    chunk_size < 1 raises here at plan time — the reference's range()
-    raises the same ValueError per row at run time."""
+    chunk_size < 1 raises here at plan time. Divergence, deliberately
+    safer: the reference's range() raises only for chunk_size == 0
+    (ValueError: step cannot be zero); NEGATIVE sizes silently yield an
+    empty range there — no chunks at all — which we treat as a caller
+    bug rather than reproducing."""
     if chunk_size < 1:
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     w = _words(_c(text))
@@ -68,8 +71,9 @@ def sliding_word_chunks(
     - if the loop's final i + window < len, append the last `window`
       words as a tail chunk.
 
-    step < 1 raises here at plan time — the reference's range() raises
-    the same ValueError per row at run time.
+    step < 1 raises here at plan time. Divergence, deliberately safer:
+    the reference's range() raises only for step == 0; a NEGATIVE step
+    there silently yields an empty range (tail-chunk-only output).
     """
     if step < 1:
         raise ValueError(f"step must be >= 1, got {step}")

@@ -33,7 +33,10 @@ def merge_chunks(
     ceil(total/target), then raw words distribute sequentially,
     advancing (with `overlap` carryover words) once a chunk holds
     target_size words; the final chunk absorbs any remainder unbounded.
-    Default ratio = the reference's config.WORD_TOKEN_RATE (1.3)."""
+    Default ratio 1.3 matches what the LLM-extraction call site passes
+    (config.WORD_TOKEN_RATE, extraction_strategy.py) — the reference
+    FUNCTION's own signature defaults word_token_ratio to 1.0; callers
+    expecting reference-signature parity should pass 1.0 explicitly."""
     all_tokens: list[list[str]] = []
     total_tokens = 0
     for doc in docs:

@@ -173,14 +173,18 @@ class CrawlerMonitor:
         return counts
 
     def queue_stats(self, ts: DataFrame | None = None) -> dict:
-        """Mirror of crawler_monitor.py:575-617, wait in rounds."""
+        """Mirror of crawler_monitor.py:575-617, wait in rounds:
+        highest/avg wait are over QUEUED tasks only (the reference feeds
+        update_queue_statistics from its queued-task sweep), not over
+        completed/failed/in-progress rows."""
         ts = self.task_stats() if ts is None else ts
+        queued_wait = F.when(F.col("status") == QUEUED, F.col("wait_rounds"))
         agg = (
             ts.agg(
                 F.sum(F.when(F.col("status") == QUEUED, 1).otherwise(0))
                 .alias("q"),
-                F.max("wait_rounds").alias("hi"),
-                F.avg("wait_rounds").alias("avg"),
+                F.max(queued_wait).alias("hi"),
+                F.avg(queued_wait).alias("avg"),
             )
             .collect()[0]
         )
