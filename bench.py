@@ -76,12 +76,26 @@ def run_queries(spark) -> dict[str, float]:
     if override:
         names = [n.strip() for n in override.split(",") if n.strip()]
     # untimed warmup: absorbs JVM/codegen/Arrow/Python-worker startup so
-    # the first timed query measures its plan, not session spin-up
+    # the first timed query measures its plan, not session spin-up.
+    # Three legs: the Arrow/Python-worker path, a shuffle (Exchange +
+    # partial agg codegen), and a window (the r4 driver run showed
+    # url_core ~2s over its warm cost — the first window/shuffle was
+    # paying whole-stage-codegen compile inside the timed region).
     try:
-        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-            "doc_id"
-        ).limit(64).mapInPandas(
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs.select("doc_id").limit(64).mapInPandas(
             lambda it: it, "doc_id long"
+        ).write.format("noop").mode("overwrite").save()
+        small = docs.select("doc_id", "lang").limit(256)
+        small.groupBy("lang").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        small.withColumn(
+            "_rn",
+            _F.row_number().over(_W.partitionBy("lang").orderBy("doc_id")),
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
