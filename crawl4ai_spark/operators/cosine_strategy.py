@@ -40,6 +40,73 @@ def hashed_embedder(texts: list[str], dim: int = 64) -> np.ndarray:
     return out / norms
 
 
+def hf_embedder(
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+    batch_size: int = 32,
+    normalize: bool = True,
+):
+    """Factory for a real HF embedder behind the pluggable seam —
+    the reference's model path (model_loader.py:86 loads
+    AutoTokenizer + AutoModel for the same default model named at
+    extraction_strategy.py:149; get_embeddings at
+    extraction_strategy.py:285-338 mean-pools last_hidden_state in
+    batches). Returns a (texts) -> ndarray callable with the exact
+    signature `cosine_cluster_page(embedder=)` expects.
+
+    `transformers`/`torch` do not ship in this sandbox, so the import
+    is gated: calling the factory without them raises a loud
+    NotImplementedError pointing at the hashed fallback. The
+    tokenize -> forward -> mean-pool plumbing itself is real code,
+    exercised in tests through a stub `transformers` module.
+
+    At 100 TB this callable runs INSIDE mapInPandas tasks — each
+    executor loads the model once per python worker (module-level
+    lru_cache on the factory args would be the production add), and
+    Arrow batches amortize the per-call overhead exactly like the
+    reference's default_batch_size loop.
+    """
+    try:
+        from transformers import AutoModel, AutoTokenizer
+    except ImportError as exc:  # pragma: no cover - sandbox path
+        raise NotImplementedError(
+            "hf_embedder needs the `transformers` package (not shipped "
+            "in this sandbox). Install transformers+torch, or pass the "
+            "default hashed_embedder / any (texts)->ndarray callable "
+            "as embedder=."
+        ) from exc
+
+    import torch
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+
+    def embed(texts: list[str]) -> np.ndarray:
+        chunks = []
+        for i in range(0, len(texts), batch_size):
+            batch = list(texts[i : i + batch_size])
+            enc = tokenizer(
+                batch, padding=True, truncation=True, return_tensors="pt"
+            )
+            with torch.no_grad():
+                out = model(**enc)
+            # mean pooling over the token axis, as the reference does
+            chunks.append(out.last_hidden_state.mean(dim=1).cpu().numpy())
+        emb = (
+            np.vstack(chunks)
+            if chunks
+            else np.zeros((0, 0), dtype=np.float64)
+        )
+        emb = np.asarray(emb, dtype=np.float64)
+        if normalize and emb.size:
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            emb = emb / norms
+        return emb
+
+    return embed
+
+
 def cosine_sim_matrix(emb: np.ndarray) -> np.ndarray:
     return emb @ emb.T
 
