@@ -795,9 +795,11 @@ WHERE rn <= 100
 
 
 def q_term_stats(spark, sf_dir):
-    """Corpus term stats + the BPE tokenizer's train-order and encode
-    bytes (operators/bpe.py), one tagged union (r4 verdict item 6: the
-    tokenizer paths were pytest-only).
+    """Corpus term stats + BOTH tokenizer tiers' train-order and
+    encode bytes (operators/bpe.py + operators/unigram.py), one tagged
+    union (r4 verdict item 6: the tokenizer paths were pytest-only;
+    r5 folds the unigram-LM tiers the same way — see the inline
+    uni_* comments below).
 
     kind='term': the original tf/df rows.
 
@@ -863,7 +865,79 @@ def q_term_stats(spark, sf_dir):
         F.size("bpe_tokens").cast("long").alias("tf"),
         F.lit(0).cast("long").alias("df"),
     )
-    return base.unionByName(merge_rows).unionByName(enc1).unionByName(enc3)
+
+    # r5: the unigram-LM tokenizer (operators/unigram.py), previously
+    # pytest-only, folded in the same three-tier shape as BPE.
+    #
+    # kind='uni_piece': train_unigram over the SAME worked corpus the
+    # BPE rows use. The hard-EM fixed point is {a, b, ab, abab} at any
+    # corpus size >= 11 docs: seeding keeps every substring, the first
+    # E-step's Viterbi assigns whole words to their longest piece
+    # ('ab'->ab, 'abab'->abab, 'ababab'->abab+ab by the longer-final
+    # tie-break), so ba/aba/bab/baba get count 0 and fall out, and the
+    # cost order is ab < abab (3*n0+n2 > 2*n1+n2 needs 3*floor(n/3) >
+    # 2*ceil(n/3)+2, i.e. n >= 11) < a = b (EM count 1 floor; a before
+    # b by the piece-asc tie). tf carries the rank; pinned empirically
+    # at n = 11 / 100 / 500 and re-derived at the n>=11 boundary by
+    # tests/test_unigram.py::test_catalog_uni_piece_fixed_point_boundary.
+    #
+    # kind='uni_encode_count': every real doc's Viterbi token count
+    # under the fixed vocab {26 chars @ 1.0M micro-nats, 'ab' @ 1.5M}.
+    # Since cost('ab') < 2*cost(char), every optimal segmentation uses
+    # the MAXIMUM number of disjoint 'ab' occurrences k, and the count
+    # is n_chars - k; SQL mirrors k with the same replace() length
+    # diff the BPE count row uses (greedy leftmost non-rescanning =
+    # maximum disjoint matches for a length-2 pattern).
+    #
+    # kind='uni_encode_tokens': worked words under {a,b,c @ 1.0M,
+    # 'ab' @ 1.5M} with the full '|'-joined segmentation as literals —
+    # pins min-cost DP ('abab' -> ab|ab, never a|b|a|b), the
+    # longer-final-piece tie ('ababab' -> ab|ab|ab) and the UNK
+    # single-char fallback ('axb' -> a|x|b with x outside the vocab).
+    from .operators.unigram import train_unigram, unigram_token_count
+
+    uni_costs = train_unigram(
+        synth, "text", vocab_size=4, seed_size=16, iters=2, max_piece_len=4
+    )
+    uni_rank = sorted(uni_costs.items(), key=lambda kv: (kv[1], kv[0]))
+    uni_piece = spark.createDataFrame(
+        [("uni_piece", p, i, 0) for i, (p, _) in enumerate(uni_rank)],
+        "kind string, term string, tf long, df long",
+    )
+
+    fixed = {c: 1_000_000 for c in "abcdefghijklmnopqrstuvwxyz"}
+    fixed["ab"] = 1_500_000
+    uni1 = unigram_token_count(df.select("doc_id", "text"), fixed).select(
+        F.lit("uni_encode_count").alias("kind"),
+        F.col("doc_id").cast("string").alias("term"),
+        F.col("unigram_n_tokens").alias("tf"),
+        F.lit(0).cast("long").alias("df"),
+    )
+
+    abc = {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000, "ab": 1_500_000}
+    words6 = spark.createDataFrame(
+        [(w,) for w in ("abab", "ababab", "aba", "aab", "axb", "cab")],
+        "text string",
+    )
+    from .operators.unigram import unigram_encode_stage
+
+    uni3 = unigram_encode_stage(words6, abc).select(
+        F.lit("uni_encode_tokens").alias("kind"),
+        F.concat(
+            F.col("text"), F.lit("="), F.array_join("unigram_tokens", "|")
+        ).alias("term"),
+        F.size("unigram_tokens").cast("long").alias("tf"),
+        F.lit(0).cast("long").alias("df"),
+    )
+
+    return (
+        base.unionByName(merge_rows)
+        .unionByName(enc1)
+        .unionByName(enc3)
+        .unionByName(uni_piece)
+        .unionByName(uni1)
+        .unionByName(uni3)
+    )
 
 
 ORACLE_TERM_STATS = f"""
@@ -885,6 +959,20 @@ SELECT 'bpe_encode_tokens', e.term, e.tf, 0
 FROM (VALUES ('ab=ab</w>', 1), ('abab=abab</w>', 1),
              ('ababab=ab|abab</w>', 2), ('aab=a|ab</w>', 2),
              ('abba=ab|b|a|</w>', 4)) e(term, tf)
+UNION ALL
+SELECT 'uni_piece', p.term, p.tf, 0
+FROM (VALUES ('ab', 0), ('abab', 1), ('a', 2), ('b', 3)) p(term, tf)
+UNION ALL
+SELECT 'uni_encode_count', CAST(doc_id AS VARCHAR),
+       length(replace(text, ' ', ''))
+         - (length(text) - length(replace(text, 'ab', ''))) / 2,
+       0
+FROM documents
+UNION ALL
+SELECT 'uni_encode_tokens', u.term, u.tf, 0
+FROM (VALUES ('abab=ab|ab', 2), ('ababab=ab|ab|ab', 3),
+             ('aba=ab|a', 2), ('aab=a|ab', 2),
+             ('axb=a|x|b', 3), ('cab=c|ab', 2)) u(term, tf)
 """
 
 

@@ -159,3 +159,32 @@ def test_viterbi_rejects_nonpositive_piece_len():
 
     with pytest.raises(ValueError):
         viterbi_segment("abc", {"a": 1}, max_piece_len=0)
+
+
+def test_catalog_uni_piece_fixed_point_boundary(spark):
+    """The uni_piece gate rows pin the trained piece table as oracle
+    literals {ab:0, abab:1, a:2, b:3}. The derivation needs n >= 11
+    (3*floor(n/3) > 2*ceil(n/3) + 2); train at the boundary across all
+    three n%3 phases to prove the pinned ranks hold for every corpus
+    size the driver can throw at the gate."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.unigram import train_unigram
+
+    for n in (11, 12, 13):
+        docs = spark.range(n).select(
+            F.array_join(
+                F.array_repeat(
+                    F.repeat(F.lit("ab"), (F.col("id") % 3 + 1).cast("int")),
+                    (F.lit(3) - F.col("id") % 3).cast("int"),
+                ),
+                " ",
+            ).alias("text")
+        )
+        costs = train_unigram(
+            docs, "text", vocab_size=4, seed_size=16, iters=2,
+            max_piece_len=4,
+        )
+        order = [p for p, _ in sorted(costs.items(),
+                                      key=lambda kv: (kv[1], kv[0]))]
+        assert order == ["ab", "abab", "a", "b"], (n, order)
