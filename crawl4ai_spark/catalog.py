@@ -838,7 +838,15 @@ def q_term_stats(spark, sf_dir):
             F.array_repeat(word, reps), " "
         ).alias("text")
     )
-    merges = train_bpe(synth, "text", num_merges=3, min_pair_count=2)
+    # both tokenizer tiers train over the same worked corpus: share
+    # ONE persisted (word, count) pass between them instead of two
+    # independent corpus scans
+    from .operators.bpe import word_frequencies
+
+    synth_wf = word_frequencies(synth, "text").persist()
+    merges = train_bpe(
+        synth, "text", num_merges=3, min_pair_count=2, word_freqs=synth_wf
+    )
     merge_rows = spark.createDataFrame(
         [("bpe_merge", f"{a}+{b}", i, 0) for i, (a, b) in enumerate(merges)],
         "kind string, term string, tf long, df long",
@@ -897,8 +905,10 @@ def q_term_stats(spark, sf_dir):
     from .operators.unigram import train_unigram, unigram_token_count
 
     uni_costs = train_unigram(
-        synth, "text", vocab_size=4, seed_size=16, iters=2, max_piece_len=4
+        synth, "text", vocab_size=4, seed_size=16, iters=2,
+        max_piece_len=4, word_freqs=synth_wf,
     )
+    synth_wf.unpersist()
     uni_rank = sorted(uni_costs.items(), key=lambda kv: (kv[1], kv[0]))
     uni_piece = spark.createDataFrame(
         [("uni_piece", p, i, 0) for i, (p, _) in enumerate(uni_rank)],

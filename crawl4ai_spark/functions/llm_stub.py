@@ -142,7 +142,9 @@ def llm_filter_stage(
     ``complete_with_backoff``, and keep each response's longest
     ``<content>`` block (extract_xml_data, utils.py:1688-1718). Failed
     or empty chunks are SKIPPED (the reference logs and drops them —
-    no error blocks here, unlike extraction). Emits
+    no error blocks here, unlike extraction), but the drop count rides
+    the usage struct as ``failed_chunks`` so a health monitor can tell
+    an all-errored row from a legitimately empty one. Emits
     ``out_col array<string>`` (the ordered blocks — the reference's
     return value) and a per-row ``usage_col`` token struct; totals are
     one agg away, the distributed ``show_usage``. An in-batch md5 memo
@@ -157,7 +159,7 @@ def llm_filter_stage(
     ) + (
         f", {out_col} array<string>, {usage_col} "
         "struct<prompt_tokens:bigint,completion_tokens:bigint,"
-        "total_tokens:bigint>"
+        "total_tokens:bigint,failed_chunks:bigint>"
     )
     overlap = int(chunk_token_threshold * overlap_rate)
 
@@ -177,10 +179,15 @@ def llm_filter_stage(
                     word_token_ratio=word_token_rate,
                 )
                 blocks = []
+                # failed_chunks makes dropped chunks observable: an
+                # endpoint-down row would otherwise land as
+                # fit_blocks=[] with all-zero usage — the same shape
+                # as a legitimately filtered-to-empty memo-hit row
                 usage = {
                     "prompt_tokens": 0,
                     "completion_tokens": 0,
                     "total_tokens": 0,
+                    "failed_chunks": 0,
                 }
                 for chunk in chunks:
                     key = hashlib.md5(
@@ -200,6 +207,7 @@ def llm_filter_stage(
                                 base_delay=base_delay,
                             )
                         except Exception:  # noqa: BLE001 — chunk dropped
+                            usage["failed_chunks"] += 1
                             continue
                         u = getattr(resp, "usage", None)
                         if u is not None:

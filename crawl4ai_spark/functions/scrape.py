@@ -102,7 +102,17 @@ class ScrapeOptions:
       (``None`` = off, ``1`` = reference-default behavior);
     - attribute stripping always runs in the reference (:1734-1736);
       ours is opt-in (``strip_attrs``) so default cleaned_html keeps
-      the engine's established shape.
+      the engine's established shape;
+    - ``exclude_domains`` entries are lowercased before matching: base
+      domains are always emitted lowercase, so the reference's exact
+      string compare (:676) silently never matches a mixed-case config
+      entry — a footgun, not a feature — and the crawl-level
+      ``CrawlConfig.exclude_domains`` frontier filter already
+      lowercases, so both exclusion layers here agree on any casing;
+    - ``flatten_nested`` mirrors the BS4 strategy's always-on
+      ``flatten_nested_elements(body)`` (:1043); the lxml strategy
+      DEFINES the pass (:1258-1269) but its ``_scrap`` never calls it,
+      so it is opt-in here (off = lxml default-path parity).
     """
 
     excluded_tags: frozenset[str] = DEFAULT_EXCLUDED_TAGS
@@ -119,6 +129,7 @@ class ScrapeOptions:
     exclude_external_links: bool = False
     exclude_domains: frozenset[str] = frozenset()
     exclude_social_media_links: bool = False
+    flatten_nested: bool = False
     media: bool = False
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD
     image_description_min_word_threshold: int = (
@@ -126,11 +137,14 @@ class ScrapeOptions:
     )
 
     def effective_exclude_domains(self) -> frozenset[str]:
-        """exclude_domains, with the social-media list folded in when
-        exclude_social_media_links is set (reference :1682-1689)."""
+        """exclude_domains lowercased (base domains compare lowercase;
+        see the class docstring divergence note), with the social-media
+        list folded in when exclude_social_media_links is set
+        (reference :1682-1689)."""
+        domains = frozenset(d.lower() for d in self.exclude_domains)
         if self.exclude_social_media_links:
-            return self.exclude_domains | frozenset(SOCIAL_MEDIA_DOMAINS)
-        return self.exclude_domains
+            return domains | frozenset(SOCIAL_MEDIA_DOMAINS)
+        return domains
 
 
 DEFAULT_OPTS = ScrapeOptions()
@@ -907,8 +921,9 @@ def _scrape_extended(
     css_selector projection -> exclude_all_images -> excluded_tags ->
     excluded_selector -> metadata -> forms -> link harvest (+exclusion
     removal) -> media harvest (+image exclusion removal) -> only_text
-    -> base64 clean -> empty-element prune -> attribute strip ->
-    target_elements selection -> serialize.
+    -> flatten_nested (opt-in, BS4-strategy position) -> base64 clean
+    -> empty-element prune -> attribute strip -> target_elements
+    selection -> serialize.
 
     Removals drop the element's trailing text run (lxml ``remove()``
     tail semantics). See ScrapeOptions for the documented divergences.
@@ -982,6 +997,9 @@ def _scrape_extended(
 
     if opts.only_text:  # reference :1714-1722
         only_text_transform(root, parents)
+    if opts.flatten_nested:  # BS4 strategy :1043 (opt-in, see class doc)
+        root = flatten_nested_elements(root)
+        parents = _parent_map(root)  # flatten restructures the tree
     clean_base64_images(root)  # reference :1724-1728 (always)
     if opts.word_count_threshold is not None:  # reference :1731
         prune_empty_elements(root, parents, opts.word_count_threshold)

@@ -132,6 +132,7 @@ def train_bpe(
     num_merges: int = 100,
     min_pair_count: int = 2,
     max_vocab_rows: int = 2_000_000,
+    word_freqs: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed word counting + driver-side merge loop.
 
@@ -140,8 +141,12 @@ def train_bpe(
     (e.g. drop hapaxes with a count>=2 filter) rather than letting a
     pathological corpus (random bytes -> unbounded vocab) OOM the
     driver.
+
+    ``word_freqs`` lets a caller training several tokenizer tiers over
+    the same corpus share ONE (word, count) pass (persist it first) —
+    the corpus scan is the only non-driver cost here.
     """
-    wf = word_frequencies(docs, text_col)
+    wf = word_freqs if word_freqs is not None else word_frequencies(docs, text_col)
     # one job: the limited collect both enforces the guard and returns
     # the vocab (a separate count() would re-run the corpus aggregation)
     rows = wf.limit(int(max_vocab_rows) + 1).collect()

@@ -60,6 +60,24 @@ FRONTIER_SCHEMA = (
 )
 
 
+def _scrape_options_json(opts) -> dict | None:
+    """JSON-safe view of a ScrapeOptions for the round manifest:
+    frozensets sort into lists so the record is deterministic."""
+    if opts is None:
+        return None
+    from dataclasses import fields as dc_fields
+
+    out = {}
+    for f in dc_fields(opts):
+        v = getattr(opts, f.name)
+        if isinstance(v, frozenset):
+            v = sorted(v)
+        elif isinstance(v, tuple):
+            v = list(v)
+        out[f.name] = v
+    return out
+
+
 @dataclass
 class CrawlConfig:
     max_depth: int = 2
@@ -225,6 +243,10 @@ class CrawlConfig:
             "trap_filter": self.trap_filter,
             "max_urls_per_host": self.max_urls_per_host,
             "snapshot_tables": self.snapshot_tables,
+            # scrape shaping must ride the manifest too: two runs
+            # differing only in scrape_options would otherwise write
+            # byte-identical config records (audit/repro blind spot)
+            "scrape_options": _scrape_options_json(self.scrape_options),
         }
 
 

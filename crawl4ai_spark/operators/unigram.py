@@ -181,6 +181,7 @@ def train_unigram(
     iters: int = 4,
     max_piece_len: int = 8,
     prune_keep: float = 0.75,
+    word_freqs: "DataFrame | None" = None,
 ) -> dict[str, int]:
     """Train the unigram vocab; returns {piece: cost in micro-nats}.
 
@@ -188,8 +189,17 @@ def train_unigram(
     word table -> M-step count groupBy -> collect the piece table
     (<= seed_size rows) -> prune multi-char pieces toward
     ``vocab_size`` keeping every single character -> rebuild costs.
+
+    ``word_freqs``: a precomputed (word, count) table to share one
+    corpus pass with a sibling trainer (caller persists and owns it;
+    it is not unpersisted here).
     """
-    wf = word_frequencies(docs, text_col).persist()
+    owned = word_freqs is None
+    wf = (
+        word_frequencies(docs, text_col).persist()
+        if owned
+        else word_freqs
+    )
     try:
         seed = seed_piece_counts(
             wf, max_piece_len, seed_size or 4 * vocab_size
@@ -226,7 +236,8 @@ def train_unigram(
             costs = _cost_table(kept)
         return costs
     finally:
-        wf.unpersist()
+        if owned:
+            wf.unpersist()
 
 
 def unigram_encode_stage(

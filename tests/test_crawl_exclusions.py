@@ -95,3 +95,26 @@ def test_scrape_options_flow_through_crawl(spark, corpus, tmp_path):
     res = run.results().filter(F.col("success"))
     n_links = {r["n_links"] for r in res.select("n_links").collect()}
     assert n_links == {4}  # 3 list + 1 external; navs gone
+
+
+def test_scrape_options_recorded_in_config_json():
+    """Round manifests must distinguish runs that differ only in
+    scrape shaping: to_json carries a deterministic JSON view of
+    scrape_options (None when unset)."""
+    import json
+
+    from crawl4ai_spark.functions.scrape import ScrapeOptions
+
+    assert CrawlConfig().to_json()["scrape_options"] is None
+    a = CrawlConfig(
+        scrape_options=ScrapeOptions(excluded_tags=frozenset({"nav"}))
+    ).to_json()
+    b = CrawlConfig(scrape_options=ScrapeOptions()).to_json()
+    assert a != b
+    assert a["scrape_options"]["excluded_tags"] != b["scrape_options"]["excluded_tags"]
+    # JSON-serializable and deterministic (frozensets sorted)
+    assert json.dumps(a) == json.dumps(
+        CrawlConfig(
+            scrape_options=ScrapeOptions(excluded_tags=frozenset({"nav"}))
+        ).to_json()
+    )

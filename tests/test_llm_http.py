@@ -256,6 +256,10 @@ def test_filter_stage_chunking_and_failed_chunk_skip(spark, endpoint):
     ).collect()[0]
     assert len(out2["fit_blocks"]) == 2  # failed chunks skipped, order kept
     assert out2["fit_blocks"][0] == "# w0 w1 w2 w3 w4"
+    # the drops are observable: an all-errored row is distinguishable
+    # from a legitimately empty one via the usage struct
+    assert out2["llm_usage"]["failed_chunks"] == 2
+    assert out["llm_usage"]["failed_chunks"] == 0
 
 
 def test_extract_stage_http_error_becomes_error_block(spark, endpoint):

@@ -209,6 +209,13 @@ def test_exclude_domains_and_external_links():
     # the external branch)
     r = _scrape(html, exclude_domains=frozenset({"example.com"}))
     assert "https://example.com/in" in [l["href"] for l in r["links"]]
+    # mixed-case config entries match (documented divergence: the
+    # reference's exact string compare silently never matches them;
+    # the crawl-level frontier filter lowercases, so both layers here
+    # agree on any casing)
+    r = _scrape(html, exclude_domains=frozenset({"Bad.COM"}))
+    assert [l["href"] for l in r["links"]] == [
+        "https://good.com/y", "https://example.com/in"]
 
 
 def test_exclude_external_images_and_image_domains():
@@ -357,6 +364,19 @@ def test_flatten_nested_same_tag():
     # multi-child same-tag nesting is NOT flattened
     root3 = parse_dom("<div><div>a</div><div>b</div></div>")
     assert cleaned_html(flatten_nested_elements(root3)) == "<div><div>a</div><div>b</div></div>"
+
+
+def test_flatten_nested_knob_wired_into_scrape():
+    """ScrapeOptions(flatten_nested=True) applies the same-tag collapse
+    inside the scrape pass (the BS4 strategy's always-on position,
+    :1043); off by default (lxml _scrap never calls it)."""
+    html = "<div><div><div>x</div></div></div><p>keep</p>"
+    r = _scrape(html, flatten_nested=True)
+    assert "<div>x</div>" in r["cleaned_html"]
+    assert "<div><div>" not in r["cleaned_html"]
+    # default path: nesting preserved
+    r0 = _scrape(html, remove_forms=True)  # non-default, flatten off
+    assert "<div><div><div>x</div></div></div>" in r0["cleaned_html"]
 
 
 # ---------------------------------------------------------------------------
