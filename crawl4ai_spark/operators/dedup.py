@@ -573,7 +573,9 @@ def connected_components(
             .withColumnRenamed("s", "node")
         )
         cand = lab.join(nbr, "node", "left").select(
-            "node", F.least("lab", F.coalesce("nlab", F.col("lab"))).alias("lab")
+            "node",
+            F.col("lab").alias("old"),  # ride the pre-round label along
+            F.least("lab", F.coalesce("nlab", F.col("lab"))).alias("lab"),
         ).persist()  # read twice by the pointer-jump self-join below
         # pointer jump: labels are node ids, so chase one hop of the
         # label table itself — halves chain depth every round
@@ -586,18 +588,18 @@ def connected_components(
                 "lab",
                 "left",
             )
-            .select("node", F.coalesce("lab2", F.col("lab")).alias("lab"))
+            .select(
+                "node", "old",
+                F.coalesce("lab2", F.col("lab")).alias("lab"),
+            )
             .localCheckpoint()  # eager: materialized + lineage cut
         )
-        stable = (
-            jumped.join(
-                lab.select("node", F.col("lab").alias("old")), "node"
-            )
-            .filter(F.col("lab") != F.col("old"))
-            .isEmpty()
-        )
+        # convergence = no label moved this round; `old` rode through
+        # the jump, so this is a filter over the checkpointed table —
+        # no join back against the previous label table
+        stable = jumped.filter(F.col("lab") != F.col("old")).isEmpty()
         cand.unpersist()
-        lab = jumped
+        lab = jumped.select("node", "lab")
         if stable:
             break
     sym.unpersist()
