@@ -326,3 +326,22 @@ def test_partition_id_column_matches_hash_partitioning(spark):
         a.join(b, ["host", "slice"]).filter(F.col("pid") != F.col("pid2")).count()
         == 0
     )
+
+
+def test_scrape_stage_python_worker_runs_once(spark, docs):
+    """The extract hot path must cross into Python exactly once per
+    stage: Catalyst duplicates a Python UDF when a pushed-down filter
+    references its output (the classic ArrowEvalPython-twice plan), so
+    pin scrape_stage to a single MapInPandas even with a downstream
+    filter + narrow projection over UDF-derived columns."""
+    from crawl4ai_spark.functions.scrape import scrape_stage
+
+    pages = docs.select(
+        F.concat(F.lit("https://h0.example.com/p"), "doc_id").alias("url"),
+        F.concat(F.lit("<html><body><p>"), "text", F.lit("</p></body></html>")).alias("html"),
+    )
+    out = scrape_stage(pages, "html", "url", markdown=True)
+    narrowed = out.filter(F.col("success")).select("url", "raw_markdown")
+    plan = _final_plan(narrowed)
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
