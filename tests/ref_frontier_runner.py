@@ -348,6 +348,51 @@ def _load_extraction_strategy():
     return importlib.import_module("crawl4ai.extraction_strategy")
 
 
+def _load_content_scraping():
+    """content_scraping_strategy.py imports bs4/lxml/requests/dotenv at
+    module scope but its srcset/dimension helpers and the knob-default
+    constants (config.py) are pure stdlib at runtime."""
+    import importlib
+
+    req = _stub("requests")
+    rexc = _stub("requests.exceptions", ("InvalidSchema",))
+    req.exceptions = rexc
+    dv = _stub("dotenv")
+    dv.load_dotenv = lambda *a, **k: None
+    lh = sys.modules["lxml"].html
+    for a in ("HtmlElement", "fromstring", "tostring", "document_fromstring"):
+        setattr(lh, a, type(a, (), {}))
+    le = sys.modules["lxml"].etree
+    for a in ("Element", "_Element", "XPath", "fromstring", "tostring"):
+        setattr(le, a, type(a, (), {}))
+    for a in ("PageElement", "Tag"):
+        setattr(sys.modules["bs4"], a, type(a, (), {}))
+    css = importlib.import_module("crawl4ai.content_scraping_strategy")
+    cfg = importlib.import_module("crawl4ai.config")
+    return css, cfg
+
+
+def run_scrape_helpers(spec: dict) -> dict:
+    """parse_srcset (content_scraping_strategy.py:42-59) and
+    parse_dimension (:63-71) live, plus the scrape-knob default
+    constants from config.py the r5 ScrapeOptions mirror."""
+    css, cfg = _load_content_scraping()
+    return {
+        "srcset": [css.parse_srcset(s) for s in spec["srcsets"]],
+        "dimension": [list(css.parse_dimension(d)) for d in spec["dims"]],
+        "constants": {
+            "IMAGE_SCORE_THRESHOLD": cfg.IMAGE_SCORE_THRESHOLD,
+            "IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD": (
+                cfg.IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD
+            ),
+            "IMPORTANT_ATTRS": sorted(cfg.IMPORTANT_ATTRS),
+            "ONLY_TEXT_ELIGIBLE_TAGS": sorted(cfg.ONLY_TEXT_ELIGIBLE_TAGS),
+            "SOCIAL_MEDIA_DOMAINS": sorted(cfg.SOCIAL_MEDIA_DOMAINS),
+            "MIN_WORD_THRESHOLD": cfg.MIN_WORD_THRESHOLD,
+        },
+    }
+
+
 def run_regex_extract(spec: dict) -> dict:
     """RegexExtractionStrategy (extraction_strategy.py:1706-1876) with
     ALL built-in patterns over each text; returns per-text match lists."""
@@ -560,6 +605,8 @@ def main() -> None:
         out = run_client_hints(spec)
     elif cmd == "regex_extract":
         out = run_regex_extract(spec)
+    elif cmd == "scrape_helpers":
+        out = run_scrape_helpers(spec)
     elif cmd == "robots":
         out = run_robots(spec)
     elif cmd == "head_filters":

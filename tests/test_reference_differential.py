@@ -1515,3 +1515,52 @@ def test_filter_chain_stats_match_reference_live(spark, sf_dir):
     assert stats["total"] == len(urls)
     assert stats["passed"] == sum(got)
     assert stats["rejected"] == len(urls) - sum(got)
+
+
+def test_scrape_helpers_and_knob_constants_match_reference_live():
+    """parse_srcset/parse_dimension value-exact vs the reference
+    (content_scraping_strategy.py:42-71) over an edge battery, and the
+    r5 ScrapeOptions knob defaults pinned against the reference's
+    config.py constants — the scrape stage itself cannot run live
+    (lxml/bs4 absent), but every constant and pure helper it shares
+    with this engine can."""
+    from crawl4ai_spark.functions.html_tools import (
+        parse_dimension,
+        parse_srcset,
+    )
+    from crawl4ai_spark.functions.scrape import (
+        IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD,
+        IMAGE_SCORE_THRESHOLD,
+        IMPORTANT_ATTRS,
+        ONLY_TEXT_ELIGIBLE_TAGS,
+        SOCIAL_MEDIA_DOMAINS,
+    )
+
+    srcsets = [
+        "a.jpg 480w, b.jpg 800w",
+        "a.jpg 480w, b.jpg",              # width-less variant
+        " c.png 2x , d.png 100w",         # density descriptor is NOT a width
+        "e.jpg 480.5w",                   # fractional width truncates
+        "",                               # empty -> []
+        "  ,  , f.gif",                   # blank parts skipped
+        "g.webp 1024w 2x extra tokens",   # extra tokens ignored
+    ]
+    dims = ["480px", "50%", "12em", "300", "x300", ""]
+    ref = _reference(
+        {"cmd": "scrape_helpers", "srcsets": srcsets, "dims": dims}
+    )
+    assert [parse_srcset(s) for s in srcsets] == ref["srcset"]
+    assert [list(parse_dimension(d)) for d in dims] == ref["dimension"]
+
+    c = ref["constants"]
+    assert IMAGE_SCORE_THRESHOLD == c["IMAGE_SCORE_THRESHOLD"]
+    assert (
+        IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD
+        == c["IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD"]
+    )
+    assert sorted(IMPORTANT_ATTRS) == c["IMPORTANT_ATTRS"]
+    assert sorted(ONLY_TEXT_ELIGIBLE_TAGS) == c["ONLY_TEXT_ELIGIBLE_TAGS"]
+    assert sorted(SOCIAL_MEDIA_DOMAINS) == c["SOCIAL_MEDIA_DOMAINS"]
+    # the reference's always-on empty-element prune threshold: our
+    # word_count_threshold=1 documents itself as that behavior
+    assert c["MIN_WORD_THRESHOLD"] == 1
