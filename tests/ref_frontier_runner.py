@@ -393,6 +393,43 @@ def run_scrape_helpers(spec: dict) -> dict:
     }
 
 
+def run_link_scoring(spec: dict) -> dict:
+    """extract_page_context (utils.py:3078-3120) +
+    calculate_link_intrinsic_score (:3123-3235) +
+    calculate_total_score (:3238-3283) — all pure string math — over
+    (page, links) batteries."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    out_pages = []
+    for page in spec["pages"]:
+        ctx = utils.extract_page_context(
+            page["title"], page["headlines"], page["meta"], page["base_url"]
+        )
+        scores = [
+            utils.calculate_link_intrinsic_score(
+                l["text"], l["url"], l["title_attr"], l["class_attr"],
+                l["rel_attr"], ctx,
+            )
+            for l in page["links"]
+        ]
+        out_pages.append(
+            {
+                "terms": sorted(ctx["terms"]),
+                "is_docs_site": ctx["is_docs_site"],
+                "scores": scores,
+            }
+        )
+    totals = [
+        utils.calculate_total_score(
+            t.get("intrinsic"), t.get("contextual"),
+            t["enabled"], t["query"],
+        )
+        for t in spec.get("totals", [])
+    ]
+    return {"pages": out_pages, "totals": totals}
+
+
 def run_regex_extract(spec: dict) -> dict:
     """RegexExtractionStrategy (extraction_strategy.py:1706-1876) with
     ALL built-in patterns over each text; returns per-text match lists."""
@@ -607,6 +644,8 @@ def main() -> None:
         out = run_regex_extract(spec)
     elif cmd == "scrape_helpers":
         out = run_scrape_helpers(spec)
+    elif cmd == "link_scoring":
+        out = run_link_scoring(spec)
     elif cmd == "robots":
         out = run_robots(spec)
     elif cmd == "head_filters":

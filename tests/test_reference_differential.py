@@ -1564,3 +1564,123 @@ def test_scrape_helpers_and_knob_constants_match_reference_live():
     # the reference's always-on empty-element prune threshold: our
     # word_count_threshold=1 documents itself as that behavior
     assert c["MIN_WORD_THRESHOLD"] == 1
+
+
+def test_link_scoring_matches_reference_live(spark):
+    """page_terms / is_docs_site / link_intrinsic_score /
+    total_link_score — the engine's pure-Column link scoring
+    (functions/link_scoring.py) value-exact against the reference's
+    extract_page_context + calculate_link_intrinsic_score +
+    calculate_total_score (utils.py:3078-3283), every rule family
+    exercised: attribute quality (title/class/rel), url structure
+    (good/medium/bad paths, depth, https), text quality (length, word
+    count, generic), contextual term overlap, docs-site bonus, and the
+    total-score fallback chain."""
+    from crawl4ai_spark.functions.link_scoring import (
+        is_docs_site,
+        link_intrinsic_score,
+        page_terms,
+        total_link_score,
+    )
+
+    links = [
+        # attribute rules
+        {"text": "Install Guide", "url": "https://ex.com/docs/install",
+         "title_attr": "long title", "class_attr": "nav-primary",
+         "rel_attr": "canonical"},
+        {"text": "buy now!", "url": "http://ex.com/cart/item",
+         "title_attr": "abc", "class_attr": "ad-banner promo",
+         "rel_attr": "nofollow sponsored"},
+        # url structure: medium path, deep path, shallow path
+        {"text": "a post about spark tuning", "url": "https://ex.com/blog/2024/05/01/deep/post",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+        {"text": "", "url": "https://ex.com/a",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+        # generic text penalty + single word
+        {"text": "click here", "url": "https://ex.com/x/y",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+        {"text": "here", "url": "https://ex.com/x",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+        # contextual overlap with page terms (punctuation-stripped)
+        {"text": "Spark tuning reference!", "url": "https://ex.com/guide/perf",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+        # four-word text bonus
+        {"text": "one two three four", "url": "https://ex.com/p",
+         "title_attr": "", "class_attr": "", "rel_attr": ""},
+    ]
+    pages = [
+        {"title": "Spark Tuning, Guide!", "headlines": "Performance (tuning) tips",
+         "meta": "A guide; to tuning.", "base_url": "https://docs.ex.com/base",
+         "links": links},
+        {"title": "", "headlines": "", "meta": "",
+         "base_url": "https://www.shop.com/", "links": links},
+    ]
+    totals = [
+        {"intrinsic": 7.0, "contextual": 0.4, "enabled": True, "query": True},
+        {"intrinsic": 7.0, "contextual": None, "enabled": True, "query": True},
+        {"intrinsic": 12.0, "contextual": None, "enabled": True, "query": False},
+        {"intrinsic": None, "contextual": 0.9, "enabled": True, "query": True},
+        {"intrinsic": 3.0, "contextual": 2.0, "enabled": True, "query": True},
+        {"intrinsic": 9.0, "contextual": 0.5, "enabled": False, "query": True},
+    ]
+    ref = _reference({"cmd": "link_scoring", "pages": pages, "totals": totals})
+
+    rows = [
+        (p["title"], p["headlines"], p["meta"], p["base_url"],
+         l["text"], l["url"], l["title_attr"], l["class_attr"], l["rel_attr"],
+         pi, li)
+        for pi, p in enumerate(pages)
+        for li, l in enumerate(p["links"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "title string, headlines string, meta string, base_url string, "
+        "text string, url string, title_attr string, class_attr string, "
+        "rel_attr string, pi int, li int",
+    )
+    got = (
+        df.select(
+            "pi", "li",
+            page_terms("title", "headlines", "meta").alias("terms"),
+            is_docs_site("base_url").alias("docs"),
+            F.round(
+                link_intrinsic_score(
+                    F.col("text"), F.col("url"), F.col("title_attr"),
+                    F.col("class_attr"), F.col("rel_attr"),
+                    page_terms("title", "headlines", "meta"),
+                    is_docs_site("base_url"),
+                ),
+                9,
+            ).alias("score"),
+        )
+        .collect()
+    )
+    for r in got:
+        want_page = ref["pages"][r["pi"]]
+        assert sorted(r["terms"]) == want_page["terms"], (r["pi"], r["terms"])
+        assert r["docs"] == want_page["is_docs_site"]
+        assert abs(r["score"] - want_page["scores"][r["li"]]) < 1e-9, (
+            r["pi"], r["li"], r["score"], want_page["scores"][r["li"]],
+        )
+
+    tdf = spark.createDataFrame(
+        [(i, t["intrinsic"], t["contextual"]) for i, t in enumerate(totals)],
+        "i int, intrinsic double, contextual double",
+    )
+    for i, t in enumerate(totals):
+        got_t = (
+            tdf.filter(F.col("i") == i)
+            .select(
+                F.round(
+                    total_link_score(
+                        F.col("intrinsic"),
+                        None if t["contextual"] is None else F.col("contextual"),
+                        score_links_enabled=t["enabled"],
+                        query_provided=t["query"],
+                    ),
+                    9,
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        assert abs(got_t - ref["totals"][i]) < 1e-9, (i, got_t, ref["totals"][i])
