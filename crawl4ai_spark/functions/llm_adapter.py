@@ -196,12 +196,50 @@ def complete_with_backoff(
     raise RuntimeError("unreachable")
 
 
+def split_and_parse_json_objects(json_string: str) -> tuple[list, list]:
+    """Reference utils.py:707-750: strip a wrapping ``[...]``, walk the
+    string tracking brace depth to cut out top-level ``{...}`` segments,
+    then json-parse each — returns (parsed objects, unparseable segment
+    strings). The salvage path for malformed LLM responses: a reply
+    with trailing prose or a broken object still yields every valid
+    object embedded in it."""
+    if json_string.startswith("[") and json_string.endswith("]"):
+        json_string = json_string[1:-1].strip()
+    segments = []
+    depth = 0
+    start_index = 0
+    for i, char in enumerate(json_string):
+        if char == "{":
+            if depth == 0:
+                start_index = i
+            depth += 1
+        elif char == "}":
+            depth -= 1
+            if depth == 0:
+                segments.append(json_string[start_index : i + 1])
+    parsed, unparsed = [], []
+    for segment in segments:
+        try:
+            parsed.append(json.loads(segment))
+        except json.JSONDecodeError:
+            unparsed.append(segment)
+    return parsed, unparsed
+
+
 def parse_blocks(content: str, ix: int) -> list[dict]:
     """Reference block-shaping (extraction_strategy.py:658-688): parse
     the JSON response; a dict wrapping a single list unwraps to that
     list; a bare dict becomes a one-block list; every parsed block is
-    stamped error=False; unparseable content becomes the reference's
-    error block."""
+    stamped error=False. A response that fails whole-string parsing
+    falls back to the reference's salvage (:682-690): every top-level
+    ``{...}`` object it contains is kept (as-is, no error/index
+    stamping — the reference leaves salvaged blocks untouched), and
+    unparseable segments ride ONE error block whose content is the
+    segment list and whose index is the reference's hardcoded 0.
+    Documented divergence: when salvage finds nothing at all (no
+    braces — e.g. a prose reply, None, bytes), the reference silently
+    returns []; this engine keeps the error block so the malformed
+    response stays observable in the output table."""
     try:
         blocks = json.loads(content)
         if isinstance(blocks, dict):
@@ -222,8 +260,24 @@ def parse_blocks(content: str, ix: int) -> list[dict]:
         return out
     except Exception:
         # TypeError (content=None/bytes from a misbehaving adapter) and
-        # friends degrade to the error block exactly like bad JSON —
-        # one malformed response must never kill a whole Spark task
+        # friends degrade like bad JSON — one malformed response must
+        # never kill a whole Spark task
+        try:
+            parsed, unparsed = split_and_parse_json_objects(content)
+        except Exception:
+            parsed, unparsed = [], []
+        if parsed or unparsed:
+            blocks = list(parsed)
+            if unparsed:
+                blocks.append(
+                    {
+                        "index": 0,  # reference quirk: not ix
+                        "error": True,
+                        "tags": ["error"],
+                        "content": unparsed,
+                    }
+                )
+            return blocks
         return [error_block(ix, content)]
 
 

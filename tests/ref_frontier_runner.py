@@ -430,6 +430,28 @@ def run_link_scoring(spec: dict) -> dict:
     return {"pages": out_pages, "totals": totals}
 
 
+def run_text_helpers(spec: dict) -> dict:
+    """The pure string helpers behind the LLM stages, live:
+    split_and_parse_json_objects (utils.py:707-750), sanitize_html
+    (:752-773), sanitize_input_encode (:777-793), escape_json_string
+    (:795-822), extract_xml_data (:1688-1718)."""
+    import importlib
+
+    utils = importlib.import_module("crawl4ai.utils")
+    return {
+        "split": [
+            list(utils.split_and_parse_json_objects(s))
+            for s in spec["jsons"]
+        ],
+        "sanitize": [utils.sanitize_html(s) for s in spec["htmls"]],
+        "encode": [utils.sanitize_input_encode(s) for s in spec["texts"]],
+        "escape": [utils.escape_json_string(s) for s in spec["texts"]],
+        "xml": [
+            utils.extract_xml_data(spec["tags"], s) for s in spec["xmls"]
+        ],
+    }
+
+
 def run_regex_extract(spec: dict) -> dict:
     """RegexExtractionStrategy (extraction_strategy.py:1706-1876) with
     ALL built-in patterns over each text; returns per-text match lists."""
@@ -646,6 +668,8 @@ def main() -> None:
         out = run_scrape_helpers(spec)
     elif cmd == "link_scoring":
         out = run_link_scoring(spec)
+    elif cmd == "text_helpers":
+        out = run_text_helpers(spec)
     elif cmd == "robots":
         out = run_robots(spec)
     elif cmd == "head_filters":

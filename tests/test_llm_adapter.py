@@ -157,3 +157,40 @@ def test_legacy_callable_path_unchanged(spark, sf_dir):
     for r in out.collect():
         blocks = json.loads(r["extracted_content"])
         assert blocks and blocks[0]["instruction"] == "extract"
+
+
+def test_parse_blocks_salvages_embedded_objects():
+    """Reference :682-690 salvage: whole-string parse fails, but every
+    top-level {...} object is kept as-is (no error/index stamping) and
+    unparseable segments ride ONE error block with the reference's
+    hardcoded index 0."""
+    from crawl4ai_spark.functions.llm_adapter import (
+        split_and_parse_json_objects,
+    )
+
+    content = 'Here you go: {"a": 1} and {"b": } then {"c": 3} thanks!'
+    parsed, unparsed = split_and_parse_json_objects(content)
+    assert parsed == [{"a": 1}, {"c": 3}]
+    assert unparsed == ['{"b": }']
+
+    blocks = parse_blocks(content, 9)
+    assert blocks[:2] == [{"a": 1}, {"c": 3}]  # untouched, like the reference
+    assert blocks[2] == {
+        "index": 0,  # reference quirk: 0, not the chunk index
+        "error": True,
+        "tags": ["error"],
+        "content": ['{"b": }'],
+    }
+
+    # wrapping [...] stripped before the brace walk (utils.py:719-720)
+    parsed, unparsed = split_and_parse_json_objects('[{"x": 1}, {"y": 2}]')
+    assert parsed == [{"x": 1}, {"y": 2}] and unparsed == []
+
+    # nested braces stay inside one segment
+    parsed, _ = split_and_parse_json_objects('x {"a": {"b": 2}} y')
+    assert parsed == [{"a": {"b": 2}}]
+
+    # salvage finds nothing -> documented divergence: the engine keeps
+    # the observable error block (reference silently returns [])
+    blocks = parse_blocks("plain prose, no objects", 4)
+    assert blocks == [error_block(4, "plain prose, no objects")]

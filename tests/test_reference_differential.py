@@ -1684,3 +1684,63 @@ def test_link_scoring_matches_reference_live(spark):
             .collect()[0]["s"]
         )
         assert abs(got_t - ref["totals"][i]) < 1e-9, (i, got_t, ref["totals"][i])
+
+
+def test_llm_text_helpers_match_reference_live():
+    """split_and_parse_json_objects / sanitize_html /
+    sanitize_input_encode / escape_json_string / extract_xml_data —
+    the pure helpers the LLM extraction+filter stages rest on —
+    value-exact against the live reference (utils.py:707-822,
+    :1688-1718)."""
+    from crawl4ai_spark.functions.html_tools import (
+        escape_json_string,
+        sanitize_input_encode,
+    )
+    from crawl4ai_spark.functions.llm_adapter import (
+        split_and_parse_json_objects,
+    )
+    from crawl4ai_spark.functions.llm_stub import (
+        _sanitize_html_for_prompt,
+        extract_xml_data,
+    )
+
+    jsons = [
+        '[{"x": 1}, {"y": 2}]',
+        'prose {"a": 1} mid {"b": } end {"c": {"d": 4}}',
+        "no objects at all",
+        "{unclosed",
+        '[{"x": 1}, broken]',
+        "",
+    ]
+    htmls = [
+        '<a href="x" title=\'y\'>both "quote' + "'s</a>",
+        "plain",
+        "",
+    ]
+    texts = [
+        'tab\there\nnewline "quoted" back\\slash',
+        "ctrl\x01char\x7f and \x9f",
+        "",
+        "héllo utf-8 ✓",
+    ]
+    xmls = [
+        "<content>short</content> mid <content>the longer block</content>",
+        "<content>only</content>",
+        "none here",
+        "<content>outer <content>inner</content></content>",
+    ]
+    ref = _reference(
+        {
+            "cmd": "text_helpers",
+            "jsons": jsons,
+            "htmls": htmls,
+            "texts": texts,
+            "xmls": xmls,
+            "tags": ["content"],
+        }
+    )
+    assert [list(split_and_parse_json_objects(s)) for s in jsons] == ref["split"]
+    assert [_sanitize_html_for_prompt(s) for s in htmls] == ref["sanitize"]
+    assert [sanitize_input_encode(s) for s in texts] == ref["encode"]
+    assert [escape_json_string(s) for s in texts] == ref["escape"]
+    assert [extract_xml_data(["content"], s) for s in xmls] == ref["xml"]
