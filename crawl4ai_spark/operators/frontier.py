@@ -805,6 +805,16 @@ class CrawlRun:
                 admitted_before = int(self.manifest(r - 1)["cum_admitted_next"])
             except (FileNotFoundError, KeyError):
                 admitted_before = self.seen.count()
+                # under alias_redirects the seen set outgrows the
+                # admitted count by the alias volume — subtract it so
+                # the max_pages budget isn't shrunk on legacy-manifest
+                # resume (footer reads only, no jobs)
+                alias_root = os.path.join(self.workdir, "seen_aliases")
+                if os.path.isdir(alias_root):
+                    for d in sorted(os.listdir(alias_root)):
+                        admitted_before -= _parquet_rows(
+                            os.path.join(alias_root, d)
+                        )
 
         # robots gate (broadcast dim join); under robots_fetch the dim
         # is acquired live first (fetch-on-miss increment, one job)
@@ -959,9 +969,17 @@ class CrawlRun:
                 v = cfg.url_validators
                 if "url_hash" not in v.columns:
                     v = v.withColumn("url_hash", url_hash("url")).drop("url")
+                # duplicate keys collapse deterministically (max) — a
+                # validators table with a URL twice (e.g. a union of
+                # two crawls' results) must not fan out the fetch
+                # layout into duplicate fetches (same defensive rule
+                # as _priors_by_hash)
                 selected = selected.join(
-                    v.select(
-                        "url_hash", "if_none_match", "if_modified_since"
+                    v.groupBy("url_hash").agg(
+                        F.max("if_none_match").alias("if_none_match"),
+                        F.max("if_modified_since").alias(
+                            "if_modified_since"
+                        ),
                     ),
                     "url_hash", "left",
                 )
@@ -1063,47 +1081,34 @@ class CrawlRun:
             "etag", "last_modified",
         )
 
-        blocked_results = blocked.select(
-            "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
-            "dfs_key",
-            F.lit(-1).alias("partition_id"),
-            F.lit("robots_blocked").alias("fetch_status"),
-            F.lit(False).alias("success"),
-            *[F.lit(None).cast("string").alias(c) for c in (
-                "title", "headings")],
-            F.lit(None).cast("map<string,string>").alias("meta"),
-            *[F.lit(None).cast("string").alias(c) for c in (
-                "text_extracted", "raw_markdown",
-                "markdown_with_citations", "references_markdown")],
-            F.lit(0).alias("n_links"),
-            F.lit(None).cast(LINKS_TYPE).alias("links"),
-            F.lit(None).cast("int").alias("http_status"),
-            F.col("url").alias("final_url"),
-            F.lit(None).cast("string").alias("fetch_error"),
-            F.lit(None).cast("string").alias("etag"),
-            F.lit(None).cast("string").alias("last_modified"),
-        )
+        def _synthetic_results(df, partition_id: int, status: str):
+            """Result rows for URLs that never reached the fetch stage
+            (robots_blocked / abandoned): lineage columns ride through,
+            every extraction column is a typed null. One definition —
+            a RESULT_COLS change edits this once, not per status."""
+            return df.select(
+                "url", "url_hash", "host", "depth", "priority",
+                "parent_url_hash", "dfs_key",
+                F.lit(partition_id).alias("partition_id"),
+                F.lit(status).alias("fetch_status"),
+                F.lit(False).alias("success"),
+                *[F.lit(None).cast("string").alias(c) for c in (
+                    "title", "headings")],
+                F.lit(None).cast("map<string,string>").alias("meta"),
+                *[F.lit(None).cast("string").alias(c) for c in (
+                    "text_extracted", "raw_markdown",
+                    "markdown_with_citations", "references_markdown")],
+                F.lit(0).alias("n_links"),
+                F.lit(None).cast(LINKS_TYPE).alias("links"),
+                F.lit(None).cast("int").alias("http_status"),
+                F.col("url").alias("final_url"),
+                F.lit(None).cast("string").alias("fetch_error"),
+                F.lit(None).cast("string").alias("etag"),
+                F.lit(None).cast("string").alias("last_modified"),
+            )
 
-        abandoned_results = abandoned.select(
-            "url", "url_hash", "host", "depth", "priority", "parent_url_hash",
-            "dfs_key",
-            F.lit(-3).alias("partition_id"),
-            F.lit("abandoned").alias("fetch_status"),
-            F.lit(False).alias("success"),
-            *[F.lit(None).cast("string").alias(c) for c in (
-                "title", "headings")],
-            F.lit(None).cast("map<string,string>").alias("meta"),
-            *[F.lit(None).cast("string").alias(c) for c in (
-                "text_extracted", "raw_markdown",
-                "markdown_with_citations", "references_markdown")],
-            F.lit(0).alias("n_links"),
-            F.lit(None).cast(LINKS_TYPE).alias("links"),
-            F.lit(None).cast("int").alias("http_status"),
-            F.col("url").alias("final_url"),
-            F.lit(None).cast("string").alias("fetch_error"),
-            F.lit(None).cast("string").alias("etag"),
-            F.lit(None).cast("string").alias("last_modified"),
-        )
+        blocked_results = _synthetic_results(blocked, -1, "robots_blocked")
+        abandoned_results = _synthetic_results(abandoned, -3, "abandoned")
 
         all_results = results.unionByName(blocked_results).unionByName(
             abandoned_results
@@ -1209,10 +1214,14 @@ class CrawlRun:
                 )
             )
         canon = canonicalize_udf(F.col("lk.href"), F.lit("https://unused.invalid/"))
+        # 7-digit position segment: lpad TRUNCATES beyond its width,
+        # so a 4-wide pad would collide positions >= 10000 on
+        # link-heavy pages (key ties -> nondeterministic DFS order);
+        # 7 digits bounds pages at 10M links, far past any real DOM
         child_key = F.concat(
             F.coalesce(F.col("parent_dfs_key"), F.lit("")),
             F.lit("."),
-            F.lpad(F.col("pos").cast("string"), 4, "0"),
+            F.lpad(F.col("pos").cast("string"), 7, "0"),
         )
         scored = links.select(
             canon.alias("url"),
@@ -1382,8 +1391,14 @@ class CrawlRun:
             )
         new_state = update_state(
             state,
+            # cache hits never touched the host (the reference's cache
+            # path returns before its rate limiter runs) — counting
+            # them as successful contacts would decay a backing-off
+            # host's delay and reset fail_count without any request
             persisted.filter(
-                ~F.col("fetch_status").isin("robots_blocked", "abandoned")
+                ~F.col("fetch_status").isin(
+                    "robots_blocked", "abandoned", "cache_hit"
+                )
             ).withColumn("success", pol_success),
             r,
         )
@@ -1403,6 +1418,10 @@ class CrawlRun:
             "n": sum(nu),
             "blk": sum(u for p, u in zip(pid, nu) if p == -1),
             "aband": sum(u for p, u in zip(pid, nu) if p == -3),
+            "hits": sum(u for p, u in zip(pid, nu) if p == -2),
+            "hits_ok": sum(
+                (x or 0) for p, x in zip(pid, nok) if p == -2
+            ),
             "ok": sum(x or 0 for x in nok),
         }
         next_count = _parquet_rows(self._frontier_path(r + 1))
@@ -1419,8 +1438,14 @@ class CrawlRun:
             "frontier": frontier_count,
             "blocked": int(rs["blk"]),
             "abandoned": int(rs["aband"]),
-            "selected": int(rs["n"]) - int(rs["blk"]) - int(rs["aband"]),
-            "fetched_ok": int(rs["ok"]),
+            # cache hits ride the results table (partition_id -2) but
+            # never went through budget selection or a fetch — count
+            # them separately so selected/fetched_ok report real fetch
+            # volume, not cache traffic
+            "cache_hits": int(rs["hits"]),
+            "selected": int(rs["n"]) - int(rs["blk"]) - int(rs["aband"])
+            - int(rs["hits"]),
+            "fetched_ok": int(rs["ok"]) - int(rs["hits_ok"]),
             "deferred": deferred_count,
             "new_links": new_links,
             "next_frontier": next_count,

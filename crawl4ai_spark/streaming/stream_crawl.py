@@ -9,10 +9,15 @@ Structured-Streaming reformulation:
   watched directory (the batch engine's per-round frontier writes are
   exactly such files);
 - each micro-batch joins the static pages table, runs the Arrow-batched
-  scrape+markdown stage, and appends to the results sink;
-- the checkpoint directory gives exactly-once file processing — a
-  killed stream resumes without re-extracting completed batches
-  (the streaming analog of the batch engine's manifest resume);
+  scrape+markdown stage, and overwrites its own batch_id=N partition of
+  the results sink;
+- checkpointing makes the SOURCE exactly-once (a killed stream resumes
+  without re-reading committed batches), and the per-batch_id overwrite
+  makes the SINK idempotent — foreachBatch is only at-least-once, so a
+  crash between a batch's write and its offset commit re-runs the
+  batch, and the overwrite replaces rather than duplicates its rows
+  (the streaming analog of the batch engine's overwrite-only round
+  reruns);
 - late-data metrics: a watermarked window aggregation over warc_ts.
 
 The feedback edge (discovered links re-entering the frontier) is a
@@ -116,7 +121,16 @@ def start_stream_extract(
             "title", "raw_markdown",
             F.size(F.coalesce(F.col("links"), F.array())).alias("n_links"),
         )
-        out.write.mode("append").parquet(out_dir)
+        # exactly-once needs an IDEMPOTENT sink: foreachBatch is
+        # at-least-once (a crash between this write and the checkpoint
+        # offset commit re-runs the same batch_id on restart), so each
+        # micro-batch overwrites its own batch_id=N partition dir — a
+        # retry replaces the earlier attempt's rows instead of
+        # appending duplicates. Readers of out_dir see batch_id as a
+        # partition column.
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

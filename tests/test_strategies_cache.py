@@ -141,3 +141,58 @@ def test_cache_results_equivalent_to_fetch(spark, sf_dir, tmp_path):
     ra = sorted(map(tuple, CrawlRun(spark, pages, a, cfg).results().select(cols).collect()))
     rb = sorted(map(tuple, CrawlRun(spark, pages, b, cfg).results().select(cols).collect()))
     assert ra == rb
+
+
+def test_cache_hits_counted_separately_and_skip_politeness(
+    spark, sf_dir, tmp_path
+):
+    """Cache hits never touched the host: the round manifest reports
+    them as cache_hits (not selected/fetched_ok), and the politeness
+    fold ignores them — a host's backoff state after a fully
+    cache-served round is exactly its prior state decayed by the
+    no-contact rule, never the success-decay path."""
+    from crawl4ai_spark.operators.politeness import PolitenessState
+
+    pages = generate_pages(spark, sf_dir)
+    langs = _langs(spark, sf_dir)
+    seeds = [page_url(d, langs[d]) for d in range(8)]
+    cache_path = str(tmp_path / "cache")
+
+    cfg = CrawlConfig(max_depth=0, round_seconds=1e6,
+                      cache_mode="enabled", cache_path=cache_path)
+    wd1 = str(tmp_path / "w1")
+    m1 = run_crawl(spark, pages, seeds, wd1, cfg, max_rounds=1)
+    assert m1[0]["cache_hits"] == 0
+    n_fetched = m1[0]["selected"]
+    assert n_fetched == len(seeds)
+
+    # second crawl: every URL cache-served
+    wd2 = str(tmp_path / "w2")
+    m2 = run_crawl(spark, pages, seeds, wd2, cfg, max_rounds=1)
+    assert m2[0]["cache_hits"] == len(seeds)
+    assert m2[0]["selected"] == 0       # no real fetches
+    assert m2[0]["fetched_ok"] == 0     # hits are not fetch successes
+    # politeness saw ZERO contacts: a fully cache-served round folds
+    # no host rows into the state (before the fix, every hit host
+    # appeared as a successfully-contacted host)
+    st = PolitenessState(spark, str(tmp_path / "w2")).load(1)
+    assert st is None or st.count() == 0
+
+
+def test_url_validators_duplicate_keys_do_not_fan_out(spark, sf_dir, tmp_path):
+    """A validators table carrying the same URL twice must not
+    duplicate fetches/result rows (keys collapse deterministically)."""
+    pages = generate_pages(spark, sf_dir)
+    langs = _langs(spark, sf_dir)
+    seeds = [page_url(d, langs[d]) for d in range(5)]
+    # two validator rows per seed URL with different etags
+    v = spark.createDataFrame(
+        [(u, f'"e{i}"', None) for u in seeds for i in range(2)],
+        "url string, if_none_match string, if_modified_since string",
+    )
+    cfg = CrawlConfig(max_depth=0, round_seconds=1e6, url_validators=v)
+    wd = str(tmp_path / "wv")
+    run_crawl(spark, pages, seeds, wd, cfg, max_rounds=1)
+    res = CrawlRun(spark, pages, wd, cfg).results()
+    assert res.count() == len(seeds)
+    assert res.select("url_hash").distinct().count() == len(seeds)

@@ -292,3 +292,41 @@ def test_stream_extract_over_fetcher_equals_join(spark, sf_dir, tmp_path):
     assert any(r[1] == "fetched" for r in joined)
     by_url = {r[0]: r for r in fetched}
     assert by_url["https://nowhere.example/zz"][1] == "miss"
+
+
+def test_stream_extract_sink_idempotent_on_batch_retry(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash between a batch's sink
+    write and its checkpoint offset commit re-runs the SAME batch_id on
+    restart. The sink must be idempotent — re-draining the identical
+    frontier files into the same out_dir with a FRESH checkpoint (every
+    batch_id re-runs: the worst-case retry) must not duplicate rows."""
+    pages = generate_pages(spark, sf_dir)
+    pages.cache()
+    urls = sorted(r["url"] for r in pages.select("url").collect())[:20]
+
+    fdir = str(tmp_path / "frontier")
+    odir = str(tmp_path / "out")
+    for b in range(2):
+        _frontier_batch(spark, urls[b * 10:(b + 1) * 10], b).coalesce(
+            1
+        ).write.mode("append").parquet(fdir)
+
+    q = start_stream_extract(
+        spark, pages, fdir, odir, str(tmp_path / "ckpt1"),
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(odir)
+    assert first.count() == 20
+
+    # the retry: same files, same batch numbering (fresh checkpoint),
+    # same sink dir — rows must be replaced, not appended
+    q2 = start_stream_extract(
+        spark, pages, fdir, odir, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1, available_now=True,
+    )
+    q2.awaitTermination(120)
+    res = spark.read.parquet(odir)
+    assert res.count() == 20  # not 40
+    assert res.select("url").distinct().count() == 20
+    pages.unpersist()
