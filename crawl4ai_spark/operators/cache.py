@@ -39,12 +39,15 @@ def should_write(mode: CacheMode) -> bool:
 
 
 # columns a cache hit can serve without refetching — including the
-# original fetch provenance (http_status/final_url), so a hit replays
-# what the fetch actually returned instead of fabricating a 200
+# original fetch provenance (http_status/final_url) and the response
+# validators (etag/last_modified), so a hit replays what the fetch
+# actually returned instead of fabricating a 200, and a cached page
+# can still seed conditional revalidation (url_validators)
 CACHED_COLS = [
     "url_hash", "title", "headings", "meta", "text_extracted",
     "raw_markdown", "markdown_with_citations", "references_markdown",
     "n_links", "links", "http_status", "final_url",
+    "etag", "last_modified",
 ]
 
 
@@ -75,7 +78,16 @@ class ResultCache:
             for c in CACHED_COLS[1:]:
                 empty = empty.withColumn(c, F.lit(None))
             return empty, frontier
-        cached = cache.select(*CACHED_COLS).dropDuplicates(["url_hash"])
+        # tables written before a CACHED_COLS widening (e.g. the
+        # etag/last_modified addition) lack the new columns: backfill
+        # nulls instead of failing the select
+        cached = cache.select(
+            *[
+                (F.col(c) if c in cache.columns
+                 else F.lit(None).cast("string").alias(c))
+                for c in CACHED_COLS
+            ]
+        ).dropDuplicates(["url_hash"])
         c = cached.withColumnRenamed("url_hash", "__c_hash")
         hits = frontier.join(
             c, frontier["url_hash"] == F.col("__c_hash"), "inner"
@@ -90,15 +102,30 @@ class ResultCache:
         (content-addressed dedup on url_hash)."""
         if not should_write(mode):
             return 0
+        # results tables without the validator columns (operator-form
+        # callers that never fetched live) write nulls for them
         fresh = results.filter(F.col("success")).select(
-            *CACHED_COLS, F.col("url")
+            *[
+                (F.col(c) if c in results.columns
+                 else F.lit(None).cast("string").alias(c))
+                for c in CACHED_COLS
+            ],
+            F.col("url"),
         )
         existing = self.load()
         if existing is not None:
             fresh = fresh.join(
                 existing.select("url_hash"), "url_hash", "left_anti"
             )
-        n = fresh.count()
-        if n > 0:
-            fresh.write.mode("append").parquet(self.path)
+        # persist across the count + write actions: without it the
+        # filter plus the full cache-scan anti-join runs TWICE per
+        # round (and a nondeterministic input could make n disagree
+        # with what was written)
+        fresh = fresh.persist()
+        try:
+            n = fresh.count()
+            if n > 0:
+                fresh.write.mode("append").parquet(self.path)
+        finally:
+            fresh.unpersist()
         return n

@@ -362,9 +362,34 @@ class SnapshotTable:
             return new
         old_names = [f.name for f in committed.fields]
         new_names = [f.name for f in new.fields]
+
+        def _check_types() -> None:
+            # name match alone is not enough: committing files whose
+            # physical types differ from the declared schema poisons
+            # every later read ("Parquet column cannot be converted").
+            # simpleString() strips nullability flags, which
+            # legitimately vary between writes of the same logical
+            # schema (e.g. a lit() column is non-nullable one round)
+            old_types = {
+                f.name: f.dataType.simpleString() for f in committed.fields
+            }
+            bad = [
+                (f.name, old_types[f.name], f.dataType.simpleString())
+                for f in new.fields
+                if f.name in old_types
+                and f.dataType.simpleString() != old_types[f.name]
+            ]
+            if bad:
+                raise ValueError(
+                    "schema mismatch: column types differ from the "
+                    f"committed table schema: {bad}"
+                )
+
         if old_names == new_names:
+            _check_types()
             return committed
         if merge and set(old_names) <= set(new_names):
+            _check_types()
             extra = [T.StructField(f.name, f.dataType, True)
                      for f in new.fields if f.name not in set(old_names)]
             return T.StructType(list(committed.fields) + extra)
@@ -885,7 +910,9 @@ class SnapshotTable:
                     (_json_safe(r[0])
                      for r in source.select(key_col).collect()),
                     key=lambda k: (k is None, k))
-                if keys[0] is None or any(k != k for k in keys):
+                # the sort places None LAST — check that end, or a
+                # single null among valid keys slips through
+                if keys[-1] is None or any(k != k for k in keys):
                     raise ValueError(f"{op}: null/NaN keys in source")
                 lo_k, hi_k = keys[0], keys[-1]
             else:
@@ -1065,12 +1092,24 @@ class SnapshotTable:
                 continue
         raise CommitConflict(f"drop_snapshots_since lost races on {self.path}")
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(
+        self, older_than_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files under ``<path>/data/`` referenced by NO
         snapshot — the debris of writes whose commit lost every retry
         or crashed before publishing (Iceberg's remove_orphan_files).
         Safe w.r.t. readers: an unreferenced file can never become
-        referenced again (commits only add newly-written paths)."""
+        referenced again (commits only add newly-written paths).
+
+        ``older_than_seconds`` (Iceberg's olderThan guard, default 1 h)
+        protects IN-FLIGHT writers: a concurrent append has already
+        written its data files but not yet published its snapshot —
+        deleting those would let its commit land pointing at missing
+        files. Only files whose mtime predates the cutoff are swept;
+        pass 0 only when no writer can be active."""
+        import time as _time
+
+        cutoff = _time.time() - float(older_than_seconds)
         resolved = self._resolve_all(self.snapshots())
         live = {f["path"] for fs in resolved.values() for f in fs}
         live_dirs = {os.path.dirname(p) for p in live}
@@ -1082,6 +1121,11 @@ class SnapshotTable:
             # non-parquet markers (_SUCCESS, .crc) ride with their dir:
             # orphaned only when the dir holds no live data file
             if not p.endswith(".parquet") and os.path.dirname(p) in live_dirs:
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue  # possibly an in-flight writer's file
+            except OSError:
                 continue
             orphans.append(p)
             try:
@@ -1097,6 +1141,16 @@ class SnapshotTable:
                 continue
             entries = os.listdir(root)
             if any(os.path.isdir(os.path.join(root, e)) for e in entries):
+                continue
+            # a young file spared by the cutoff keeps its dir alive
+            # (it may belong to an in-flight writer)
+            try:
+                if any(
+                    os.path.getmtime(os.path.join(root, e)) > cutoff
+                    for e in entries
+                ):
+                    continue
+            except OSError:
                 continue
             for e in entries:
                 try:

@@ -115,10 +115,24 @@ def cdx_cc_index(
         F.col("status").isin(list(statuses))
         & F.col("mime").startswith(mime_prefix)
     )
-    return rec.groupBy("url").agg(
-        F.max("warc_ts").alias("warc_ts"),
-        F.max_by("digest", "warc_ts").alias("digest"),
-        F.max_by("filename", "warc_ts").alias("filename"),
-        F.max_by("offset", "warc_ts").alias("offset"),
-        F.max_by("length", "warc_ts").alias("length"),
+    # ONE max_by over a struct: independent per-column max_by calls
+    # resolve warc_ts ties independently (Spark documents the
+    # tie-break as non-deterministic), which could stitch filename
+    # from capture A onto offset/length from capture B — a corrupt
+    # archive pointer. The struct keys the tie deterministically too
+    # (ts, then digest/filename/offset) so reruns pick the same capture.
+    best = F.max_by(
+        F.struct("digest", "filename", "offset", "length"),
+        F.struct("warc_ts", "digest", "filename", "offset"),
+    ).alias("_best")
+    return (
+        rec.groupBy("url")
+        .agg(F.max("warc_ts").alias("warc_ts"), best)
+        .select(
+            "url", "warc_ts",
+            F.col("_best.digest").alias("digest"),
+            F.col("_best.filename").alias("filename"),
+            F.col("_best.offset").alias("offset"),
+            F.col("_best.length").alias("length"),
+        )
     )

@@ -224,7 +224,13 @@ def seed_urls(
     if robots_bodies is not None and sitemaps is not None:
         from urllib.parse import urlparse
 
-        probed = {urlparse(r).hostname for r in roots}
+        # drop None (a scheme-less root parses to hostname None): a
+        # None inside isin() makes the NOT-IN predicate NULL for every
+        # unprobed host, silently disabling the whole robots fallback
+        probed = {
+            h for h in (urlparse(r).hostname for r in roots)
+            if h is not None
+        }
         discovered = (
             robots_bodies.select(
                 F.col("host"),

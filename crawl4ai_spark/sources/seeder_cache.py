@@ -78,13 +78,19 @@ class SeederCache:
         cached = self.read(kind)
         if force or cached is None:
             return empty_rows, domains
-        fresh = cached.filter(F.col("fetched_at") >= now - self.ttl)
+        # restrict to the REQUESTED domains FIRST: the broadcast join
+        # on the partition column prunes the scan to k directories; a
+        # window computed before it would force a full-cache scan on
+        # every lookup (the pruning this table's layout exists for)
+        fresh = (
+            cached.join(F.broadcast(domains.select("domain")), "domain")
+            .filter(F.col("fetched_at") >= now - self.ttl)
+        )
         # newest generation per domain (domains are small groups)
         w = Window.partitionBy("domain")
         fresh = fresh.withColumn("_mx", F.max("fetched_at").over(w)).filter(
             F.col("fetched_at") == F.col("_mx")
         ).drop("_mx")
-        fresh = fresh.join(F.broadcast(domains.select("domain")), "domain")
         stale = domains.join(
             fresh.select("domain").distinct(), "domain", "left_anti"
         )

@@ -92,13 +92,17 @@ def _iter_records_plain(data: bytes):
         start = data.find(b"WARC/", pos)
         if start < 0:
             return
-        hdr_end = data.find(b"\r\n\r\n", start)
-        sep = 4
-        if hdr_end < 0:
-            hdr_end = data.find(b"\n\n", start)
-            sep = 2
-        if hdr_end < 0:
+        # EARLIEST of the two separators: preferring \r\n\r\n anywhere
+        # would let an LF-only record wrapping a CRLF HTTP payload
+        # split at the payload's header end instead of its own
+        crlf = data.find(b"\r\n\r\n", start)
+        lf = data.find(b"\n\n", start)
+        if crlf < 0 and lf < 0:
             return
+        if lf < 0 or (0 <= crlf <= lf):
+            hdr_end, sep = crlf, 4
+        else:
+            hdr_end, sep = lf, 2
         headers = _parse_header_block(data[start:hdr_end])
         try:
             length = int(headers.get("content-length", ""))
@@ -125,14 +129,20 @@ def iter_warc_records(data: bytes):
 
 
 def _split_http_payload(payload: bytes) -> tuple[int | None, str, bytes]:
-    """(status, content_type, body) from an application/http payload."""
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        cut = payload.find(sep)
-        if cut >= 0:
-            head, body = payload[:cut], payload[cut + len(sep):]
-            break
-    else:
+    """(status, content_type, body) from an application/http payload.
+
+    Splits at the EARLIEST header terminator: an LF-only HTTP head
+    whose HTML body happens to contain \\r\\n\\r\\n must cut at its own
+    \\n\\n, not inside the body."""
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf < 0 and lf < 0:
         return None, "", payload
+    if lf < 0 or (0 <= crlf <= lf):
+        cut, seplen = crlf, 4
+    else:
+        cut, seplen = lf, 2
+    head, body = payload[:cut], payload[cut + seplen:]
     lines = head.split(b"\n")
     status = None
     first = lines[0].rstrip(b"\r")
@@ -208,7 +218,10 @@ def build_warc_indexed(
         index.append(
             {
                 "url": r.get("url", ""),
-                "warc_ts": r.get("warc_ts"),
+                # the normalized value, or None: pandas NaT is "not
+                # None" but NaT.strftime raises, which would kill the
+                # CDXJ sidecar write AFTER the archive published
+                "warc_ts": None if (ts is None or ts != ts) else ts,
                 "status": _coalesce(r.get("http_status"), 200),
                 "mime": str(ctype).split(";")[0],
                 "offset": out.tell(),

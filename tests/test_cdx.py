@@ -80,3 +80,30 @@ def test_cc_index_latest_capture_and_seeder(spark, tmp_path):
     assert {r["url"] for r in seeded.collect()} == {
         "https://a.com/page1", "https://a.com/page2"
     }
+
+
+def test_cc_index_tied_timestamps_pick_one_capture_consistently(spark, tmp_path):
+    """Two captures sharing a warc_ts (CDX stamps are second-granular)
+    must resolve to ONE capture's (digest, filename, offset, length)
+    as a unit — independent per-column max_by calls could stitch
+    filename from capture A onto offsets from capture B, a corrupt
+    archive pointer. The struct tie-break is also deterministic."""
+    recs = [
+        {"url": "https://a.com/p", "warc_ts": T1, "mime": "text/html",
+         "status": 200, "digest": "DA", "filename": "a.warc.gz",
+         "offset": 10, "length": 100},
+        {"url": "https://a.com/p", "warc_ts": T1, "mime": "text/html",
+         "status": 200, "digest": "DB", "filename": "b.warc.gz",
+         "offset": 20, "length": 200},
+    ]
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "cdx-0").write_text(build_cdxj(recs))
+    rows = []
+    for _ in range(3):  # repeated runs must agree (deterministic)
+        r = cdx_cc_index(spark, str(d)).collect()[0]
+        rows.append((r["digest"], r["filename"], r["offset"], r["length"]))
+    assert len(set(rows)) == 1
+    # the winning pointer is one capture VERBATIM, never a mix
+    assert rows[0] in {("DA", "a.warc.gz", 10, 100),
+                       ("DB", "b.warc.gz", 20, 200)}

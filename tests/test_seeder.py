@@ -182,3 +182,27 @@ def test_sitemap_entries_full_protocol(spark):
     assert [r["lam"] for r in lams] == [
         1.0, 1.0 / 7.0, 1.0 / 30.0, 1.0 / 30.0
     ]
+
+
+def test_robots_fallback_survives_schemeless_root(spark):
+    """A scheme-less sitemap root parses to hostname None; a None in
+    the probed-host isin() list made the NOT-IN predicate NULL for
+    every unprobed host, silently disabling the whole robots fallback."""
+    dim = spark.createDataFrame(
+        [
+            ("https://b.com/sm.xml",
+             "<urlset><loc>https://b.com/page1</loc></urlset>"),
+        ],
+        "sitemap_url string, xml string",
+    )
+    robots = spark.createDataFrame(
+        [("b.com", "User-agent: *\nSitemap: https://b.com/sm.xml\n")],
+        "host string, body string",
+    )
+    out = seed_urls(
+        spark,
+        sitemaps=dim,
+        sitemap_roots=["a.com/sitemap.xml"],  # scheme-less: hostname None
+        robots_bodies=robots,
+    )
+    assert {r["url"] for r in out.collect()} == {"https://b.com/page1"}

@@ -596,11 +596,16 @@ def test_remove_orphan_files(spark, tmp_path):
     # simulate a crashed write: data files on disk, never committed
     orphan_dir = os.path.join(str(tmp_path / "t"), "data", "snap-dead")
     _df(spark, 99, 120).coalesce(1).write.parquet(orphan_dir)
-    removed = t.remove_orphan_files()
+    # default cutoff (1 h) protects the just-written files — they look
+    # exactly like an IN-FLIGHT writer's uncommitted data
+    assert t.remove_orphan_files() == []
+    assert os.path.exists(orphan_dir)
+    # explicit cutoff 0 = "no writer can be active": sweep them
+    removed = t.remove_orphan_files(older_than_seconds=0)
     assert removed and all("snap-dead" in p for p in removed)
     assert not os.path.exists(orphan_dir)
     assert t.read().count() == 10  # live data untouched
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_seconds=0) == []
 
 
 def test_streaming_append_exactly_once(spark, tmp_path):
@@ -754,3 +759,37 @@ def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
         lambda meta, expected: (_ for _ in ()).throw(FileExistsError()))
     with pytest.raises(CommitConflict):
         t.append(_df(spark, 5, 10))
+
+
+def test_append_rejects_changed_column_types(spark, tmp_path):
+    """Name match alone must not admit a write whose physical types
+    differ from the committed schema — such files poison every later
+    read with 'Parquet column cannot be converted'."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, v string"))
+    with _pytest.raises(ValueError, match="types differ"):
+        t.append(spark.createDataFrame([("2", "b")], "id string, v string"))
+    # same logical type with different nullability still appends
+    from pyspark.sql import functions as F
+
+    t.append(
+        spark.range(1).select(
+            F.lit(3).alias("id"), F.lit("c").alias("v")
+        )
+    )
+    assert t.read().count() == 2
+
+
+def test_merge_by_key_rejects_mixed_null_keys(spark, tmp_path):
+    """A null key hiding among valid keys must raise the documented
+    ValueError (the sort places None LAST — the guard has to look
+    there, not at keys[0])."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    bad = spark.createDataFrame([("b", 2), (None, 3)], "k string, v int")
+    with _pytest.raises(ValueError, match="null/NaN keys"):
+        t.merge_by_key(bad, "k")

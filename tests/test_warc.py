@@ -266,3 +266,61 @@ def test_scrape_to_wet_to_dedup_pipeline(spark, tmp_path):
     assert texts.count() == 50
     kept = exact_dedup(texts, "text", "url")
     assert kept.count() <= 50 and kept.count() > 0
+
+
+def test_lf_only_record_wrapping_crlf_http_payload():
+    """An LF-only WARC header block whose payload is a normal CRLF HTTP
+    response must split at its own \\n\\n, not at the payload's
+    \\r\\n\\r\\n (earliest-separator rule)."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: 9\r\n\r\n<p>ok</p>"
+    )
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://x.test/a\n"
+        b"Content-Type: application/http;msgtype=response\n"
+        + f"Content-Length: {len(http)}\n\n".encode()
+        + http
+        + b"\n\n"
+    )
+    got = list(iter_warc_records(rec))
+    assert len(got) == 1
+    headers, payload = got[0]
+    assert headers["warc-target-uri"] == "https://x.test/a"
+    # the WARC headers must NOT have swallowed the HTTP head
+    assert "content-type" in headers
+    assert headers["content-type"].startswith("application/http")
+    assert payload == http
+    from crawl4ai_spark.sources.warc import _split_http_payload
+
+    status, ctype, body = _split_http_payload(payload)
+    assert (status, body) == (200, b"<p>ok</p>")
+    # and the mirrored case: LF-only HTTP head, body containing CRLFCRLF
+    lf_http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\nA\r\n\r\nB"
+    status, _, body = _split_http_payload(lf_http)
+    assert (status, body) == (200, b"A\r\n\r\nB")
+
+
+def test_cdx_sidecar_tolerates_null_warc_ts(spark, tmp_path):
+    """A null warc_ts row must not kill the CDXJ sidecar write (pandas
+    NaT passes 'is not None' but NaT.strftime raises)."""
+    from crawl4ai_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [
+            ("https://x.test/a", None, b"<p>a</p>"),
+            ("https://x.test/b",
+             datetime(2024, 1, 2, tzinfo=timezone.utc), b"<p>b</p>"),
+        ],
+        "url string, warc_ts timestamp, payload binary",
+    )
+    out = str(tmp_path / "arch")
+    write_warc(df, out, cdx_sidecar=True)
+    import glob as _glob
+
+    lines = []
+    for p in _glob.glob(out + "/*.cdxj"):
+        lines += open(p).read().splitlines()
+    assert len(lines) == 2  # both rows indexed, null ts included
