@@ -4250,13 +4250,16 @@ def q_tables_extract(spark, sf_dir):
         srcset, F.lit('><img src="logo.png"></div>'), video, audio,
         F.lit("</body>"),
     )
+    # persisted: three union branches (images + videos + audios) each
+    # consume this frame — without the cache the DOM-parse media scrape
+    # UDF would run three times over the corpus
     scraped = scrape_stage(
         pages.select("url", mhtml.alias("mhtml")),
         html_col="mhtml",
         markdown=False,
         opts=ScrapeOptions(media=True),
         drop_cols=("mhtml",),
-    )
+    ).persist()
     imgs = scraped.select(
         "url", F.explode("media.images").alias("m")
     ).select(

@@ -216,6 +216,11 @@ def llm_filter_stage(
                             usage["total_tokens"] += u.total_tokens
                         content = resp.content
                         memo[key] = content
+                    if not isinstance(content, str):
+                        # contentless reply (tool-call / filtered /
+                        # None content) — drop the chunk, never the task
+                        usage["failed_chunks"] += 1
+                        continue
                     block = extract_xml_data(["content"], content)["content"]
                     if block:
                         blocks.append(block)

@@ -228,10 +228,18 @@ def compile_selector(selector: str) -> list[list[tuple[str, SimpleSelector]]]:
 
 
 def _descendants(node: _Node):
-    for c in node.children:
+    # iterative preorder (document order): recursive `yield from` hits
+    # the interpreter recursion limit on adversarially deep pages
+    stack = [iter(node.children)]
+    while stack:
+        c = next(stack[-1], None)
+        if c is None:
+            stack.pop()
+            continue
         if c.tag != "":
             yield c
-            yield from _descendants(c)
+            if c.children:
+                stack.append(iter(c.children))
 
 
 def select_all(root: _Node, selector: str) -> list[_Node]:

@@ -181,21 +181,33 @@ class TolerantMarkupMixin:
 
 
 class _DomBuilder(TolerantMarkupMixin, HTMLParser):
-    """Minimal tolerant DOM builder (stdlib-only)."""
+    """Minimal tolerant DOM builder (stdlib-only).
+
+    Contiguous character data merges into ONE text node, so a text
+    node is exactly an lxml text/tail run. Comments / PIs / decls are
+    not kept as nodes (divergence: the reference's lxml tree keeps
+    comments unless ``remove_comments`` prunes them), but they mark
+    the FOLLOWING text node with the ``_ab`` (after-barrier) attr —
+    in lxml that text is the comment's tail, not the preceding
+    element's, so element removal must not take it (see
+    ``_remove_node``)."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root")
         self.stack = [self.root]
+        self._barrier = False
 
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
+        self._barrier = False
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         self.stack[-1].children.append(_Node(tag, dict(attrs)))
+        self._barrier = False
 
     def handle_endtag(self, tag):
         # close the nearest matching open tag (tolerant of misnesting)
@@ -203,10 +215,31 @@ class _DomBuilder(TolerantMarkupMixin, HTMLParser):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
                 break
+        self._barrier = False
 
     def handle_data(self, data):
-        if data:
-            self.stack[-1].children.append(_Node("", {"text": data}))
+        if not data:
+            return
+        kids = self.stack[-1].children
+        if self._barrier:
+            kids.append(_Node("", {"text": data, "_ab": "1"}))
+            self._barrier = False
+        elif kids and kids[-1].tag == "":
+            kids[-1].attrs["text"] += data
+        else:
+            kids.append(_Node("", {"text": data}))
+
+    def handle_comment(self, data):
+        self._barrier = True
+
+    def handle_decl(self, decl):
+        self._barrier = True
+
+    def handle_pi(self, data):
+        self._barrier = True
+
+    def unknown_decl(self, data):
+        self._barrier = True
 
 
 def parse_dom(html: str) -> _Node:
@@ -254,13 +287,19 @@ def _walk(node: _Node):
 
 
 def _visible_text(node: _Node, out: list[str]) -> None:
-    if node.tag in STRIP_TAGS:
-        return
-    if node.tag == "":
-        out.append(node.attrs.get("text", ""))
-        return
-    for c in node.children:
-        _visible_text(c, out)
+    # iterative: page depth is attacker-controlled (html.parser nests
+    # unclosed tags), and a RecursionError would kill the Arrow batch
+    stack = [node]
+    pop = stack.pop
+    while stack:
+        n = pop()
+        if n.tag in STRIP_TAGS:
+            continue
+        if n.tag == "":
+            out.append(n.attrs.get("text", ""))
+            continue
+        if n.children:
+            stack.extend(reversed(n.children))
 
 
 def extract_metadata(root: _Node) -> dict:
@@ -381,9 +420,11 @@ def _remove_node(
     parents: dict[int, _Node], node: _Node, drop_tail: bool = True
 ) -> None:
     """Remove ``node`` from its parent. ``drop_tail=True`` also drops
-    the immediately-following text siblings, mirroring lxml's
-    ``parent.remove(el)`` (which discards ``el.tail``) — the removal
-    primitive the reference uses throughout its scrape stage."""
+    the immediately-following contiguous text run — lxml's
+    ``parent.remove(el)`` discards exactly ``el.tail``, the removal
+    primitive the reference uses throughout its scrape stage. Text
+    separated from the element by a comment/PI (``_ab``-marked nodes)
+    is that comment's tail in lxml and survives the removal."""
     parent = parents.get(id(node))
     if parent is None:
         return
@@ -391,9 +432,13 @@ def _remove_node(
     for i, c in enumerate(kids):
         if c is node:
             j = i + 1
-            if drop_tail:
-                while j < len(kids) and kids[j].tag == "":
-                    j += 1
+            if (
+                drop_tail
+                and j < len(kids)
+                and kids[j].tag == ""
+                and "_ab" not in kids[j].attrs
+            ):
+                j += 1
             del kids[i:j]
             return
 
@@ -742,25 +787,56 @@ def clean_base64_images(root: _Node) -> None:
                 n.attrs["src"] = BASE64_IMG_RX.sub("", src)
 
 
+def _collapse_chain(node: _Node) -> _Node:
+    """Follow a single-same-tag-child chain to its innermost element:
+    ``<div><div>x`` -> the inner ``<div>x``. Only collapses when the
+    element's ONLY child (text included) is a same-tag element."""
+    while (
+        node.tag not in ("", "#root")
+        and len(node.children) == 1
+        and node.children[0].tag == node.tag
+    ):
+        node = node.children[0]
+    return node
+
+
 def flatten_nested_elements(node: _Node) -> _Node:
     """Collapse chains of single-child same-tag nesting
     (``flatten_nested_elements``, content_scraping_strategy.py:
     1258-1269): ``<div><div>x</div></div>`` -> ``<div>x</div>``,
-    applied recursively to every child."""
-    kids = [c for c in node.children if c.tag != ""]
-    if (
-        node.tag not in ("", "#root")
-        and len(node.children) == 1
-        and len(kids) == 1
-        and kids[0].tag == node.tag
-    ):
-        return flatten_nested_elements(kids[0])
-    for i, c in enumerate(node.children):
-        if c.tag not in ("", "#root"):
-            flat = flatten_nested_elements(c)
-            if flat is not c:
-                node.children[i] = flat
-    return node
+    applied to every element. Iterative (depth-proof)."""
+    root = _collapse_chain(node)
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kids = n.children
+        for i, c in enumerate(kids):
+            if c.tag not in ("", "#root"):
+                flat = _collapse_chain(c)
+                if flat is not c:
+                    kids[i] = flat
+                stack.append(flat)
+    return root
+
+
+def _deep_copy_node(node: _Node) -> _Node:
+    """Iterative deep copy of a subtree. Projections must copy their
+    matches (the reference serializes-and-reparses / ``copy.deepcopy``s
+    them): inserting matched nodes by REFERENCE would alias one object
+    into several tree positions — nested matches share descendants, and
+    the id-keyed parent map keeps only one parent per object, so later
+    removal passes would detach a node from one position while it stays
+    serialized via another."""
+    dup = _Node(node.tag, dict(node.attrs))
+    stack = [(node, dup)]
+    while stack:
+        src, dst = stack.pop()
+        for c in src.children:
+            cc = _Node(c.tag, dict(c.attrs))
+            dst.children.append(cc)
+            if c.children:
+                stack.append((c, cc))
+    return dup
 
 
 def project_css_selector(root: _Node, css_selector: str) -> _Node:
@@ -768,10 +844,11 @@ def project_css_selector(root: _Node, css_selector: str) -> _Node:
     (async_crawler_strategy.py:1022-1045): split the selector on
     commas, collect each part's matches independently (duplicates
     across parts kept, like repeated ``querySelectorAll`` calls), and
-    rebuild the page as ``<div class="crawl4ai-result">`` wrapping the
-    matches — parts separated by newline text nodes, mirroring the
-    reference's string join. Invalid selector parts contribute nothing
-    (reference logs and continues)."""
+    rebuild the page as ``<div class="crawl4ai-result">`` wrapping
+    deep COPIES of the matches (the reference's outerHTML string join
+    + reparse yields independent copies) — parts separated by newline
+    text nodes. Invalid selector parts contribute nothing (reference
+    logs and continues)."""
     from .schema_extract import select_all
 
     div = _Node("div", {"class": "crawl4ai-result"})
@@ -784,7 +861,7 @@ def project_css_selector(root: _Node, css_selector: str) -> _Node:
             matches = select_all(root, part)
         except Exception:
             continue
-        div.children.extend(matches)
+        div.children.extend(_deep_copy_node(m) for m in matches)
         div.children.append(_Node("", {"text": "\n"}))
     new_root = _Node("#root")
     new_root.children.append(div)
@@ -792,20 +869,29 @@ def project_css_selector(root: _Node, css_selector: str) -> _Node:
 
 
 def _serialize(node: _Node, out: list[str], excluded: frozenset[str]) -> None:
-    if node.tag in STRIP_TAGS or node.tag in excluded:
-        return
-    if node.tag == "":
-        out.append(node.attrs.get("text", ""))
-        return
-    if node.tag != "#root":
-        attrs = "".join(
-            f' {k}="{v}"' for k, v in node.attrs.items() if v is not None
-        )
-        out.append(f"<{node.tag}{attrs}>")
-    for c in node.children:
-        _serialize(c, out, excluded)
-    if node.tag != "#root" and node.tag not in VOID_TAGS:
-        out.append(f"</{node.tag}>")
+    # iterative (depth-proof): plain strings on the stack are pending
+    # close tags, emitted after the element's children pop off
+    stack: list = [node]
+    pop = stack.pop
+    while stack:
+        n = pop()
+        if isinstance(n, str):
+            out.append(n)
+            continue
+        if n.tag in STRIP_TAGS or n.tag in excluded:
+            continue
+        if n.tag == "":
+            out.append(n.attrs.get("text", ""))
+            continue
+        if n.tag != "#root":
+            attrs = "".join(
+                f' {k}="{v}"' for k, v in n.attrs.items() if v is not None
+            )
+            out.append(f"<{n.tag}{attrs}>")
+            if n.tag not in VOID_TAGS:
+                stack.append(f"</{n.tag}>")
+        if n.children:
+            stack.extend(reversed(n.children))
 
 
 def cleaned_html(root: _Node, excluded: frozenset[str] = DEFAULT_EXCLUDED_TAGS) -> str:
@@ -826,34 +912,41 @@ def _md_events(node: _Node, out: list, excluded: frozenset[str]) -> bool:
 
     Everything else maps 1:1: elements -> starttag [+ endtag unless
     void], text -> data (adjacent text nodes merged, as one string
-    segment reparses to ONE data event)."""
-    if node.tag in STRIP_TAGS or node.tag in excluded:
-        return True
-    if node.tag == "":
-        t = node.attrs.get("text", "")
-        if not t:
-            return True
-        if "&" in t or "<" in t:
-            return False
-        if out and out[-1][0] == "d":
-            out[-1] = ("d", out[-1][1] + t)
-        else:
-            out.append(("d", t))
-        return True
-    attrs = []
-    for k, v in node.attrs.items():
-        if v is None:
+    segment reparses to ONE data event). Iterative (depth-proof):
+    tuples on the stack are pre-built pending end-tag events."""
+    stack: list = [node]
+    pop = stack.pop
+    while stack:
+        n = pop()
+        if isinstance(n, tuple):  # pending ("e", tag)
+            out.append(n)
             continue
-        if "&" in v or "<" in v or '"' in v:
-            return False
-        attrs.append((k, v))
-    if node.tag != "#root":
-        out.append(("s", node.tag, attrs))
-    for c in node.children:
-        if not _md_events(c, out, excluded):
-            return False
-    if node.tag != "#root" and node.tag not in VOID_TAGS:
-        out.append(("e", node.tag))
+        if n.tag in STRIP_TAGS or n.tag in excluded:
+            continue
+        if n.tag == "":
+            t = n.attrs.get("text", "")
+            if not t:
+                continue
+            if "&" in t or "<" in t:
+                return False
+            if out and out[-1][0] == "d":
+                out[-1] = ("d", out[-1][1] + t)
+            else:
+                out.append(("d", t))
+            continue
+        attrs = []
+        for k, v in n.attrs.items():
+            if v is None:
+                continue
+            if "&" in v or "<" in v or '"' in v:
+                return False
+            attrs.append((k, v))
+        if n.tag != "#root":
+            out.append(("s", n.tag, attrs))
+            if n.tag not in VOID_TAGS:
+                stack.append(("e", n.tag))
+        if n.children:
+            stack.extend(reversed(n.children))
     return True
 
 
@@ -907,6 +1000,51 @@ def page_text(root: _Node) -> str:
     return _WS_RX.sub(" ", "".join(out)).strip()
 
 
+def _failed_result(media: bool = False, want_root: bool = False) -> dict:
+    """The error-fallback row shape shared by both scrape paths
+    (reference content_scraping_strategy.py:1828-1864). A new
+    SCRAPE_FIELDS_DDL column is added HERE plus in the two success
+    assemblies — nowhere else."""
+    failed: dict = {
+        "success": False,
+        "title": None,
+        "headings": None,
+        "meta": {},
+        "links": [],
+        "images": [],
+        "cleaned_html": None,
+        "text": None,
+    }
+    if media:
+        failed["media"] = {"images": [], "videos": [], "audios": []}
+    if want_root:
+        failed["_root"] = None
+    return failed
+
+
+def _parse_ready(html: str | bytes | None) -> _Node | None:
+    """Decode bytes and parse; ``None`` marks the page unscrapable
+    (missing html, or the parse_dom catastrophic-failure fallback)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = parse_dom(html)
+    if root.attrs.get("parse_error"):
+        return None
+    return root
+
+
+def _harvest_headings(root: _Node) -> str:
+    heads: list[str] = []
+    for n in _walk(root):
+        if n.tag in ("h1", "h2", "h3"):
+            parts: list[str] = []
+            _visible_text(n, parts)
+            heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
+    return " ".join(h for h in heads if h)
+
+
 def _scrape_extended(
     html: str | bytes | None,
     url: str,
@@ -928,26 +1066,9 @@ def _scrape_extended(
     Removals drop the element's trailing text run (lxml ``remove()``
     tail semantics). See ScrapeOptions for the documented divergences.
     """
-    failed = {
-        "success": False,
-        "title": None,
-        "headings": None,
-        "meta": {},
-        "links": [],
-        "images": [],
-        "cleaned_html": None,
-        "text": None,
-    }
-    if opts.media:
-        failed["media"] = {"images": [], "videos": [], "audios": []}
-    if want_root:
-        failed["_root"] = None
-    if html is None:
-        return failed
-    if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
-    root = parse_dom(html)
-    if root.attrs.get("parse_error"):
+    failed = _failed_result(media=opts.media, want_root=want_root)
+    root = _parse_ready(html)
+    if root is None:
         return failed
     if opts.css_selector:
         root = project_css_selector(root, opts.css_selector)
@@ -1007,13 +1128,15 @@ def _scrape_extended(
         strip_attributes(root, opts.keep_data_attributes)
 
     content_root = root
-    if opts.target_elements:  # reference :1657-1676
+    if opts.target_elements:  # reference :1657-1676 (copy.deepcopy'd)
         div = _Node("div")
         try:
             from .schema_extract import select_all
 
             for sel in opts.target_elements:
-                div.children.extend(select_all(root, sel))
+                div.children.extend(
+                    _deep_copy_node(m) for m in select_all(root, sel)
+                )
         except Exception:
             # reference returns None (scrape failure) on a selector
             # error here, unlike excluded_selector which is forgiven
@@ -1021,16 +1144,10 @@ def _scrape_extended(
         content_root = _Node("#root")
         content_root.children.append(div)
 
-    heads: list[str] = []
-    for n in _walk(content_root):
-        if n.tag in ("h1", "h2", "h3"):
-            parts: list[str] = []
-            _visible_text(n, parts)
-            heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
     out = {
         "success": True,
         "title": meta.get("title"),
-        "headings": " ".join(h for h in heads if h),
+        "headings": _harvest_headings(content_root),
         "meta": meta,
         "links": links,
         "images": extract_images(content_root, url),
@@ -1067,39 +1184,18 @@ def scrape_one(
     than this default path's serialization-skip (text kept)."""
     if opts is not None and opts != DEFAULT_OPTS:
         return _scrape_extended(html, url, opts, want_root, want_cleaned)
-    failed = {
-        "success": False,
-        "title": None,
-        "headings": None,
-        "meta": {},
-        "links": [],
-        "images": [],
-        "cleaned_html": None,
-        "text": None,
-    }
-    if want_root:
-        failed["_root"] = None
-    if html is None:
-        return failed
-    if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
-    root = parse_dom(html)
-    if root.attrs.get("parse_error"):
+    failed = _failed_result(want_root=want_root)
+    root = _parse_ready(html)
+    if root is None:
         # unrecoverable markup: error-fallback row (reference
         # content_scraping_strategy.py:1828-1864 returns success=False
         # with the crawl4ai_error_message div)
         return failed
     meta = extract_metadata(root)
-    heads: list[str] = []
-    for n in _walk(root):
-        if n.tag in ("h1", "h2", "h3"):
-            parts: list[str] = []
-            _visible_text(n, parts)
-            heads.append(_WS_RX.sub(" ", "".join(parts)).strip())
     out = {
         "success": True,
         "title": meta.get("title"),
-        "headings": " ".join(h for h in heads if h),
+        "headings": _harvest_headings(root),
         "meta": meta,
         "links": extract_links(root, url),
         "images": extract_images(root, url),

@@ -66,16 +66,17 @@ def hf_embedder(
     reference's default_batch_size loop.
     """
     try:
+        import torch
         from transformers import AutoModel, AutoTokenizer
     except ImportError as exc:  # pragma: no cover - sandbox path
+        # transformers does not hard-require torch, so either import
+        # can be the missing one — both route to the same helpful error
         raise NotImplementedError(
-            "hf_embedder needs the `transformers` package (not shipped "
-            "in this sandbox). Install transformers+torch, or pass the "
-            "default hashed_embedder / any (texts)->ndarray callable "
-            "as embedder=."
+            "hf_embedder needs the `transformers` and `torch` packages "
+            "(not shipped in this sandbox). Install transformers+torch, "
+            "or pass the default hashed_embedder / any "
+            "(texts)->ndarray callable as embedder=."
         ) from exc
-
-    import torch
 
     tokenizer = AutoTokenizer.from_pretrained(model_name)
     model = AutoModel.from_pretrained(model_name)

@@ -194,3 +194,23 @@ def test_parse_blocks_salvages_embedded_objects():
     # the observable error block (reference silently returns [])
     blocks = parse_blocks("plain prose, no objects", 4)
     assert blocks == [error_block(4, "plain prose, no objects")]
+
+
+def test_filter_stage_contentless_reply_drops_chunk_not_task(spark, sf_dir):
+    """An OpenAI-shaped endpoint can reply with message.content=null
+    (tool-call / content-filtered turns). The filter stage drops that
+    chunk as failed instead of TypeError-ing the whole Spark task."""
+    from crawl4ai_spark.functions.llm_adapter import LLMResponse, TokenUsage
+    from crawl4ai_spark.functions.llm_stub import llm_filter_stage
+
+    class NullContentAdapter:
+        def complete(self, prompt, instruction=""):
+            return LLMResponse(content=None, usage=TokenUsage(0, 0, 0))
+
+    docs = _docs(spark, sf_dir)
+    out = llm_filter_stage(docs, "text", adapter=NullContentAdapter())
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert list(r["fit_blocks"]) == []
+        assert r["llm_usage"]["failed_chunks"] >= 1

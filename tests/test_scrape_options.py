@@ -489,3 +489,61 @@ def test_scrape_stage_opts_knobs_end_to_end(spark):
     assert "reddit" not in row["cleaned_html"]
     assert row["links"] == []
     assert "keep this text" in row["raw_markdown"]
+
+
+# ---------------------------------------------------------------------------
+# r5 review regressions: lxml tail parity, depth tolerance, match copies
+# ---------------------------------------------------------------------------
+
+
+def test_removal_keeps_text_after_comment():
+    """lxml tail parity: '<span/>keep1<!-- c -->keep2' — keep1 is the
+    span's tail (dropped with it), keep2 is the COMMENT's tail and
+    survives element removal (lxml parent.remove(el) discards only
+    el.tail)."""
+    r = scrape_one(
+        '<div><span class="ad"></span>keep1<!-- c -->keep2</div>',
+        URL,
+        opts=ScrapeOptions(excluded_selector=".ad"),
+    )
+    assert r["text"] == "keep2"
+    # contiguous tail (no comment) is still dropped with the element
+    r2 = scrape_one(
+        '<div><span class="ad"></span>tail<b>k</b></div>',
+        URL,
+        opts=ScrapeOptions(excluded_selector=".ad"),
+    )
+    assert r2["text"] == "k"
+
+
+def test_deeply_nested_page_never_raises():
+    """The never-raise contract holds on adversarial nesting depth:
+    every DOM walker (text, serialize, markdown events, flatten) is
+    iterative, so 3000-deep nesting degrades to a normal scrape
+    instead of RecursionError killing the Arrow batch."""
+    deep = "<div>" * 3000 + "x" + "</div>" * 3000
+    r = scrape_one(deep, URL)
+    assert r["success"] and r["text"] == "x"
+    r2 = scrape_one(
+        deep, URL, opts=ScrapeOptions(flatten_nested=True)
+    )
+    assert r2["success"] and r2["cleaned_html"] == "<div>x</div>"
+
+
+def test_projection_matches_are_independent_copies():
+    """css_selector / target_elements insert deep COPIES of matches
+    (the reference reparses outerHTML / copy.deepcopy's them): a later
+    removal pass on one occurrence must not corrupt another, and
+    nested matches must not alias shared descendants."""
+    html = '<div id="a"><div id="b">inner</div></div>'
+    r = scrape_one(
+        html,
+        URL,
+        opts=ScrapeOptions(css_selector="div", excluded_selector="#b"),
+    )
+    # both independent #b occurrences removed; #a's shell survives
+    assert '<div id="a"></div>' in r["cleaned_html"]
+    assert "inner" not in r["cleaned_html"]
+    # target_elements copies: excluding inside the copy is consistent
+    r2 = scrape_one(html, URL, opts=ScrapeOptions(target_elements=("#b",)))
+    assert r2["cleaned_html"] == '<div><div id="b">inner</div></div>'
