@@ -134,7 +134,7 @@ def train_importance_model(
         F.sum("c_tgt").cast("long").alias("t_tgt"),
     )
     b = F.lit(float(buckets))
-    return cnt.crossJoin(F.broadcast(tot)).select(
+    seen = cnt.crossJoin(F.broadcast(tot)).select(
         "bucket",
         _UNAT(
             F.log(F.col("c_tgt").cast("double") + F.lit(1.0))
@@ -143,6 +143,20 @@ def train_importance_model(
             + F.log(F.col("t_raw").cast("double") + b)
         ).alias("lr_unat"),
     )
+    # sentinel row bucket=-1 (hashed buckets are pmod outputs >= 0):
+    # the smoothed log-ratio of a bucket UNSEEN at fit time,
+    # log((t_raw+B)/(t_tgt+B)) — scoring a different corpus than the
+    # one fitted on hits such buckets, and they must contribute this
+    # constant, not silently drop out (importance_weights applies it)
+    unseen = tot.select(
+        F.lit(-1).cast(seen.schema["bucket"].dataType.simpleString())
+        .alias("bucket"),
+        _UNAT(
+            F.log(F.col("t_raw").cast("double") + b)
+            - F.log(F.col("t_tgt").cast("double") + b)
+        ).alias("lr_unat"),
+    )
+    return seen.unionByName(unseen)
 
 
 def importance_weights(
@@ -157,13 +171,27 @@ def importance_weights(
     empty don't appear (they have no evidence either way — filter
     upstream if every row must survive).
 
+    Buckets absent from the model (scoring a corpus other than the one
+    fitted on) contribute the model's unseen-bucket sentinel log-ratio
+    (bucket=-1, written by train_importance_model) instead of silently
+    dropping — an inner join would bias out-of-vocabulary documents
+    toward the corpus mean. Models from before the sentinel existed
+    fall back to 0 for unseen buckets (the old inner-join behavior).
+
     Output: (id_col, *carry_cols, lw_unat).
     """
     keys = [id_col] + list(carry_cols or [])
+    sent = model.filter(F.col("bucket") == -1).select("lr_unat").first()
+    default_lr = int(sent["lr_unat"]) if sent is not None else 0
+    real = model.filter(F.col("bucket") != -1)
     return (
-        feats.join(F.broadcast(model), "bucket")
+        feats.join(F.broadcast(real), "bucket", "left")
         .groupBy(*keys)
-        .agg(F.sum("lr_unat").alias("lw_unat"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("lr_unat"), F.lit(default_lr).cast("long"))
+            ).alias("lw_unat")
+        )
     )
 
 

@@ -82,6 +82,19 @@ def pagerank(
         )
     if n_nodes is None:
         n_nodes = uni.count()
+    # guaranteed-safe int64 bound: insum(v) can approach the total mass
+    # n_nodes*scale (a hub receiving nearly everything, or the dangling
+    # sum on a mostly-dangling graph), and the update multiplies it by
+    # damping_num before the div. Past this bound ANSI mode aborts
+    # mid-iteration and non-ANSI silently corrupts ranks — fail fast
+    # with the fix instead. scale=1e7 admits ~1e10 nodes.
+    if damping_num * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"pagerank: damping_num*n_nodes*scale = "
+            f"{damping_num * n_nodes * scale} exceeds int64 — lower "
+            f"`scale` (need scale < {2**63 // max(damping_num * n_nodes, 1)} "
+            f"for {n_nodes} nodes)"
+        )
     base = (damping_den - damping_num) * scale // damping_den
 
     outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
@@ -168,6 +181,16 @@ def hits(
             .distinct()
         )
     n_nodes = uni.count()
+    if n_nodes > scale:
+        # init = scale // n_nodes would floor to 0, and the tot==0
+        # renorm guard would then preserve the zeros every round — an
+        # all-zero result with no error. The same L1 budget must also
+        # give distinguishable per-node shares, so fail fast.
+        raise ValueError(
+            f"hits: scale ({scale}) must be >= the node count "
+            f"({n_nodes}) or every score floors to 0; raise `scale` "
+            "(keeping scale^2 * max_degree < 2^63)"
+        )
     init = int(scale) // max(n_nodes, 1)
     st = uni.select(
         "node",

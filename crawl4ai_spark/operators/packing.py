@@ -116,6 +116,11 @@ def pack_concat_chunk(
     eff = (n_tokens.cast("long") + F.lit(int(eos_tokens))).alias("_n")
     base = df.select(F.col(id_col), eff)
     with_g = global_offsets(base, id_col, "_n", docs_per_bucket)
+    # zero-effective-length docs (eos_tokens=0) occupy no positions and
+    # must emit no assignment rows: at a sequence boundary their
+    # last_seq < first_seq, and F.sequence would generate a DESCENDING
+    # range — phantom pieces with out-of-range seq_offset
+    with_g = with_g.filter(F.col("_n") > 0)
     first_seq = (F.col("_g") / F.lit(L)).cast("long")
     last_seq = ((F.col("_g") + F.col("_n") - 1) / F.lit(L)).cast("long")
     pieces = with_g.select(

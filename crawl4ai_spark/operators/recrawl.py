@@ -42,32 +42,49 @@ def change_rate(
     """Per-URL change statistics from a capture history.
 
     Returns (url, n_obs, n_changes, span_days, lambda_per_day):
-    - ``n_obs`` captures, ``n_changes`` observed digest transitions
-      across ``n_obs - 1`` slots, over ``span_days``;
+    - ``n_obs`` captures, ``n_changes`` observed digest transitions,
+      over ``span_days``;
     - ``lambda_per_day`` = bias-corrected changes/day; URLs with a
       single capture (no slots) take ``prior_lambda_per_day`` — the
       cold-start prior (~monthly by default).
+
+    NULL digests (optional in the CDX schema, sources/cdx.py) are
+    uninformative for change detection: each digest-bearing capture is
+    compared against the most recent PRIOR digest-bearing capture
+    (``[x, NULL, y]`` counts the x->y transition; a plain lag would
+    NULL out both comparisons and report the page as never changing),
+    and the estimator's slot count / interval span cover only the
+    digest-bearing captures.
     """
     w = Window.partitionBy("url").orderBy("ts", "digest")
+    prev_digest = F.last("digest", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     obs = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("ts"),
         F.col(digest_col).alias("digest"),
     ).withColumn(
         "_changed",
-        (F.col("digest") != F.lag("digest").over(w)).cast("int"),
+        (F.col("digest") != prev_digest).cast("int"),
     )
+    dts = F.when(F.col("digest").isNotNull(), F.col("ts"))
     agg = obs.groupBy("url").agg(
         F.count("*").alias("n_obs"),
+        F.count("digest").alias("_n_digests"),
         F.coalesce(F.sum("_changed"), F.lit(0)).cast("long").alias("n_changes"),
         (
             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
             / F.lit(SECONDS_PER_DAY)
         ).alias("span_days"),
+        (
+            (F.unix_timestamp(F.max(dts)) - F.unix_timestamp(F.min(dts)))
+            / F.lit(SECONDS_PER_DAY)
+        ).alias("_dspan_days"),
         F.max("ts").alias("last_capture"),
     )
-    slots = F.col("n_obs") - 1
-    ibar_days = F.col("span_days") / slots  # mean inter-capture interval
+    slots = F.col("_n_digests") - 1
+    ibar_days = F.col("_dspan_days") / slots  # mean inter-capture interval
     # Cho & Garcia-Molina bias-corrected estimator: X changed slots out
     # of n-1; -log((n-1 - X + 0.5)/(n-1 + 0.5)) changes per interval
     lam = (
@@ -80,7 +97,7 @@ def change_rate(
         "span_days",
         "last_capture",
         F.when(
-            (slots > 0) & (F.col("span_days") > 0), lam
+            (slots > 0) & (F.col("_dspan_days") > 0), lam
         ).otherwise(F.lit(prior_lambda_per_day)).alias("lambda_per_day"),
     )
 

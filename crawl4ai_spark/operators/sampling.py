@@ -69,8 +69,14 @@ def weighted_sample(
 ) -> DataFrame:
     """Keep each row with probability weight_e6/1e6 (clamped to
     [0, 1e6]) — quality-proportional sampling when the weight is a
-    quality score."""
-    w = F.greatest(F.lit(0), F.least(weight_e6.cast("long"), F.lit(E6)))
+    quality score. A NULL weight drops the row (no score, no keep):
+    greatest/least SKIP nulls rather than propagate them, so without
+    the coalesce a corrupt weight would clamp to 1e6 — a certain
+    keep."""
+    w = F.greatest(
+        F.lit(0),
+        F.least(F.coalesce(weight_e6.cast("long"), F.lit(0)), F.lit(E6)),
+    )
     return df.filter(uniform_e6(F.col(key_col), salt) < w)
 
 

@@ -65,7 +65,10 @@ def cosine_topk(
     q = _vec_lit(query_vec)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     v = F.col(vec_col).cast("array<double>")
-    sim = dot(v, q) / (l2_norm(v) * F.lit(qn))
+    # try_divide: a zero-norm (degenerate) vector gets NULL similarity
+    # — sorted last by desc, so it degrades out of the top-k instead of
+    # raising DIVIDE_BY_ZERO under ANSI mode and killing the job
+    sim = F.try_divide(dot(v, q), l2_norm(v) * F.lit(qn))
     cols = id_cols or [c for c in df.columns if c != vec_col]
     return (
         df.select(*cols, sim.alias("cosine_sim"))
@@ -173,11 +176,15 @@ def cosine_topk_ivf(
 
     v = F.col(vec_col).cast("array<double>")
     vn = l2_norm(v)
+    # try_divide: zero-norm vectors assign to a NULL centroid and are
+    # pruned with the unprobed partitions instead of raising under ANSI
     sims = F.array(
         *[
             F.round(
-                dot(v, _vec_lit(c))
-                / (vn * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                F.try_divide(
+                    dot(v, _vec_lit(c)),
+                    vn * F.lit(math.sqrt(sum(float(x) * float(x) for x in c))),
+                ),
                 6,
             )
             for _, c in centroids
@@ -197,7 +204,7 @@ def cosine_topk_ivf(
         qsims.append((round(s, 6), cid))
     probe = [cid for s, cid in sorted(qsims, key=lambda t: (-t[0], t[1]))[:nprobe]]
 
-    sim = F.round(dot(v, _vec_lit(qv)) / (vn * F.lit(qn)), 6)
+    sim = F.round(F.try_divide(dot(v, _vec_lit(qv)), vn * F.lit(qn)), 6)
     return (
         df.withColumn("_ivf_list", assign_cid)
         .filter(F.col("_ivf_list").isin(probe))
@@ -215,14 +222,19 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
     LSH-bucket self-join (one shuffle on the bucket key) + exact cosine
     verify. High thresholds collide into the same bucket with high
     probability; recall can be raised by unioning several plane seeds.
+    ``dim`` skips the dimension-inference job (required when the frame
+    may be empty).
     """
-    planes = hyperplanes(_infer_dim(df, vec_col), n_planes, seed)
+    planes = hyperplanes(
+        dim if dim is not None else _infer_dim(df, vec_col), n_planes, seed
+    )
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -235,15 +247,24 @@ def embedding_neardup_pairs(
     ).select(
         F.col("x._id").alias("id_a"),
         F.col("y._id").alias("id_b"),
-        cosine(F.col("x._v").cast("array<double>"), F.col("y._v").cast("array<double>")).alias(
-            "cosine_sim"
-        ),
+        # cosine_safe: a zero-norm member of a bucket yields NULL sim
+        # (filtered below) instead of aborting the pair join under ANSI
+        cosine_safe(
+            F.col("x._v").cast("array<double>"),
+            F.col("y._v").cast("array<double>"),
+        ).alias("cosine_sim"),
     )
     return cand.filter(F.col("cosine_sim") >= threshold)
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None or row["n"] is None or row["n"] < 0:
+        raise ValueError(
+            f"cannot infer embedding dimension from {vec_col!r}: the "
+            "DataFrame is empty or its first vector is NULL — pass the "
+            "dimension explicitly"
+        )
     return int(row["n"])
 
 
@@ -483,7 +504,7 @@ def cosine_topk_pq(
     for c in lut_cols[1:]:
         approx_e6 = approx_e6 + c
 
-    sim = F.round(dot(v, _vec_lit(qv)) / (l2_norm(v) * F.lit(qn)), 6)
+    sim = F.round(F.try_divide(dot(v, _vec_lit(qv)), l2_norm(v) * F.lit(qn)), 6)
     cand = (
         df.withColumn("_adc_e6", approx_e6)
         .orderBy(F.desc("_adc_e6"), F.asc(id_col))

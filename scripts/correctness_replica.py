@@ -51,6 +51,7 @@ def _canon(df):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
 
     import duckdb
     import pandas as pd
@@ -77,6 +78,8 @@ def main() -> int:
 
     failures: list[str] = []
     for name in queries:
+        if only and name not in only:
+            continue
         try:
             got = _canon(queries[name](spark, sf_dir).toPandas())
         except Exception:
@@ -108,12 +111,13 @@ def main() -> int:
         print(json.dumps({"q": name, "rows": len(got), "match": True}))
 
     spark.stop()
+    n_run = len(only & set(queries)) if only else len(queries)
     if failures:
-        print(f"\nFAIL {len(failures)}/{len(queries)}:")
+        print(f"\nFAIL {len(failures)}/{n_run}:")
         for f in failures:
             print(" -", f)
         return 1
-    print(f"\nOK: {len(queries)} queries match at {sf_dir} on a vanilla session")
+    print(f"\nOK: {n_run} queries match at {sf_dir} on a vanilla session")
     return 0
 
 

@@ -672,3 +672,33 @@ def test_rates_for_token_budget():
     assert rates["de"] == 1_000_000        # budget > stratum -> take all
     assert rates["fr"] == 0 and rates["xx"] == 0  # empty stratum
     assert "es" not in rates               # unbudgeted -> caller default
+
+
+def test_zero_norm_vector_degrades_not_raises(spark):
+    """A degenerate all-zero embedding (e.g. of empty text) must fall
+    out of top-k / pair results as NULL-sim, not abort the job with
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero norm
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    top = cosine_topk(df, "v", [1.0, 0.0], k=3).collect()
+    ids = [r["id"] for r in top]
+    # zero-norm row sorts last (NULL sim), real rows ranked normally
+    assert ids[:2] == [0, 1]
+    pairs = embedding_neardup_pairs(
+        df, "v", "id", threshold=0.9, n_planes=2
+    ).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_infer_dim_empty_frame_clear_error(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="dimension"):
+        embedding_neardup_pairs(empty, "v", "id")
+    # dim= skips inference so an empty frame yields an empty result
+    assert embedding_neardup_pairs(empty, "v", "id", dim=2).count() == 0

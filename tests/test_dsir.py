@@ -116,3 +116,43 @@ def test_k_larger_than_corpus_returns_everything(spark, corpus):
     feats, model = _pipeline(corpus)
     lw = importance_weights(feats, "doc_id", model)
     assert importance_resample(lw, "doc_id", 10_000).count() == 300
+
+
+def test_unseen_buckets_use_smoothed_sentinel(spark):
+    """Standalone flow (fit once, score a NEW corpus): buckets absent
+    from the model contribute the add-one-smoothed unseen-bucket
+    log-ratio ln((t_raw+B)/(t_tgt+B)) — not 0 via a silent inner-join
+    drop."""
+    B = 64
+    train = spark.createDataFrame(
+        [(0, ["alpha", "beta", "gamma"], True),
+         (1, ["alpha", "delta", "epsilon"], False)],
+        "id long, words array<string>, tgt boolean",
+    )
+    feats = featurize(
+        train.withColumn("_t", F.col("tgt")), "id", F.col("words"), B,
+        carry_cols=["_t"],
+    )
+    model = train_importance_model(feats, F.col("_t"), B)
+    # sentinel row exists with the closed-form constant
+    t = feats.count()  # total ngram instances
+    t_tgt = feats.filter("_t").count()
+    import math
+    expect = round(math.log((t + B) / (t_tgt + B)) * 1e6 + 1e-9)
+    sent = model.filter(F.col("bucket") == -1).collect()
+    assert len(sent) == 1 and sent[0]["lr_unat"] == expect
+    # scoring a doc of entirely novel words sums the sentinel ratio
+    novel = spark.createDataFrame(
+        [(9, ["zzz-novel-one", "zzz-novel-two"])],
+        "id long, words array<string>",
+    )
+    nf = featurize(novel, "id", F.col("words"), B)
+    n_feats = nf.count()
+    w = importance_weights(nf, "id", model).collect()
+    # guard: the novel words must actually miss the trained buckets
+    trained = {r["bucket"] for r in model.collect() if r["bucket"] != -1}
+    novel_buckets = [r["bucket"] for r in nf.collect()]
+    if all(b not in trained for b in novel_buckets):
+        assert w and w[0]["lw_unat"] == expect * n_feats
+    else:  # hash collision with B=64 — still must not drop the doc
+        assert w

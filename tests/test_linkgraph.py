@@ -231,3 +231,19 @@ def test_anchor_stats_no_normalize(spark):
     df = spark.createDataFrame([(1, 1, "A"), (2, 1, "a")], ["src", "dst", "anchor"])
     (r,) = anchor_stats(df, normalize=False).collect()
     assert r["n_anchors"] == 2
+
+
+def test_hits_scale_below_node_count_raises(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    with _pytest.raises(ValueError, match="scale"):
+        hits(e, scale=3)  # 5 nodes > scale: init floors to 0
+
+
+def test_pagerank_int64_bound_raises(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="int64"):
+        pagerank(e, scale=10**9, n_nodes=10**12)

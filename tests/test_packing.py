@@ -152,3 +152,21 @@ def test_concat_chunk_stats_near_full(docs):
     # only the final partial sequence pads
     assert st.pad_ppm == (st.n_seqs * L - total) * 1_000_000 // (st.n_seqs * L)
     assert st.split_docs > 0
+
+
+def test_zero_length_doc_emits_no_phantom_pieces(spark):
+    """With eos_tokens=0 a zero-token doc occupies no positions: it
+    must emit NO assignment rows. At a sequence boundary its
+    last_seq < first_seq and F.sequence would generate a DESCENDING
+    range — phantom pieces with seq_offset outside [0, seq_len)."""
+    df = spark.createDataFrame(
+        [(0, 8), (1, 0), (2, 5)], "id long, n long"
+    )
+    out = pack_concat_chunk(
+        df, "id", F.col("n"), seq_len=8, eos_tokens=0, docs_per_bucket=2
+    ).collect()
+    assert all(r["id"] != 1 for r in out)
+    assert all(0 <= r["seq_offset"] < 8 for r in out)
+    assert all(r["n_piece"] > 0 for r in out)
+    # the real docs still tile exactly
+    assert sum(r["n_piece"] for r in out) == 13

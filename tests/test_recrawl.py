@@ -101,3 +101,33 @@ def test_staleness_grows_with_age(spark):
         ).collect()[0]
         s[days] = r["staleness"]
     assert 0 < s[1] < s[5] < s[30] <= 1.0
+
+
+def test_null_digests_do_not_mask_changes(spark):
+    """CDX digests are optional (sources/cdx.py): a NULL digest is
+    uninformative, so [x, NULL, y] still observes the x->y transition
+    — a plain lag() would NULL both comparisons and starve a changing
+    page (lambda=0, staleness=0) out of the refetch frontier."""
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("https://b.com/", t0, "x"),
+        ("https://b.com/", t0 + timedelta(days=1), None),
+        ("https://b.com/", t0 + timedelta(days=2), "y"),
+    ]
+    got = change_rate(_df(spark, rows)).collect()[0]
+    assert got["n_obs"] == 3
+    assert got["n_changes"] == 1
+    # estimator runs over the 2 digest-bearing captures: 1 slot,
+    # 1 change, ibar = 2 days
+    assert got["lambda_per_day"] == pytest.approx(
+        _expected_lambda(1, 1, 2.0)
+    )
+    # all-non-null histories are bit-unchanged (covered by the other
+    # tests); an all-NULL history takes the cold-start prior
+    rows2 = [
+        ("https://c.com/", t0, None),
+        ("https://c.com/", t0 + timedelta(days=1), None),
+    ]
+    got2 = change_rate(_df(spark, rows2), prior_lambda_per_day=0.05).collect()[0]
+    assert got2["n_changes"] == 0
+    assert got2["lambda_per_day"] == pytest.approx(0.05)

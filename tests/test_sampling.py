@@ -89,3 +89,13 @@ def test_uniform_spread(spark):
         uniform_e6(F.col("id"), "u").alias("u")).collect()]
     assert all(0 <= v < E6 for v in vals)
     assert abs(sum(vals) / len(vals) - E6 / 2) < E6 * 0.05
+
+
+def test_weighted_sample_null_weight_drops_row(spark):
+    """NULL weight = no score, no keep. greatest/least SKIP nulls, so
+    without the coalesce a NULL clamps to 1e6 — a certain keep."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 0), (3, E6)], "id long, w long"
+    )
+    kept = {r["id"] for r in weighted_sample(df, F.col("w"), "id").collect()}
+    assert 1 not in kept and 2 not in kept and 3 in kept
