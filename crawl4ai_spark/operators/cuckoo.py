@@ -37,10 +37,29 @@ TARGET_LOAD = 0.84   # sizing target; kicks keep it feasible (paper: <=0.95)
 MAX_KICKS = 500
 
 
+def _mix(hashes: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over the int64 keys.
+
+    The codec must not assume its input is already uniform: structured
+    keys (sequential ids, timestamps) put every key's primary bucket in
+    the same place — (h >> 16) collapses for small ints — which
+    degenerates the two-choice scheme to one choice and overflows the
+    build far below the target load. Mixing makes bucket1/fingerprint
+    independent uniform functions of the key for ANY input. (Layout
+    change: sidecars built before the mixer can't be probed by this
+    code — rebuild them.)"""
+    z = hashes.astype(np.int64).view(np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def _fingerprints(hashes: np.ndarray) -> np.ndarray:
-    """Nonzero 16-bit fingerprint from the low hash bits (0 = empty)."""
-    h = hashes.astype(np.int64).view(np.uint64)
-    fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+    """Nonzero 16-bit fingerprint from the mixed low bits (0 = empty)."""
+    fp = (_mix(hashes) & np.uint64(0xFFFF)).astype(np.uint16)
     return np.where(fp == 0, np.uint16(1), fp)
 
 
@@ -52,8 +71,7 @@ def _fp_hash(fp: np.ndarray, m: int) -> np.ndarray:
 
 
 def _bucket1(hashes: np.ndarray, m: int) -> np.ndarray:
-    h = hashes.astype(np.int64).view(np.uint64)
-    return ((h >> np.uint64(16)) % np.uint64(m)).astype(np.int64)
+    return ((_mix(hashes) >> np.uint64(16)) % np.uint64(m)).astype(np.int64)
 
 
 def _alt_bucket(bucket: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:

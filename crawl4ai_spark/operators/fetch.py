@@ -352,6 +352,11 @@ class MapFetcher:
         )
 
 
+# per-python-worker opener cache for proxied requests (see
+# UrllibFetcher._get); keyed by the proxy URL string
+_PROXY_OPENERS: dict = {}
+
+
 class UrllibFetcher(MapFetcher):
     """Live HTTP fetcher on stdlib urllib (GET, redirects followed,
     total timeout, UA header) mirroring the reference's aiohttp
@@ -421,11 +426,20 @@ class UrllibFetcher(MapFetcher):
         # credentials from the URL as Proxy-Authorization.
         proxy = extra.get("proxy_server") if extra else None
         if proxy:
-            opener = urllib.request.build_opener(
-                urllib.request.ProxyHandler(
-                    {"http": str(proxy), "https": str(proxy)}
+            # one opener per proxy string, cached per python worker
+            # (module-level: openers aren't picklable, and the fetcher
+            # itself is serialized into the mapInPandas closure):
+            # build_opener constructs the whole handler chain, and doing
+            # that per request puts ~10 object constructions on the
+            # executor hot path for nothing
+            opener = _PROXY_OPENERS.get(proxy)
+            if opener is None:
+                opener = urllib.request.build_opener(
+                    urllib.request.ProxyHandler(
+                        {"http": str(proxy), "https": str(proxy)}
+                    )
                 )
-            )
+                _PROXY_OPENERS[proxy] = opener
             open_ = lambda: opener.open(req, timeout=self.timeout)  # noqa: E731
         else:
             open_ = lambda: urllib.request.urlopen(  # noqa: E731

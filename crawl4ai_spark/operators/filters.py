@@ -29,9 +29,6 @@ from ..functions.urls import extension
 # URLPatternFilter — reference filters.py:119-255
 # ---------------------------------------------------------------------------
 
-_REGEX_MARKERS = ("^", "$", "\\d")
-
-
 def _is_regex_pattern(pattern: str) -> bool:
     return pattern.startswith("^") or pattern.endswith("$") or "\\d" in pattern
 
@@ -75,14 +72,17 @@ def url_pattern_filter(
         if _is_regex_pattern(p):
             path_regexes.append(p)
         elif p.count("*") == 1 and p.startswith("*."):
-            # NOTE: reference categorizes '*.' + single-star as SUFFIX even
-            # for domain-ish globs unless '://' is present (:163-170)
-            if "://" in p:
-                domain_regexes.append("^" + p.replace("*.", r"[^/]+\."))
-            else:
-                suffixes.append(p[2:])
+            # reference order (:163-173): a single-star '*.' pattern is
+            # SUFFIX even when '://' is present — its DOMAIN check runs
+            # AFTER the count==1 branches, so only multi-star patterns
+            # like 'https://*.example.com/*' reach it
+            suffixes.append(p[2:])
         elif p.count("*") == 1 and p.endswith("/*"):
             prefixes.append(p[:-2])
+        elif "://" in p and p.startswith("*."):
+            # anchored-match parity with the reference's re.match();
+            # remaining glob chars stay raw regex, bug-for-bug (:191)
+            domain_regexes.append("^" + p.replace("*.", r"[^/]+\."))
         else:
             path_regexes.append(_translate_glob(p))
 

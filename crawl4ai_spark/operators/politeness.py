@@ -221,9 +221,14 @@ def update_state(
             ).cast("double")
             / F.lit(2000.0)
         )
+    # decay applies only to hosts actually fetched this round (n > 0):
+    # the reference RateLimiter adjusts delay per RESPONSE, so a
+    # backed-off host that drops out of the frontier keeps its delay
+    # until requested again — idle rounds must not evaporate a backoff
     new_delay = (
         F.when(had_failure, F.least(delay * 2.0 * jitter, F.lit(MAX_DELAY)))
-        .otherwise(F.greatest(delay * 0.75, F.lit(BASE_DELAY)))
+        .when(n > 0, F.greatest(delay * 0.75, F.lit(BASE_DELAY)))
+        .otherwise(delay)
     )
     new_fail = (
         F.when((n > 0) & (ok == 0), F.coalesce(F.col("_fc"), F.lit(0)) + 1)

@@ -46,6 +46,21 @@ ROBOTS_CACHE_SCHEMA = (
 )
 
 
+# the reserved chars urllib.parse.quote(safe="/%$") percent-encodes
+# (restricted to those that can appear in a parsed path/query; '$' and
+# '*' stay literal — they are the rule side's anchor/wildcard markers,
+# so both sides keep them raw). Applied to the URL-side match target in
+# with_robots_decision so it compares in _compile_rule's alphabet, the
+# way robotparser quotes BOTH sides.
+_QUOTE_CHAIN = [
+    (" ", "%20"), ("!", "%21"), ('"', "%22"), ("'", "%27"), ("(", "%28"),
+    (")", "%29"), ("+", "%2B"), (",", "%2C"), (":", "%3A"), (";", "%3B"),
+    ("<", "%3C"), ("=", "%3D"), (">", "%3E"), ("?", "%3F"), ("@", "%40"),
+    ("[", "%5B"), ("\\", "%5C"), ("]", "%5D"), ("^", "%5E"), ("`", "%60"),
+    ("{", "%7B"), ("|", "%7C"), ("}", "%7D"), ("&", "%26"),
+]
+
+
 def _compile_rule(rule: str) -> tuple[str, str | None, int]:
     """Compile one rule path to (prefix, regex-or-null, specificity).
 
@@ -242,9 +257,27 @@ def with_robots_decision(
     joined = frontier.join(
         r, frontier[host_col] == F.col("__r_host"), "left_outer"
     ).drop("__r_host")
-    path = F.coalesce(
-        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    # The reference (stdlib robotparser can_fetch) matches rules against
+    # quote(path + '?' + query) or '/', NOT the bare path:
+    #   - a root URL with empty path must normalize to '/' (try_parse_url
+    #     returns '' there, not NULL, so a plain coalesce never fired and
+    #     a Disallow-everything host's root page was fetched);
+    #   - query-targeted rules ('Disallow: /foo?bar') must see the query.
+    # The quote-normalization chain mirrors _compile_rule's
+    # quote(safe="/%$") alphabet for the reserved chars that appear in
+    # real URLs, so both sides compare in the same encoding ('%' is
+    # never re-encoded on either side).
+    q = F.nullif(
+        F.try_parse_url(F.col(url_col), F.lit("QUERY")), F.lit("")
     )
+    raw_target = F.concat(
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
+        F.coalesce(F.concat(F.lit("?"), q), F.lit("")),
+    )
+    enc = raw_target
+    for ch, pct in _QUOTE_CHAIN:
+        enc = F.replace(enc, F.lit(ch), F.lit(pct))
+    path = F.coalesce(F.nullif(enc, F.lit("")), F.lit("/"))
     empty_rules = F.array().cast("array<struct<p:string,rx:string,ln:int>>")
     dis = _best_match_len(path, F.coalesce(F.col("disallow"), empty_rules))
     alw = _best_match_len(path, F.coalesce(F.col("allow"), empty_rules))

@@ -121,7 +121,9 @@ class SeenFilter:
         self.spark = spark
         self.path = os.path.join(workdir, "url_seen")
         self.filter_kind = filter_kind
-        _, _, side_dir = SIDE_CODECS[filter_kind or "bloom"]
+        self._build_fn, self._test_fn, side_dir = SIDE_CODECS[
+            filter_kind or "bloom"
+        ]
         self.bloom_path = os.path.join(workdir, side_dir)
         self.n_shards = n_shards
         self.use_bloom = filter_kind is not None
@@ -238,6 +240,9 @@ class SeenFilter:
         bc = self._bloom_broadcast(
             blooms, tuple(sorted(self._rounds(self.path)))
         )
+        # bind the codec's test fn locally: closing over self would
+        # pickle the SeenFilter (and its SparkSession) into the UDF
+        test_fn = self._test_fn
 
         @F.pandas_udf("boolean")
         def maybe_seen(h: pd.Series) -> pd.Series:
@@ -249,7 +254,7 @@ class SeenFilter:
                 bl = table.get(int(s))
                 if bl:
                     sel = shards == s
-                    out[sel] = _bloom_test_any(hv[sel], bl)
+                    out[sel] = test_fn(hv[sel], bl)
             return pd.Series(out)
 
         # the bloom shrinks the candidate side to the tiny "maybe" set,
@@ -320,9 +325,11 @@ class SeenFilter:
         delta.write.partitionBy("shard").mode("overwrite").parquet(delta_path)
 
         if self.use_bloom:
+            build_fn = self._build_fn  # local bind — see maybe_seen
+
             def build(pdf: pd.DataFrame) -> pd.DataFrame:
                 hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-                m, k, bits = _bloom_build(hashes)
+                m, k, bits = build_fn(hashes)
                 return pd.DataFrame(
                     {"shard": [int(pdf["shard"].iloc[0])], "m": [m],
                      "k": [k], "bits": [bits]}
@@ -336,6 +343,17 @@ class SeenFilter:
             ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.bloom_path, f"round={round_no}")
             )
+            # this round's sidecar may have REPLACED one already cached
+            # (a crashed round re-run writes different hashes under the
+            # same round number): evict it and force a broadcast rebuild,
+            # or the stale filter would mark the new URLs definitely-
+            # unseen and re-admit them past the exact join
+            if round_no in self._bloom_rounds:
+                del self._bloom_rounds[round_no]
+                if self._bloom_bc is not None:
+                    self._bloom_bc.unpersist(blocking=False)
+                self._bloom_bc = None
+                self._bloom_bc_key = ()
 
     def count(self) -> int:
         return self.load().count()

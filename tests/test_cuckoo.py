@@ -109,3 +109,22 @@ def test_cuckoo_anti_join_matches_exact(spark, tmp_path):
 def test_unknown_filter_kind_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         SeenFilter(spark, str(tmp_path), filter_kind="quotient")
+
+
+def test_build_tolerates_structured_keys():
+    """The codec must not assume uniform input: sequential int64 keys
+    (ids, timestamps) used to collapse every primary bucket to 0 —
+    (h >> 16) is 0 for small ints — degenerating two-choice placement
+    to one choice and overflowing the build at ~50%% load. The
+    splitmix64 mixer makes the layout uniform for any key structure."""
+    import numpy as np
+
+    from crawl4ai_spark.operators import cuckoo
+
+    for base in (0, 10**6, -500):
+        keys = np.arange(base, base + 4000, dtype=np.int64)
+        m, table = cuckoo.build(keys)
+        assert cuckoo.contains(keys, m, table).all()
+        other = np.arange(10**9, 10**9 + 4000, dtype=np.int64)
+        fp_rate = cuckoo.contains(other, m, table).mean()
+        assert fp_rate < 0.01

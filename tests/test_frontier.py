@@ -855,3 +855,29 @@ def test_budget_fast_path_respects_robots_crawl_delay(spark, sf_dir, tmp_path):
     assert engaged["n"] == 0  # proof must fail under the 8 s delay
     assert m["deferred"] > 0  # and the real split actually deferred rows
     pages.unpersist()
+
+
+def test_politeness_idle_host_keeps_backoff(spark):
+    """A backed-off host with NO fetches this round keeps its delay —
+    the reference RateLimiter adjusts delay per RESPONSE, so idle
+    rounds must not evaporate a backoff (x0.75 decay used to apply
+    to n=0 hosts through the state ride-along)."""
+    bad = spark.createDataFrame(
+        [("flaky.com", False)], "host string, success boolean"
+    )
+    st = update_state(None, bad, 0, jitter_value=1.0)
+    delay0 = st.collect()[0]["current_delay"]
+    assert delay0 == BASE_DELAY * 2.0
+    # three idle rounds: host appears only via the state side
+    empty = spark.createDataFrame([], "host string, success boolean")
+    for r in range(1, 4):
+        st = update_state(st, empty, r, jitter_value=1.0)
+    row = st.collect()[0]
+    assert row["current_delay"] == delay0  # unchanged, not decayed
+    assert row["fail_count"] == 1
+    # an actual all-success round decays it again
+    ok = spark.createDataFrame(
+        [("flaky.com", True)], "host string, success boolean"
+    )
+    st = update_state(st, ok, 4, jitter_value=1.0)
+    assert st.collect()[0]["current_delay"] == max(delay0 * 0.75, BASE_DELAY)

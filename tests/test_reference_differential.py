@@ -1410,6 +1410,9 @@ def test_filters_match_reference_live(spark, sf_dir):
             "url",
             url_pattern_filter("url", ["*.html"]).alias("f_html"),
             url_pattern_filter("url", ["*.html"], reverse=True).alias("f_not_html"),
+            # multi-star '*.'-prefixed glob: reference categorizes PATH
+            # (its DOMAIN branch needs '://'), translated via fnmatch
+            url_pattern_filter("url", ["*.example.com/p1*.html"]).alias("f_glob"),
             content_type_filter("url", ["text"]).alias("f_text"),
             content_type_filter("url", ["image"]).alias("f_image"),
             domain_filter(
@@ -1438,6 +1441,11 @@ def test_filters_match_reference_live(spark, sf_dir):
                     "params": {"patterns": ["*.html"], "reverse": True},
                 },
                 {
+                    "name": "f_glob",
+                    "kind": "URLPatternFilter",
+                    "params": {"patterns": ["*.example.com/p1*.html"]},
+                },
+                {
                     "name": "f_text",
                     "kind": "ContentTypeFilter",
                     "params": {"allowed_types": ["text"]},
@@ -1458,7 +1466,7 @@ def test_filters_match_reference_live(spark, sf_dir):
             ],
         }
     )
-    for name in ("f_html", "f_not_html", "f_text", "f_image", "f_dom"):
+    for name in ("f_html", "f_not_html", "f_glob", "f_text", "f_image", "f_dom"):
         got = [bool(r[name]) for r in rows]
         assert got == ref[name], name
 

@@ -74,3 +74,53 @@ def test_consecutive_agent_lines_after_rules_start_new_group():
 def test_empty_and_commented_bodies():
     assert parse_robots_txt("", "bot")["disallow"] == []
     assert parse_robots_txt("# only comments\n", "bot")["allow"] == []
+
+
+def test_decision_matches_stdlib_on_root_and_query_urls(spark):
+    """The match target is quote(path + '?' + query) or '/' — exactly
+    what stdlib robotparser can_fetch compares (the reference wraps
+    it). Pins the two r5 fixes: empty path normalizes to '/' (a
+    Disallow-/ host's ROOT url was being allowed), and query-targeted
+    rules ('Disallow: /foo?bar') actually see the query."""
+    import urllib.robotparser as rp
+
+    from crawl4ai_spark.operators.robots import (
+        rules_table,
+        with_robots_decision,
+    )
+
+    bodies = {
+        "blockall.example": "User-agent: *\nDisallow: /",
+        "qblock.example": (
+            "User-agent: *\nDisallow: /foo?bar\n"
+            "Disallow: /search?q=\nDisallow: /a=b\nAllow: /foo?bar=ok\n"
+        ),
+    }
+    urls = [
+        "https://blockall.example",
+        "https://blockall.example/",
+        "https://qblock.example/foo?bar=1",
+        "https://qblock.example/foo",
+        "https://qblock.example/search?q=x",
+        "https://qblock.example/search",
+        "https://qblock.example/a=b",
+        "https://qblock.example/",
+    ]
+    df = spark.createDataFrame(
+        [(u, u.split("/")[2]) for u in urls]
+        + [("https://qblock.example/foo?bar=ok", "qblock.example")],
+        "url string, host string",
+    )
+    rules = rules_table(spark, bodies)
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in with_robots_decision(df, rules).collect()
+    }
+    for u in urls:
+        p = rp.RobotFileParser()
+        p.parse(bodies[u.split("/")[2]].splitlines())
+        assert got[u] == p.can_fetch("*", u), u
+    # documented divergence (robots.py module doc): RFC 9309
+    # longest-match-wins lets the more specific Allow beat the
+    # Disallow; stdlib's first-match-in-file-order would block it
+    assert got["https://qblock.example/foo?bar=ok"] is True

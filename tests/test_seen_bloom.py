@@ -94,3 +94,27 @@ def test_crawl_with_bloom_matches_without(spark, sf_dir, tmp_path):
             sorted(map(tuple, res.select(*cols).collect())),
         )
     assert runs["on"] == runs["off"] == runs["cuckoo"]
+
+
+def test_same_round_rewrite_invalidates_sidecar_cache(spark, tmp_path):
+    """A crashed round re-run overwrites its delta+sidecar under the
+    SAME round number. The in-memory per-round filter cache must evict
+    that round (and rebuild the broadcast), or the stale filter marks
+    the rewritten URLs definitely-unseen and re-admits them past the
+    exact join."""
+    from crawl4ai_spark.operators.seen import SeenFilter
+
+    def rows(ids):
+        return spark.createDataFrame(
+            [(int(i), f"https://h.example/u{i}") for i in ids],
+            "url_hash bigint, url string",
+        )
+
+    sf = SeenFilter(spark, str(tmp_path), n_shards=4, filter_kind="bloom")
+    sf.add(rows(range(100)), round_no=0)
+    # prime the cache
+    assert sf.anti_join(rows(range(100, 120))).count() == 20
+    # same-round rewrite with DIFFERENT hashes (live refetch divergence)
+    sf.add(rows(range(200, 300)), round_no=0)
+    # the rewritten hashes must test as seen (stale cache would pass them)
+    assert sf.anti_join(rows(range(200, 220))).count() == 0
