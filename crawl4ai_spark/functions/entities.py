@@ -46,7 +46,12 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "credit_card": r"\b(?:4\d{12}(?:\d{3})?|5[1-5]\d{14}|3[47]\d{13}|6(?:011|5\d{2})\d{12})\b",
 }
 
-_FLAGS = "(?im)"  # reference _FLAGS = re.IGNORECASE | re.MULTILINE
+# reference _FLAGS = re.IGNORECASE | re.MULTILINE. Java's U flag
+# (UNICODE_CHARACTER_CLASS) is added because Python's \w/\d/\b are
+# unicode-aware by default while Java's are ASCII-only — without it
+# 'josé@example.com' produces NO email match, so redact_pii ships the
+# address unredacted and extraction diverges from the reference engine.
+_FLAGS = "(?imU)"
 
 
 def matches(text: Column | str, label: str, pattern: str | None = None) -> Column:

@@ -52,9 +52,13 @@ def meta_value(head: Column | str, key: str) -> Column:
     matching = F.filter(
         tags,
         lambda t: (
-            F.regexp_extract(t, r'name=["\'](.*?)["\']', 1) == key
+            (F.regexp_extract(t, r'name=["\'](.*?)["\']', 1) == key)
+            | (F.regexp_extract(t, r'property=["\'](.*?)["\']', 1) == key)
         )
-        | (F.regexp_extract(t, r'property=["\'](.*?)["\']', 1) == key),
+        # the reference dict only stores tags WITH a content attribute
+        # (extract_meta_tags skips on no content_match) — a later
+        # content-less tag must not shadow an earlier real value
+        & F.regexp_like(t, F.lit("content=[\"']")),
     )
     last = F.try_element_at(matching, F.lit(-1))
     return F.coalesce(
@@ -93,8 +97,21 @@ def relevance_document(head: Column | str) -> Column:
     title = head_title(head)
     desc = meta_value(head, "description")
     kw = meta_value(head, "keywords")
+    # reference joins meta DICT values — one per key, last wins — so
+    # duplicate keys (name=/property= pairs, repeated og: tags) must
+    # not double their terms' BM25 tf: keep each key's LAST entry
+    # (value order differs from dict insertion order, which is fine —
+    # BM25 only counts frequencies)
+    entries = meta_entries(head)
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda e2: e2["key"] == e["key"],
+        ),
+    )
     all_vals = F.array_join(
-        F.transform(meta_entries(head), lambda e: e["content"]), " "
+        F.transform(deduped, lambda e: e["content"]), " "
     )
     return F.concat_ws(
         " ", F.repeat(title, 3), F.repeat(desc, 2), kw, all_vals

@@ -422,7 +422,9 @@ class _MdState(TolerantMarkupMixin, HTMLParser):
             return
         try:
             self.handle_data(chr(cp), entity_char=True)
-        except ValueError:
+        except (ValueError, OverflowError):
+            # chr() raises OverflowError (not ValueError) past the C int
+            # range — `&#99999999999999999999;` must not kill the batch
             pass
 
     def handle_comment(self, data: str) -> None:

@@ -123,20 +123,33 @@ def lm_doc_scores(
         _key(F.col("_p.0"), hash_keys).alias("w1"),
         _key(F.col("_p.1"), hash_keys).alias("w2"),
     )
+    # LEFT joins: with a PRE-TRAINED count table (documented use) a
+    # document can contain out-of-vocabulary tokens — an inner join
+    # silently dropped those transitions, so fully-OOV gibberish scored
+    # avg_cost_milli=0 (maximally fluent), the exact documents this
+    # stage exists to reject. OOV words take the add-one-smoothed
+    # unigram floor (c2=0) and contribute no bigram evidence (c1=0
+    # guard keeps the 0/0 NaN out). Same-corpus train+score (the gate
+    # path) has no OOV rows, so those values are bit-unchanged.
     j = (
         trans.join(bi, ["w1", "w2"], "left")
-        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
         .join(
-            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2")), "w2"
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2")),
+            "w2",
+            "left",
         )
         .crossJoin(F.broadcast(totals))
     )
     # identical expression structure on the oracle side: two products,
     # one sum, then ln — quantized per token before any aggregation
-    p = F.lit(LAMBDA_BI) * (
-        F.coalesce(F.col("c12"), F.lit(0)).cast("double") / F.col("c1")
-    ) + F.lit(LAMBDA_UNI) * (
-        (F.col("c2") + F.lit(1)).cast("double")
+    bi_term = F.when(
+        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+        F.lit(LAMBDA_BI)
+        * (F.coalesce(F.col("c12"), F.lit(0)).cast("double") / F.col("c1")),
+    ).otherwise(F.lit(0.0))
+    p = bi_term + F.lit(LAMBDA_UNI) * (
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
         / (F.col("t_tokens") + F.col("v_vocab"))
     )
     cost_e6 = F.round(-F.log(p) * F.lit(1000000.0) + F.lit(1e-9), 0).cast("long")

@@ -31,7 +31,15 @@ import zlib
 _OBJ_RX = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _STREAM_RX = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _TJ_RX = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
-_TJA_RX = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ")
+# NB: the char class must EXCLUDE backslash — [^\]] also matches '\\',
+# making (?:\\.|[^\]])* ambiguous, and an unterminated TJ array in a
+# corrupt stream then backtracks exponentially (hangs an executor core)
+_TJA_RX = re.compile(rb"\[((?:\\.|[^\\\]])*)\]\s*TJ")
+# one combined scan so Tj and TJ text interleave in DOCUMENT order —
+# separate passes relocated all TJ-array text after all Tj text
+_TEXT_OP_RX = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\\\]])*)\]\s*TJ"
+)
 _STR_RX = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 _URI_RX = re.compile(rb"/URI\s*\(((?:\\.|[^\\()])*)\)")
 _KIDS_RX = re.compile(rb"/Kids\s*\[([^\]]*)\]")
@@ -72,12 +80,16 @@ def _dict_str(body: bytes, key: bytes) -> str | None:
 
 def _page_text(content: bytes) -> str:
     parts: list[str] = []
-    for m in _TJ_RX.finditer(content):
-        parts.append(_unescape(m.group(1)))
-    for m in _TJA_RX.finditer(content):
-        parts.append(
-            "".join(_unescape(s.group(1)) for s in _STR_RX.finditer(m.group(1)))
-        )
+    for m in _TEXT_OP_RX.finditer(content):
+        if m.group(1) is not None:  # (...) Tj
+            parts.append(_unescape(m.group(1)))
+        else:  # [...] TJ — join the array's string elements
+            parts.append(
+                "".join(
+                    _unescape(s.group(1))
+                    for s in _STR_RX.finditer(m.group(2))
+                )
+            )
     return "\n".join(p for p in parts if p)
 
 
@@ -128,10 +140,23 @@ def parse_pdf(data: bytes | None) -> dict:
     pages = []
     for num, oid in enumerate(page_ids, start=1):
         body = objs.get(oid, b"")
-        raw_text = ""
+        # /Contents as a single indirect ref OR the equally common
+        # array form `[N 0 R ...]` (multi-element streams concatenate)
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
-        if cm and int(cm.group(1)) in objs:
-            cbody = objs[int(cm.group(1))]
+        if cm:
+            content_refs = [int(cm.group(1))]
+        else:
+            ca = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+            content_refs = (
+                [int(r.group(1)) for r in _REF_RX.finditer(ca.group(1))]
+                if ca
+                else []
+            )
+        texts = []
+        for ref in content_refs:
+            cbody = objs.get(ref)
+            if cbody is None:
+                continue
             sm = _STREAM_RX.search(cbody)
             if sm:
                 stream = sm.group(1)
@@ -144,7 +169,10 @@ def parse_pdf(data: bytes | None) -> dict:
                         stream = zlib.decompressobj().decompress(stream)
                     except zlib.error:
                         stream = b""
-                raw_text = _page_text(stream)
+                t = _page_text(stream)
+                if t:
+                    texts.append(t)
+        raw_text = "\n".join(texts)
         links = []
         for am in _REF_RX.finditer(
             (re.search(rb"/Annots\s*\[([^\]]*)\]", body) or _EMPTY).group(1)
@@ -199,6 +227,8 @@ def build_pdf(pages_text: list[str], *, title: str | None = None,
     info_id = 3 + 2 * n_pages
     annot_id = info_id + 1
 
+    annot_ids = [annot_id + j for j in range(len(links or []))]
+
     out.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     kids = " ".join(f"{k} 0 R" for k in kid_ids)
     out.append(
@@ -206,7 +236,11 @@ def build_pdf(pages_text: list[str], *, title: str | None = None,
     )
     for i, text in enumerate(pages_text):
         pid, cid = kid_ids[i], kid_ids[i] + 1
-        annots = f" /Annots [{annot_id} 0 R]" if links and i == 0 else ""
+        annots = (
+            " /Annots [" + " ".join(f"{a} 0 R" for a in annot_ids) + "]"
+            if links and i == 0
+            else ""
+        )
         out.append(
             f"{pid} 0 obj << /Type /Page /Parent 2 0 R "
             f"/Contents {cid} 0 R{annots} >> endobj\n".encode()
@@ -228,9 +262,11 @@ def build_pdf(pages_text: list[str], *, title: str | None = None,
         info = f"/Author ({esc(author)}) " + info
     out.append(f"{info_id} 0 obj << {info} >> endobj\n".encode())
     if links:
-        for u in links:
+        # one object id PER link — a shared id would make later bodies
+        # overwrite earlier ones in any id-keyed reader (incl. parse_pdf)
+        for aid, u in zip(annot_ids, links):
             out.append(
-                f"{annot_id} 0 obj << /Subtype /Link /A << /Type /Action "
+                f"{aid} 0 obj << /Subtype /Link /A << /Type /Action "
                 f"/S /URI /URI ({esc(u)}) >> >> endobj\n".encode()
             )
     out.append(f"trailer << /Info {info_id} 0 R >>\n%%EOF".encode())
@@ -300,6 +336,18 @@ def pdf_process_stage(df, content_col: str = "pdf", id_cols: tuple = ("doc_id",)
                 blob = pdf[content_col].iloc[idx]
                 res = parse_pdf(bytes(blob) if blob is not None else None)
                 m = res["metadata"]
+                if not res["pages"]:
+                    # corrupt/encrypted/non-PDF blobs must stay
+                    # observable (the reference returns a result per
+                    # document): one metadata-only row, page_number 0
+                    rows.append(
+                        ids
+                        + (
+                            m["title"], m["author"], m["producer"],
+                            m["n_pages"], m["encrypted"],
+                            0, None, None, None, [],
+                        )
+                    )
                 for pg in res["pages"]:
                     rows.append(
                         ids

@@ -55,3 +55,21 @@ def test_redact_pii_email_containing_ip_fully_redacted(spark):
     )
     (r,) = df.select(redact_pii("t").alias("v")).collect()
     assert r["v"] == "contact <EMAIL> or <IPV4>"
+
+
+def test_unicode_email_matched_and_redacted(spark):
+    """Java \\w is ASCII-only without the U flag; the reference's
+    Python \\w is unicode — 'josé@example.com' must match (and redact),
+    or PII ships unredacted."""
+    from crawl4ai_spark.functions.entities import matches, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail josé@example.com and čüser@example.org here",)], "t string"
+    )
+    row = df.select(
+        matches("t", "email").alias("m"),
+        redact_pii(F.col("t")).alias("r"),
+    ).collect()[0]
+    assert row["m"] == ["josé@example.com", "čüser@example.org"]
+    assert row["r"] == "mail <EMAIL> and <EMAIL> here"

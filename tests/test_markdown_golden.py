@@ -117,3 +117,13 @@ def test_differential_vs_reference_converter():
     ]
     for c in cases:
         assert html_to_markdown(c, base) == ref_conv(c, base)
+
+
+def test_huge_numeric_charref_never_crashes():
+    """chr() raises OverflowError (not ValueError) past the C int
+    range; `&#99999999999999999999;` must degrade, not kill the
+    Arrow batch."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    out = html_to_markdown("<p>x &#99999999999999999999; y</p>", "http://x/")
+    assert "x" in out and "y" in out

@@ -170,3 +170,32 @@ def test_assign_buckets_unknown_language_defaults_to_head(spark):
     )
     got = assign_buckets(score, bucket_thresholds(train)).collect()
     assert got[0]["ppl_bucket"] == 1  # no thresholds -> bucket 1, kept
+
+
+def test_pretrained_table_scores_oov_docs_expensive(spark):
+    """Scoring against a PRE-TRAINED count table: fully-OOV gibberish
+    must take the smoothed unigram floor (high cost), not score
+    avg_cost_milli=0 (maximally fluent) via inner-join row loss."""
+    import pyspark.sql.functions as F
+
+    from crawl4ai_spark.functions.ngram_lm import (
+        lm_doc_scores,
+        train_bigram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat ran".split())],
+        "id long, w array<string>",
+    )
+    uni, bi, tot = train_bigram_counts(train, F.col("w"))
+    score_me = spark.createDataFrame(
+        [(1, "the cat sat".split()),       # in-vocab
+         (2, "zzq qqz zqz qzz".split())],  # fully OOV
+        "id long, w array<string>",
+    )
+    got = {
+        r["id"]: r
+        for r in lm_doc_scores(score_me, "id", F.col("w"), uni, bi, tot).collect()
+    }
+    assert got[2]["n_transitions"] == 3  # transitions not dropped
+    assert got[2]["avg_cost_milli"] > got[1]["avg_cost_milli"] > 0
