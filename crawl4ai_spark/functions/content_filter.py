@@ -115,39 +115,43 @@ def clean_tokens(tokens: list[str]) -> list[str]:
 
 
 def _text_strip(node: _Node) -> str:
-    """bs4 get_text(strip=True): stripped strings joined with ''."""
+    """bs4 get_text(strip=True): stripped strings joined with ''.
+    Iterative — DOM depth is attacker-controlled."""
     parts: list[str] = []
-
-    def walk(n: _Node) -> None:
+    stack = [node]
+    while stack:
+        n = stack.pop()
         if n.tag == "":
             s = n.attrs.get("text", "").strip()
             if s:
                 parts.append(s)
-            return
-        for c in n.children:
-            walk(c)
-
-    walk(node)
+            continue
+        if n.children:
+            stack.extend(reversed(n.children))
     return "".join(parts)
 
 
 def _serialize(node: _Node) -> str:
+    # iterative (depth-proof): plain strings on the stack are pending
+    # close tags — attacker-controlled nesting must not RecursionError
     out: list[str] = []
-
-    def walk(n: _Node) -> None:
+    stack: list = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(n)
+            continue
         if n.tag == "":
             out.append(n.attrs.get("text", ""))
-            return
+            continue
         attrs = "".join(
             f' {k}="{v}"' for k, v in n.attrs.items() if v is not None
         )
         out.append(f"<{n.tag}{attrs}>")
-        for c in n.children:
-            walk(c)
         if n.tag not in VOID_TAGS:
-            out.append(f"</{n.tag}>")
-
-    walk(node)
+            stack.append(f"</{n.tag}>")
+        if n.children:
+            stack.extend(reversed(n.children))
     return "".join(out)
 
 
@@ -165,10 +169,14 @@ def _find_body(root: _Node) -> _Node:
 
 
 def _walk_elements(node: _Node):
-    if node.tag not in ("", "#root"):
-        yield node
-    for c in node.children:
-        yield from _walk_elements(c)
+    # iterative preorder (depth-proof)
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.tag not in ("", "#root"):
+            yield n
+        if n.children:
+            stack.extend(reversed(n.children))
 
 
 def _remove_tags(node: _Node, tags: set[str]) -> None:
@@ -339,15 +347,14 @@ class _BM25Okapi:
 
 def _get_text(node: _Node) -> str:
     parts: list[str] = []
-
-    def walk(n: _Node) -> None:
+    stack = [node]
+    while stack:
+        n = stack.pop()
         if n.tag == "":
             parts.append(n.attrs.get("text", ""))
-            return
-        for c in n.children:
-            walk(c)
-
-    walk(node)
+            continue
+        if n.children:
+            stack.extend(reversed(n.children))
     return "".join(parts)
 
 

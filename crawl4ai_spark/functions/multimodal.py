@@ -56,9 +56,16 @@ def pack_video(frames: np.ndarray) -> bytes:
     return _MAGIC + b"V" + struct.pack("<IIII", n, h, w, c) + frames.tobytes()
 
 
+class MediaDecodeError(ValueError):
+    """Corrupt/truncated media payload — distinct from
+    NotImplementedError (no codec available); both degrade a ROW to
+    null in the stages, never the task."""
+
+
 def decode_media(content: bytes):
     """Parse a RAW1 payload -> (kind, ndarray, meta). Unknown formats:
-    try third-party codecs, else NotImplementedError."""
+    try third-party codecs, else NotImplementedError; corrupt payloads
+    (truncated RAW1, bytes PIL can't identify) -> MediaDecodeError."""
     if content is None:
         return None
     if content[:4] != _MAGIC:
@@ -66,29 +73,34 @@ def decode_media(content: bytes):
             import io
 
             from PIL import Image  # noqa: F401
-
-            img = Image.open(io.BytesIO(content))
-            arr = np.asarray(img)
-            if arr.ndim == 2:
-                arr = arr[:, :, None]
-            return ("image", arr, {})
         except ImportError:
             raise NotImplementedError(
                 "no codec available for non-RAW1 media in this environment"
             )
-    tag = content[4:5]
-    if tag == b"I":
-        h, w, c = struct.unpack("<III", content[5:17])
-        arr = np.frombuffer(content[17:], dtype=np.uint8).reshape(h, w, c)
-        return ("image", arr, {"height": h, "width": w, "channels": c})
-    if tag == b"A":
-        sr, n = struct.unpack("<II", content[5:13])
-        arr = np.frombuffer(content[13:], dtype="<i2")[:n]
-        return ("audio", arr, {"sample_rate": sr, "n_samples": n})
-    if tag == b"V":
-        n, h, w, c = struct.unpack("<IIII", content[5:21])
-        arr = np.frombuffer(content[21:], dtype=np.uint8).reshape(n, h, w, c)
-        return ("video", arr, {"n_frames": n, "height": h, "width": w})
+        try:
+            img = Image.open(io.BytesIO(content))
+            arr = np.asarray(img)
+        except Exception as exc:  # UnidentifiedImageError, OSError, ...
+            raise MediaDecodeError(f"undecodable media bytes: {exc}") from exc
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return ("image", arr, {})
+    try:
+        tag = content[4:5]
+        if tag == b"I":
+            h, w, c = struct.unpack("<III", content[5:17])
+            arr = np.frombuffer(content[17:], dtype=np.uint8).reshape(h, w, c)
+            return ("image", arr, {"height": h, "width": w, "channels": c})
+        if tag == b"A":
+            sr, n = struct.unpack("<II", content[5:13])
+            arr = np.frombuffer(content[13:], dtype="<i2")[:n]
+            return ("audio", arr, {"sample_rate": sr, "n_samples": n})
+        if tag == b"V":
+            n, h, w, c = struct.unpack("<IIII", content[5:21])
+            arr = np.frombuffer(content[21:], dtype=np.uint8).reshape(n, h, w, c)
+            return ("video", arr, {"n_frames": n, "height": h, "width": w})
+    except (struct.error, ValueError) as exc:  # truncated payload
+        raise MediaDecodeError(f"truncated RAW1 payload: {exc}") from exc
     raise NotImplementedError(f"unknown RAW1 tag {tag!r}")
 
 
@@ -166,7 +178,7 @@ def image_resize_stage(df: DataFrame, out_w: int, out_h: int,
             for content in pdf[content_col]:
                 try:
                     decoded = decode_media(bytes(content)) if content is not None else None
-                except NotImplementedError:
+                except (NotImplementedError, MediaDecodeError):
                     decoded = None
                 if decoded is None or decoded[0] != "image":
                     out.append(None)
@@ -219,9 +231,11 @@ def media_features_stage(df: DataFrame, content_col: str = "content",
             for content in pdf[content_col]:
                 try:
                     decoded = decode_media(bytes(content)) if content is not None else None
-                except NotImplementedError:
+                except (NotImplementedError, MediaDecodeError):
                     decoded = None
-                if decoded is None:
+                if decoded is None or decoded[1].size == 0:
+                    # zero-length audio / 0-dim images have no features;
+                    # indexing into the empty vector would IndexError
                     means.append(None)
                     stds.append(None)
                     hashes.append(None)
@@ -273,7 +287,7 @@ def video_frame_sample_stage(df: DataFrame, every_k: int = 2,
             for mid, content in zip(pdf["media_id"], pdf[content_col]):
                 try:
                     decoded = decode_media(bytes(content)) if content is not None else None
-                except NotImplementedError:
+                except (NotImplementedError, MediaDecodeError):
                     decoded = None
                 if decoded is None or decoded[0] != "video":
                     continue

@@ -200,12 +200,43 @@ def _tokenize_group(group: str) -> list[str]:
     return tokens
 
 
+def _split_selector_groups(selector: str) -> list[str]:
+    """Split a selector list on top-level commas only — a comma inside
+    quotes or [brackets] (e.g. 'div[title="a,b"] span') is part of the
+    group, matching _tokenize_group's quote/bracket awareness."""
+    groups: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in selector:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch == "[":
+            depth += 1
+            buf.append(ch)
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            groups.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    groups.append("".join(buf))
+    return groups
+
+
 def compile_selector(selector: str) -> list[list[tuple[str, SimpleSelector]]]:
     """-> groups of [(combinator, simple)] with combinator in
     {'descendant', 'child', 'adjacent', 'sibling'}; the first entry's
     combinator is 'descendant'."""
     groups = []
-    for group in selector.split(","):
+    for group in _split_selector_groups(selector):
         tokens = _tokenize_group(group)
         seq: list[tuple[str, SimpleSelector]] = []
         comb = "descendant"
@@ -281,17 +312,18 @@ def select_all(root: _Node, selector: str) -> list[_Node]:
 
     _parents: dict[int, _Node | None] = {}
 
-    def index_parents(n: _Node, parent: _Node | None):
-        # record the REAL parent (incl. #root): position pseudos and
-        # sibling combinators need the container's child list even for
-        # fragment top-level elements; #root itself can never match a
-        # selector, so ancestor/child matching is unaffected
+    # record the REAL parent (incl. #root): position pseudos and
+    # sibling combinators need the container's child list even for
+    # fragment top-level elements; #root itself can never match a
+    # selector, so ancestor/child matching is unaffected. Iterative:
+    # DOM depth is attacker-controlled (see _descendants).
+    stack: list = [(root, None)]
+    while stack:
+        n, parent = stack.pop()
         _parents[id(n)] = parent
         for c in n.children:
             if c.tag != "":
-                index_parents(c, n)
-
-    index_parents(root, None)
+                stack.append((c, n))
 
     for node in _descendants(root):
         for seq in groups:
@@ -512,11 +544,17 @@ def _xp_name_match(node: _Node, name: str) -> bool:
 
 
 def _xp_text_nodes(node: _Node, deep: bool):
-    for c in node.children:
+    # iterative document-order walk (depth-proof, see _descendants)
+    stack = [iter(node.children)]
+    while stack:
+        c = next(stack[-1], None)
+        if c is None:
+            stack.pop()
+            continue
         if c.tag == "":
             yield c.attrs.get("text", "")
-        elif deep:
-            yield from _xp_text_nodes(c, True)
+        elif deep and c.children:
+            stack.append(iter(c.children))
 
 
 _XP_CMP = {
@@ -622,13 +660,13 @@ def _xp_apply_preds(group: list[_Node], preds: list) -> list[_Node]:
 
 def _xp_parent_map(root: _Node) -> dict[int, _Node]:
     pm: dict[int, _Node] = {}
-
-    def walk(n: _Node):
+    stack = [root]
+    while stack:
+        n = stack.pop()
         for c in n.children:
             pm[id(c)] = n
-            walk(c)
-
-    walk(root)
+            if c.children:
+                stack.append(c)
     return pm
 
 
@@ -764,20 +802,23 @@ def xpath_select(root: _Node, expr: str):
                 # each parent's sibling group, so group by parent
                 by_parent: dict[int, list[_Node]] = {}
                 order: list[int] = []
-
-                def walk(n: _Node):
-                    for c in n.children:
-                        if c.tag == "":
-                            continue
-                        if _xp_name_match(c, name):
-                            key = id(n)
-                            if key not in by_parent:
-                                by_parent[key] = []
-                                order.append(key)
-                            by_parent[key].append(c)
-                        walk(c)
-
-                walk(node)
+                # iterative preorder (depth-proof, see _descendants)
+                wstack: list = [(node, iter(node.children))]
+                while wstack:
+                    parent, it = wstack[-1]
+                    c = next(it, None)
+                    if c is None:
+                        wstack.pop()
+                        continue
+                    if c.tag == "":
+                        continue
+                    if _xp_name_match(c, name):
+                        key = id(parent)
+                        if key not in by_parent:
+                            by_parent[key] = []
+                            order.append(key)
+                        by_parent[key].append(c)
+                    wstack.append((c, iter(c.children)))
                 # '//x' expands to descendant-or-self::node()/child::x —
                 # the context node itself is never its own child
                 groups = [by_parent[k] for k in order]
@@ -817,17 +858,16 @@ def xpath_select_elements(root: _Node, selector: str) -> list[_Node]:
 
 def _text_strip(node: _Node) -> str:
     parts: list[str] = []
-
-    def walk(n: _Node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
         if n.tag == "":
             s = n.attrs.get("text", "").strip()
             if s:
                 parts.append(s)
-            return
-        for c in n.children:
-            walk(c)
-
-    walk(node)
+            continue
+        if n.children:
+            stack.extend(reversed(n.children))
     return "".join(parts)
 
 
@@ -962,8 +1002,9 @@ def validate_schema(schema: dict, selector_type: str = "css") -> None:
 
 
 def _json_schema_extract(html: str | bytes | None, schema: dict,
-                         engine: str) -> list[dict]:
-    validate_schema(schema, engine)
+                         engine: str, validate: bool = True) -> list[dict]:
+    if validate:  # the stage validates ONCE driver-side and skips this
+        validate_schema(schema, engine)
     if html is None:
         return []
     if isinstance(html, (bytes, bytearray)):
@@ -974,7 +1015,13 @@ def _json_schema_extract(html: str | bytes | None, schema: dict,
     for base in sel_fn(root, schema["baseSelector"]):
         item = _extract_item(base, schema.get("fields", []), engine)
         for bf in schema.get("baseFields", []):
-            value = _extract_single(base, bf, engine)
+            # same per-field runtime fallback as _extract_field: a
+            # regex without a capture group / missing 'attribute' key
+            # must degrade to the field default, not crash the page
+            try:
+                value = _extract_single(base, bf, engine)
+            except Exception:
+                value = bf.get("default")
             if value is not None:
                 item[bf["name"]] = value
         if item:
@@ -1013,7 +1060,9 @@ def schema_extract_stage(df, html_col: str, schema: dict,
         for pdf in batches:
             vals = [
                 json.dumps(
-                    _json_schema_extract(h, schema, selector_type),
+                    _json_schema_extract(
+                        h, schema, selector_type, validate=False
+                    ),
                     ensure_ascii=False,
                 )
                 for h in pdf[html_col]

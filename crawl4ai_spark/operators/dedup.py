@@ -315,7 +315,19 @@ def simhash_pairs(
     16-bit blocks; by pigeonhole, any pair within Hamming distance
     n_tables-1 agrees on at least one block — bucket-join per block,
     then exact Hamming verify. One shuffle per table, no all-pairs.
+
+    Raises when ``max_hamming > n_tables - 1``: pigeonhole recall only
+    covers n_tables-1 differing bits, so a larger radius would be
+    SILENTLY incomplete (pairs whose diffs span every block share no
+    key) — raise n_tables instead.
     """
+    if max_hamming > n_tables - 1:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} needs at least "
+            f"{max_hamming + 1} tables for full pigeonhole recall "
+            f"(got n_tables={n_tables}); results would silently miss "
+            "pairs whose differing bits span every block"
+        )
     block_bits = 64 // n_tables
     sh = simhash(F.col(text_col), shingle_k, hash_fn)
     base = _spread(df).select(F.col(id_col).alias("_id"), sh.alias("_sim"))

@@ -104,10 +104,14 @@ def link_preview_stage(
     ).withColumn("_sel", F.col("_sel") & ~F.col("_dup"))
 
     # "head fetch": left join against the heads table (miss = timeout/
-    # unreachable in the reference's live loop)
+    # unreachable in the reference's live loop). Duplicate head rows
+    # for one url (e.g. a union of two fetch runs) are collapsed first
+    # — a join-side fanout would emit one link row per duplicate,
+    # breaking the exactly-once output contract (same defensive
+    # max-collapse as frontier.py's url_validators join).
     h = heads.select(
         F.col(url_col).alias("href"), F.col(head_col).alias("_head")
-    )
+    ).groupBy("href").agg(F.max("_head").alias("_head"))
     joined = links.join(h, "href", "left")
 
     fetched = F.col("_sel") & F.col("_head").isNotNull()

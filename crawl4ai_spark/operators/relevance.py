@@ -70,7 +70,11 @@ def bm25_scores(
     floor) + one term-stats aggregate + one join back. Driver scalars
     are fine here: this operator ranks seed lists, not the web corpus.
     """
-    q_terms = sorted(set(query.lower().split()))
+    # BM25Okapi.get_scores iterates the query TOKEN LIST — a repeated
+    # query term contributes once per occurrence, so duplicates are
+    # kept for scoring (the set is only the vocabulary-lookup key)
+    q_tokens = query.lower().split()
+    q_terms = sorted(set(q_tokens))
     docs = df.select(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
@@ -103,7 +107,7 @@ def bm25_scores(
 
     dl_norm = k1 * (1.0 - b + b * (F.col("_dl").cast("double") / F.lit(avgdl)))
     score = F.lit(0.0)
-    for t in q_terms:
+    for t in q_tokens:
         idf_t = float(q_stats.get(t, 0.0))
         tf = F.size(F.filter(F.col("_toks"), lambda x: x == t)).cast("double")
         score = score + F.lit(idf_t) * tf * (k1 + 1.0) / (tf + dl_norm)

@@ -55,10 +55,11 @@ _PIPELINE_CACHES: list[DataFrame] = []
 
 
 def _cache_stage(df: DataFrame) -> DataFrame:
-    """Persist a multi-consumer stage, evicting the previous call's
-    caches (same bounded-registry discipline as operators/dedup.py:
-    eviction is recompute-safe, so a long session holds at most one
-    pipeline's worth of cached blocks)."""
+    """Persist a multi-consumer stage into the bounded registry.
+    Eviction happens at each pipeline ENTRY (corpus_flags /
+    build_corpus call _evict_stage_caches first) — recompute-safe, so
+    a long session holds at most one pipeline's worth of cached
+    blocks."""
     df = df.persist()
     _PIPELINE_CACHES.append(df)
     return df
@@ -136,6 +137,11 @@ def corpus_flags(
     (RefinedWeb), heuristic+classifier quality precedes the LM band
     (CCNet §3.3), and dedup runs on what survives.
     """
+    # evict the PREVIOUS call's caches (bounded-registry discipline —
+    # the docstring on _cache_stage promises at most one pipeline's
+    # worth of cached blocks, which must hold for direct corpus_flags
+    # callers too, not only via build_corpus)
+    _evict_stage_caches()
     t = F.col(text_col)
 
     # optional stage 0: CCNet cross-document boilerplate-line removal

@@ -73,10 +73,22 @@ def test_simhash_near_vs_far(spark):
 
 
 def test_simhash_pairs(spark):
-    out = simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=10)
+    # n_tables must exceed max_hamming for full pigeonhole recall
+    out = simhash_pairs(
+        _docs(spark), "text", "doc_id", max_hamming=10, n_tables=16
+    )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 4) in pairs
     assert (1, 3) not in pairs
+
+
+def test_simhash_pairs_rejects_incomplete_recall_config(spark):
+    """max_hamming > n_tables-1 would be SILENTLY incomplete (pairs
+    whose differing bits span every block share no key) — raise."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=10)
 
 
 def test_ngram_jaccard_pairs(spark):

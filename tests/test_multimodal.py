@@ -96,3 +96,43 @@ def test_video_frame_sampling(spark, sf_dir):
         assert sorted(idxs) == [0, 2, 4]  # 6 frames sampled every 2
         kind, arr, _ = decode_media(bytes(frames[0]["frame"]))
         assert kind == "image" and arr.shape == (4, 4, 3)
+
+
+def test_corrupt_and_empty_media_degrade_to_null(spark):
+    """Truncated RAW1 payloads and zero-length audio must yield null
+    rows, never a task-killing exception (struct.error / IndexError
+    used to escape the NotImplementedError-only catch)."""
+    import numpy as np
+
+    from crawl4ai_spark.functions.multimodal import (
+        MediaDecodeError,
+        decode_media,
+        image_resize_stage,
+        media_features_stage,
+        pack_audio,
+        pack_image,
+    )
+
+    truncated = pack_image(
+        np.zeros((4, 4, 3), dtype=np.uint8)
+    )[:10]  # header cut mid-struct
+    empty_audio = pack_audio(np.array([], dtype=np.int16), 16000)
+    good = pack_image(np.full((4, 4, 3), 7, dtype=np.uint8))
+
+    import pytest as _pytest
+
+    with _pytest.raises(MediaDecodeError):
+        decode_media(truncated)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated)), (2, bytearray(empty_audio)),
+         (3, bytearray(good))],
+        "media_id long, content binary",
+    )
+    feats = media_features_stage(df).toPandas().sort_values("media_id")
+    assert feats.iloc[0]["feat_mean"] is None  # truncated -> null
+    assert feats.iloc[1]["feat_mean"] is None  # empty audio -> null
+    assert feats.iloc[2]["feat_mean"] is not None
+    resized = image_resize_stage(df, 2, 2).toPandas().sort_values("media_id")
+    assert resized.iloc[0]["resized"] is None
+    assert resized.iloc[2]["resized"] is not None

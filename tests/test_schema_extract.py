@@ -211,3 +211,63 @@ def test_css_quoted_values_with_spaces_and_combinator_chars():
     assert texts("a[title^='target 0']") == ["T0"]
     assert texts("a[title='a > b ~ c']") == ["W"]
     assert texts("a[title*=' > ']") == ["W"]
+
+
+def test_selector_with_quoted_comma_compiles():
+    """A comma inside an attribute string is part of the group —
+    'div[title="a,b"] span' must compile (the old split broke it)."""
+    from crawl4ai_spark.functions.schema_extract import (
+        compile_selector,
+        json_css_extract,
+    )
+
+    groups = compile_selector('div[title="a,b"] span')
+    assert len(groups) == 1
+    html = '<div title="a,b"><span>hit</span></div><div><span>no</span></div>'
+    out = json_css_extract(
+        html,
+        {"baseSelector": 'div[title="a,b"] span',
+         "fields": [{"name": "t", "type": "text"}]},
+    )
+    assert out == [{"t": "hit"}]
+
+
+def test_basefields_runtime_error_falls_back_to_default():
+    """A per-field runtime error in baseFields (regex without capture
+    group) must degrade to the field default like top-level fields do,
+    not crash the page extraction."""
+    from crawl4ai_spark.functions.schema_extract import json_css_extract
+
+    html = '<div class="b"><span>foo text</span></div>'
+    out = json_css_extract(
+        html,
+        {
+            "baseSelector": "div.b",
+            "baseFields": [
+                {"name": "x", "type": "regex", "pattern": "foo",
+                 "default": "dflt"},
+            ],
+            "fields": [{"name": "t", "type": "text"}],
+        },
+    )
+    assert out and out[0]["t"] == "foo text"
+    assert out[0].get("x", "dflt") == "dflt"
+
+
+def test_deep_page_selectors_never_recurse_out():
+    """Adversarially deep pages must not RecursionError anywhere in
+    the selector/XPath path (parents index, text walkers)."""
+    from crawl4ai_spark.functions.schema_extract import (
+        json_css_extract,
+        json_xpath_extract,
+    )
+
+    deep = "<div>" * 3000 + '<p id="x">leaf</p>' + "</div>" * 3000
+    out = json_css_extract(
+        deep, {"baseSelector": "p#x", "fields": [{"name": "t", "type": "text"}]}
+    )
+    assert out == [{"t": "leaf"}]
+    out2 = json_xpath_extract(
+        deep, {"baseSelector": "//p", "fields": [{"name": "t", "type": "text"}]}
+    )
+    assert out2 == [{"t": "leaf"}]

@@ -105,3 +105,31 @@ def test_composite(spark):
             ]
         ),
     )
+
+
+def test_bm25_duplicate_query_terms_count_per_occurrence(spark):
+    """rank_bm25's get_scores iterates the query token LIST — a
+    repeated term contributes once per occurrence (the old set() dedup
+    halved it)."""
+    from crawl4ai_spark.operators.relevance import bm25_scores
+
+    df = spark.createDataFrame(
+        [(0, "python crawler tool"), (1, "rust parser tool")],
+        "doc_id long, text string",
+    )
+    one = {
+        r["doc_id"]: r["bm25_score"]
+        for r in bm25_scores(
+            df, "text", "doc_id", "python", normalize=False
+        ).collect()
+    }
+    two = {
+        r["doc_id"]: r["bm25_score"]
+        for r in bm25_scores(
+            df, "text", "doc_id", "python python", normalize=False
+        ).collect()
+    }
+    import pytest as _pytest
+
+    assert two[0] == _pytest.approx(2 * one[0])
+    assert two[1] == one[1] == 0.0
