@@ -39,7 +39,13 @@ OUTPUT_CHOICES = ["all", "json", "markdown", "md", "markdown-fit", "md-fit"]
 
 def parse_key_values(ctx, param, value):
     """Exact mirror of cli.py:108-131 (true/false, int, float,
-    [list], {json} coercion)."""
+    [list], {json} coercion).
+
+    Mirrored quirk: the reference splits the whole option string on
+    ',' BEFORE value parsing, so a [list] or {json} value with more
+    than one element is unreachable there too ('k=[a,b]' splits into
+    'k=[a' + 'b]' and aborts) — single-element lists work, and
+    multi-valued config belongs in a config file."""
     if not value:
         return {}
     result = {}

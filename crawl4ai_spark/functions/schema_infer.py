@@ -23,6 +23,19 @@ import re
 from .scrape import _Node, parse_dom
 
 _NAME_RX = re.compile(r"[^a-z0-9]+")
+# classes usable inside an inferred CSS selector: plain identifiers
+# only — Tailwind-style names ('w-1/2', 'md:flex') contain CSS
+# metacharacters the engine's own selector grammar rejects, so an
+# inferred schema embedding them would fail its round-trip contract
+_CSS_IDENT_RX = re.compile(r"^-?[A-Za-z_][A-Za-z0-9_-]*$")
+
+
+def _selector_classes(node: _Node) -> list[str]:
+    return [
+        c
+        for c in (node.attrs.get("class") or "").split()
+        if _CSS_IDENT_RX.match(c)
+    ]
 
 
 def _sig(node: _Node) -> tuple:
@@ -37,7 +50,8 @@ def _leafish_fields(item: _Node) -> list[dict]:
     used: set[str] = set()
 
     def name_for(n: _Node) -> str:
-        base = (n.attrs.get("class") or n.tag).split()[0]
+        parts = (n.attrs.get("class") or "").split()
+        base = parts[0] if parts else n.tag  # whitespace-only class
         name = _NAME_RX.sub("_", base.lower()).strip("_") or n.tag
         cand, k = name, 2
         while cand in used:
@@ -46,42 +60,44 @@ def _leafish_fields(item: _Node) -> list[dict]:
         return cand
 
     def sel_for(n: _Node) -> str:
-        cls = (n.attrs.get("class") or "").split()
+        cls = _selector_classes(n)
         return n.tag + ("." + ".".join(cls) if cls else "")
 
-    def walk(n: _Node) -> None:
-        for c in n.children:
-            if c.tag == "":
-                continue
-            own_text = any(
-                g.tag == "" and g.attrs.get("text", "").strip()
-                for g in c.children
+    # iterative in-order walk (depth-proof, same visit order as the
+    # recursive form: children left-to-right, descend on the else arm)
+    stack = [iter(item.children)]
+    while stack:
+        c = next(stack[-1], None)
+        if c is None:
+            stack.pop()
+            continue
+        if c.tag == "":
+            continue
+        own_text = any(
+            g.tag == "" and g.attrs.get("text", "").strip()
+            for g in c.children
+        )
+        if c.tag == "a" and c.attrs.get("href") is not None:
+            nm = name_for(c)
+            fields.append(
+                {"name": nm + "_href", "selector": sel_for(c),
+                 "type": "attribute", "attribute": "href"}
             )
-            if c.tag == "a" and c.attrs.get("href") is not None:
-                nm = name_for(c)
+            if own_text:
                 fields.append(
-                    {"name": nm + "_href", "selector": sel_for(c),
-                     "type": "attribute", "attribute": "href"}
+                    {"name": nm, "selector": sel_for(c), "type": "text"}
                 )
-                if own_text:
-                    fields.append(
-                        {"name": nm, "selector": sel_for(c), "type": "text"}
-                    )
-            elif c.tag == "img" and c.attrs.get("src") is not None:
-                fields.append(
-                    {"name": name_for(c) + "_src", "selector": sel_for(c),
-                     "type": "attribute", "attribute": "src"}
-                )
-            elif own_text and not any(
-                g.tag != "" for g in c.children
-            ):
-                fields.append(
-                    {"name": name_for(c), "selector": sel_for(c), "type": "text"}
-                )
-            else:
-                walk(c)
-
-    walk(item)
+        elif c.tag == "img" and c.attrs.get("src") is not None:
+            fields.append(
+                {"name": name_for(c) + "_src", "selector": sel_for(c),
+                 "type": "attribute", "attribute": "src"}
+            )
+        elif own_text and not any(g.tag != "" for g in c.children):
+            fields.append(
+                {"name": name_for(c), "selector": sel_for(c), "type": "text"}
+            )
+        else:
+            stack.append(iter(c.children))
     return fields
 
 
@@ -90,33 +106,39 @@ def _best_repeat_group(root: _Node) -> tuple[_Node | None, list[_Node]]:
     count x field-richness score, count >= 2."""
     best: tuple[float, _Node | None, list[_Node]] = (0.0, None, [])
 
-    def walk(parent: _Node) -> None:
-        nonlocal best
+    # iterative (depth-proof — adversarial nesting must not
+    # RecursionError the driver-side inference)
+    stack = [root]
+    while stack:
+        parent = stack.pop()
         groups: dict[tuple, list[_Node]] = {}
         for c in parent.children:
             if c.tag not in ("", "script", "style"):
                 groups.setdefault(_sig(c), []).append(c)
-        for sig, items in groups.items():
+        for _sig_key, items in groups.items():
             if len(items) >= 2:
                 richness = len(_leafish_fields(items[0]))
                 score = len(items) * (1 + richness)
                 if score > best[0]:
                     best = (score, parent, items)
-        for c in parent.children:
+        # push reversed so children pop left-to-right — score ties
+        # break on FIRST-visited, so preorder must match the original
+        for c in reversed(parent.children):
             if c.tag != "":
-                walk(c)
+                stack.append(c)
 
-    walk(root)
     return best[1], best[2]
 
 
 def _css_selector(node: _Node) -> str:
-    cls = (node.attrs.get("class") or "").split()
+    cls = _selector_classes(node)
     return node.tag + ("." + ".".join(cls) if cls else "")
 
 
 def _xpath_step(node: _Node) -> str:
     cls = node.attrs.get("class")
+    if cls and "'" in cls:  # unescapable inside the '...' literal
+        cls = None
     return node.tag + (f"[@class='{cls}']" if cls else "")
 
 

@@ -85,6 +85,12 @@ def user_agent(
     else:
         platform = _pick(DESKTOP_PLATFORMS + MOBILE_PLATFORMS, idx)
 
+    # real Chrome UAs always end in the constant 'Safari/537.36' token
+    # (SAFARI_VERSIONS[0]); the remaining SAFARI_VERSIONS entries are
+    # the 'Version/N ... Safari/X' pairs a real-Safari generator would
+    # rotate — kept as data for that (currently ungenerated) stack,
+    # which is also why client_hints' 'Version/' branch never fires on
+    # this module's own output
     chrome = F.concat_ws(
         " ", F.lit(CHROME_WEBKIT), F.lit("(KHTML, like Gecko)"),
         _pick(CHROME_VERSIONS, idx), _pick(SAFARI_VERSIONS[:1], idx),

@@ -254,8 +254,11 @@ class GoogleSearchCrawler(BaseCrawler):
         # could differ from the one the schema was inferred from
         fetched = fetched.localCheckpoint()
         schemas = None
+        # non-EMPTY html: a 200 with an empty body yields html='' (not
+        # null), and sampling it would silently disable extraction for
+        # the whole batch (every schema inferred from '' is None)
         sample = (
-            fetched.filter(F.col("html").isNotNull())
+            fetched.filter(F.length(F.coalesce("html", F.lit(""))) > 0)
             .select("html").limit(1).collect()
         )
         if sample:

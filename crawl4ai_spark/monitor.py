@@ -76,9 +76,20 @@ class CrawlerMonitor:
         out = []
         for p in glob.glob(os.path.join(self.workdir, sub, "round=*")):
             try:
-                out.append((int(os.path.basename(p).split("=", 1)[1]), p))
+                r = int(os.path.basename(p).split("=", 1)[1])
             except ValueError:
                 continue
+            # skip dirs with no committed part files (crash mid-write /
+            # a racing writer's _temporary only): schema inference on
+            # them raises, and the monitor must work mid-run and on
+            # crashed runs by contract
+            if not any(
+                f.endswith(".parquet")
+                for _root, _dirs, files in os.walk(p)
+                for f in files
+            ):
+                continue
+            out.append((r, p))
         return sorted(out)
 
     # -- per-URL task table (crawler_monitor.py:443-560 analogue) --------
@@ -152,9 +163,14 @@ class CrawlerMonitor:
                 status.alias("status"),
                 "discovered_round",
                 "fetch_round",
-                (
+                # clamped at 0: a crash between a frontier round's
+                # write and its manifest commit leaves rows discovered
+                # in a round PAST pending_round, which would otherwise
+                # read as negative wait and drag the queue averages
+                F.greatest(
+                    F.lit(0),
                     F.coalesce(F.col("fetch_round"), F.lit(pending_round))
-                    - F.col("discovered_round")
+                    - F.col("discovered_round"),
                 )
                 .cast("int")
                 .alias("wait_rounds"),

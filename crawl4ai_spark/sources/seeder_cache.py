@@ -86,11 +86,18 @@ class SeederCache:
             cached.join(F.broadcast(domains.select("domain")), "domain")
             .filter(F.col("fetched_at") >= now - self.ttl)
         )
-        # newest generation per domain (domains are small groups)
+        # newest generation per domain (domains are small groups).
+        # dropDuplicates after the max filter: two generations written
+        # with the SAME `now` (force=True rerun with a fixed timestamp,
+        # the documented deterministic-resume pattern) both survive the
+        # equality filter and would return every url twice
         w = Window.partitionBy("domain")
-        fresh = fresh.withColumn("_mx", F.max("fetched_at").over(w)).filter(
-            F.col("fetched_at") == F.col("_mx")
-        ).drop("_mx")
+        fresh = (
+            fresh.withColumn("_mx", F.max("fetched_at").over(w))
+            .filter(F.col("fetched_at") == F.col("_mx"))
+            .drop("_mx")
+            .dropDuplicates(["domain", "url"])
+        )
         stale = domains.join(
             fresh.select("domain").distinct(), "domain", "left_anti"
         )

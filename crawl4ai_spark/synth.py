@@ -32,7 +32,14 @@ EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
 
 
 def page_host(doc_id: int) -> str:
-    """75% of pages on h0; rest over h1..h31."""
+    """~78% of pages on h0; the rest over {h4, h8, ..., h28} (doc_id
+    divisible by 4 restricts doc_id % 32 to multiples of 4, and
+    doc_id % 32 == 0 lands on h0 as well) — a skewed 8-host layout.
+    NB: this layout is BAKED into every gate oracle and the recorded
+    bench trajectory; do not redistribute it. ssl_cert.generate_certs
+    stamps CN h{doc_id % 32} independently of this function, so cert
+    CN != page host for most docs (certs are a standalone surface,
+    never joined to pages by host)."""
     return "h%d" % (doc_id % 32 if doc_id % 4 == 0 else 0)
 
 

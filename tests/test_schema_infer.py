@@ -85,3 +85,39 @@ def test_synthetic_pages_inference(spark, sf_dir):
     schema = infer_schema(html)
     out = json_css_extract(html, schema)
     assert len(out) >= 2
+
+
+def test_whitespace_class_and_css_metachars_degrade():
+    """A whitespace-only class must not IndexError, and Tailwind-style
+    classes ('w-1/2', 'md:flex') must be excluded from inferred
+    selectors so the schema round-trips through the engine's own
+    validator."""
+    from crawl4ai_spark.functions.schema_infer import infer_schema
+    from crawl4ai_spark.functions.schema_extract import (
+        json_css_extract,
+        validate_schema,
+    )
+
+    s1 = infer_schema(
+        '<ul><li><a class=" " href="/a">A</a></li>'
+        '<li><a class=" " href="/b">B</a></li></ul>'
+    )
+    assert s1 is not None
+    validate_schema(s1, "css")
+
+    html = (
+        '<ul><li class="w-1/2"><a href="/a">A</a></li>'
+        '<li class="w-1/2"><a href="/b">B</a></li></ul>'
+    )
+    s2 = infer_schema(html)
+    assert s2 is not None
+    validate_schema(s2, "css")
+    out = json_css_extract(html, s2)
+    assert len(out) == 2
+
+
+def test_deeply_nested_page_inference_never_recurses_out():
+    from crawl4ai_spark.functions.schema_infer import infer_schema
+
+    deep = "<div>" * 3000 + "<ul><li>a</li><li>b</li></ul>" + "</div>" * 3000
+    assert infer_schema(deep) is not None
