@@ -615,6 +615,14 @@ def connected_components(
         if stable:
             break
     sym.unpersist()
+    # drop the dead per-iteration checkpoint tables' python refs so
+    # ContextCleaner can release their storage blocks — in a
+    # long-running session they otherwise linger until an incidental
+    # driver GC and crowd executor storage (only the returned label
+    # table stays referenced)
+    import gc
+
+    gc.collect()
     return lab.select("node", F.col("lab").alias("component"))
 
 

@@ -127,6 +127,10 @@ def pagerank(
             .localCheckpoint()
         )
     e.unpersist()
+    # release dead per-iteration checkpoints (see connected_components)
+    import gc
+
+    gc.collect()
     return pr
 
 
@@ -231,6 +235,10 @@ def hits(
         st = _renorm_phase(st, "s", "d", "h", "a")
         st = _renorm_phase(st, "d", "s", "a", "h").localCheckpoint()
     e.unpersist()
+    # release dead per-iteration checkpoints (see connected_components)
+    import gc
+
+    gc.collect()
     return st.select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
 
 
