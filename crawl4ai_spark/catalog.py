@@ -86,6 +86,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAGES_CACHE: dict[str, DataFrame] = {}
 
+# bounded scratch registry for per-query multi-consumer persists
+# (distinct from _PAGES_CACHE, which is a keep-forever named corpus
+# cache): each _scratch_persist call evicts the previous call's frame —
+# eviction is recompute-safe, so a session holds at most one query's
+# worth of scratch blocks
+_SCRATCH_CACHES: list[DataFrame] = []
+
+
+def _scratch_persist(df: DataFrame) -> DataFrame:
+    while _SCRATCH_CACHES:
+        try:
+            _SCRATCH_CACHES.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _SCRATCH_CACHES.append(df)
+    return df
+
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic rendered pages corpus, persisted once per
@@ -4252,14 +4270,18 @@ def q_tables_extract(spark, sf_dir):
     )
     # persisted: three union branches (images + videos + audios) each
     # consume this frame — without the cache the DOM-parse media scrape
-    # UDF would run three times over the corpus
-    scraped = scrape_stage(
-        pages.select("url", mhtml.alias("mhtml")),
-        html_col="mhtml",
-        markdown=False,
-        opts=ScrapeOptions(media=True),
-        drop_cols=("mhtml",),
-    ).persist()
+    # UDF would run three times over the corpus. Registered in the
+    # bounded scratch registry (previous call's cache evicted) so
+    # repeated catalog runs in one session don't leak storage.
+    scraped = _scratch_persist(
+        scrape_stage(
+            pages.select("url", mhtml.alias("mhtml")),
+            html_col="mhtml",
+            markdown=False,
+            opts=ScrapeOptions(media=True),
+            drop_cols=("mhtml",),
+        )
+    )
     imgs = scraped.select(
         "url", F.explode("media.images").alias("m")
     ).select(

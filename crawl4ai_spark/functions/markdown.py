@@ -117,7 +117,12 @@ class _MdState(TolerantMarkupMixin, HTMLParser):
             self.last_was_nl = s.endswith("\n")
 
     def _emit(self, data: str, collapse: bool = False, force=False) -> None:
-        if self.quiet > 0:
+        # reference parity: html2text gates output on `not self.quiet`,
+        # so NEGATIVE quiet (a stray close tag before any open) also
+        # suppresses — '</script>text<script>js</script>' emits the JS
+        # and drops the text there, and must here too (pinned by the
+        # malformed-tags differential case)
+        if self.quiet != 0:
             return
         if collapse and not self.in_pre:
             data = _WS_RX.sub(" ", data)

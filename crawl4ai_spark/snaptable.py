@@ -70,6 +70,11 @@ def streaming_append(table: "SnapshotTable", query_name: str = "stream"):
             if (sm.get("streaming_query") == query_name
                     and sm.get("streaming_batch_id") == batch_id):
                 return  # replay of an already-committed batch
+            # markers of expired snapshots survive as a high-water map
+            # on the expire-rebased record (see expire_snapshots)
+            hw = sm.get("streaming_high_water") or {}
+            if query_name in hw and batch_id <= int(hw[query_name]):
+                return
         table.append(batch_df, summary={"streaming_query": query_name,
                                         "streaming_batch_id": batch_id})
 
@@ -121,6 +126,16 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
             hi = mx if hi is None else max(hi, mx)
         out[col] = [_json_safe(lo), _json_safe(hi)] if ok and lo is not None else None
     return {"rows": md.num_rows, "stats": out}
+
+
+def _part_seg(k, v) -> str:
+    """Hive-style partition path segment with the value percent-quoted,
+    so values containing '/', '%', '=' etc. round-trip through
+    _harvest's unquote() instead of corrupting the directory layout
+    (plain alphanumeric values are unchanged — quote is the identity)."""
+    from urllib.parse import quote
+
+    return f"{k}={quote(str(v), safe='')}"
 
 
 def _json_safe(v):
@@ -648,9 +663,14 @@ class SnapshotTable:
     def _file_may_match(fmeta: dict, col: str, op: str, val) -> bool:
         pv = (fmeta.get("partition") or {}).get(col)
         if pv is not None:
-            # partition pruning: the file holds exactly one value
+            # partition pruning: the file holds exactly one value.
+            # bool needs explicit parsing — bool('false') is True, so
+            # type(val)(pv) would prune away every success=false file
             try:
-                pv = type(val)(pv)
+                if isinstance(val, bool) and isinstance(pv, str):
+                    pv = pv.strip().lower() in ("true", "1", "t")
+                else:
+                    pv = type(val)(pv)
             except (TypeError, ValueError):
                 pass
             lo = hi = pv
@@ -675,6 +695,21 @@ class SnapshotTable:
         incremental scan)."""
         snaps = self.snapshots()
         to_id = to_id if to_id is not None else self.current_snapshot_id()
+        ids = {s["snapshot_id"] for s in snaps}
+        # a from_id that no longer exists (expired, or never existed)
+        # makes the range unanswerable: after expire_snapshots the
+        # oldest survivor is rebased to a COMPLETE record whose
+        # files_added span the whole pre-expiry history, so walking it
+        # would re-deliver rows before from_id. 0 = "before the first
+        # snapshot" and is always valid.
+        if from_id != 0 and from_id not in ids:
+            raise ValueError(
+                f"from_id {from_id} is not a live snapshot (expired or "
+                "unknown) — incremental cannot resume across the expiry "
+                "horizon; re-read the full table and checkpoint anew"
+            )
+        if to_id is not None and to_id not in ids:
+            raise ValueError(f"to_id {to_id} is not a live snapshot")
         added: list[str] = []
         for s in snaps:
             if from_id < s["snapshot_id"] <= to_id:
@@ -822,7 +857,7 @@ class SnapshotTable:
                     name, F.lit(val).cast(by_name[name].dataType))
             kept = full.filter(~pred).select(
                 [f.name for f in fschema.fields])
-            d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+            d = os.path.join(out_dir, *[_part_seg(k, v) for k, v in key])
             kept.coalesce(max(1, len(fs))).write.parquet(d)
             for meta in self._harvest(d, fschema):
                 if meta["rows"] > 0:  # fully-emptied groups add nothing
@@ -960,7 +995,7 @@ class SnapshotTable:
                         F.broadcast(src_keys)
                         if n_keys <= self.MERGE_PRUNE_MAX_KEYS else src_keys,
                         df[key_col] == src_keys["_mk"], "left_anti")
-                    d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+                    d = os.path.join(out_dir, *[_part_seg(k, v) for k, v in key])
                     kept.coalesce(max(1, len(fs))).write.parquet(d)
                     for meta in self._harvest(d, fschema):
                         if meta["rows"] > 0:
@@ -1045,7 +1080,7 @@ class SnapshotTable:
                 *[f["path"] for f in small])
             n_out = max(1, math.ceil(
                 sum(f.get("bytes", 0) for f in small) / target_file_bytes))
-            d = os.path.join(out_dir, *[f"{k}={v}" for k, v in key])
+            d = os.path.join(out_dir, *[_part_seg(k, v) for k, v in key])
             if sort_by:
                 # range partition on the sort key -> disjoint per-file
                 # [min,max] ranges; sortWithinPartitions orders rows so
@@ -1197,10 +1232,33 @@ class SnapshotTable:
             # the oldest survivor loses its ancestors: rebase it to a
             # complete record so delta resolution never walks past the
             # expiry horizon (snapshots keep their parent_id as a
-            # historical reference)
+            # historical reference). Streaming idempotency markers of
+            # the DROPPED snapshots fold into a high-water map on the
+            # survivor: a crash-replayed micro-batch whose marker
+            # snapshot was expired must still be detected as committed,
+            # or the exactly-once sink would append it twice.
+            hw: dict = dict(
+                (kept[0].get("summary") or {}).get(
+                    "streaming_high_water", {}
+                )
+            )
+            for s in dropped:
+                sm = s.get("summary") or {}
+                q = sm.get("streaming_query")
+                if q is not None and sm.get("streaming_batch_id") is not None:
+                    b = int(sm["streaming_batch_id"])
+                    if b > hw.get(q, -1):
+                        hw[q] = b
+                for q2, b2 in (sm.get("streaming_high_water") or {}).items():
+                    if int(b2) > hw.get(q2, -1):
+                        hw[q2] = int(b2)
+            osum = dict(kept[0].get("summary") or {})
+            if hw:
+                osum["streaming_high_water"] = hw
             oldest = {**kept[0],
                       "files_added": resolved[kept[0]["snapshot_id"]],
-                      "files_removed": [], "complete": True}
+                      "files_removed": [], "complete": True,
+                      "summary": osum}
             oldest.pop("files", None)
             meta = {**meta, "snapshots": [oldest] + kept[1:]}
             try:
@@ -1212,5 +1270,19 @@ class SnapshotTable:
                     os.unlink(p)
                 except FileNotFoundError:
                     pass
+            # prune old metadata versions too: every commit writes a
+            # full v<N>.json embedding the whole snapshot list, so a
+            # long crawl otherwise accumulates O(commits x files)
+            # metadata debris that nothing else touches. Keep a window
+            # for concurrent readers mid-_load_versioned (they read
+            # the highest version at their listing; anything 10 behind
+            # the post-expire current is safely dead). Best-effort.
+            cur = expected + 1
+            for v in self._versions():
+                if v <= cur - 10:
+                    try:
+                        os.unlink(self._meta_path(v))
+                    except FileNotFoundError:
+                        pass
             return dead
         raise CommitConflict(f"expire lost races on {self.path}")

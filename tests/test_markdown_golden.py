@@ -114,6 +114,14 @@ def test_differential_vs_reference_converter():
         "<table>" + "".join(
             f"<tr><td>r{i}a</td><td>r{i}b</td></tr>" for i in range(5)
         ) + "</table>",
+        # malformed/unbalanced tags — the reference's quiet counter goes
+        # NEGATIVE on a stray close tag and negative quiet suppresses
+        # (html2text gates on `not self.quiet`); pinned after an r5
+        # review found our emitter only suppressed quiet > 0
+        "</script>text1<script>var x=1;</script>text2",
+        "</style>s1<style>.x{}</style>s2",
+        "</blockquote><p>hello</p><p>world</p>",
+        "<blockquote><blockquote>a<br>b</blockquote></blockquote>",
     ]
     for c in cases:
         assert html_to_markdown(c, base) == ref_conv(c, base)

@@ -793,3 +793,84 @@ def test_merge_by_key_rejects_mixed_null_keys(spark, tmp_path):
     bad = spark.createDataFrame([("b", 2), (None, 3)], "k string, v int")
     with _pytest.raises(ValueError, match="null/NaN keys"):
         t.merge_by_key(bad, "k")
+
+
+def test_boolean_partition_pruning(spark, tmp_path):
+    """bool('false') is True — the partition-value parse must decode
+    booleans explicitly or success=false files are pruned away and
+    scans/deletes silently miss every matching row."""
+    ext = str(tmp_path / "boolext")
+    spark.createDataFrame(
+        [(1, True), (2, False), (3, False)], "id long, success boolean"
+    ).write.partitionBy("success").parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "boolpart"))
+    t.add_files(ext)
+    got, info = t.scan([("success", "=", False)])
+    assert {r["id"] for r in got.collect()} == {2, 3}
+    got_t, _ = t.scan([("success", "=", True)])
+    assert {r["id"] for r in got_t.collect()} == {1}
+
+
+def test_incremental_rejects_expired_from_id(spark, tmp_path):
+    """After expire_snapshots rebases the oldest survivor to a complete
+    record, incremental() from an EXPIRED snapshot id must raise — the
+    rebased files_added span the whole pre-expiry history, so answering
+    would re-deliver rows the consumer already processed."""
+    t = SnapshotTable(spark, str(tmp_path / "inc"))
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 10).select("id"))
+    s1, s2, s3 = [s["snapshot_id"] for s in t.snapshots()]
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired or unknown"):
+        t.incremental(s1, s3)
+    with pytest.raises(ValueError, match="expired or unknown"):
+        t.incremental(999, s3)
+    # the surviving range still answers exactly
+    assert t.incremental(s2, s3).count() == 10
+    # from 0 = everything currently reachable
+    assert t.incremental(0, s3).count() == 30
+
+
+def test_partition_values_with_metacharacters_round_trip(spark, tmp_path):
+    """delete_where's rewrite path must percent-quote partition values
+    the way _harvest unquotes them: 'a/b' used to nest a directory and
+    re-harvest as the wrong value."""
+    ext = str(tmp_path / "metaext")
+    spark.createDataFrame(
+        [(1, "a/b"), (2, "a/b"), (3, "plain"), (4, "x%25y")],
+        "id long, k string",
+    ).write.partitionBy("k").parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "meta"))
+    t.add_files(ext)
+    t.delete_where([("id", "=", 2)])
+    rows = {(r["id"], r["k"]) for r in t.read().collect()}
+    assert rows == {(1, "a/b"), (3, "plain"), (4, "x%25y")}
+
+
+def test_streaming_markers_survive_expiry(spark, tmp_path):
+    """A crash-replayed micro-batch whose marker snapshot was expired
+    must still be skipped: expire folds dropped streaming markers into
+    a high-water map on the rebased survivor."""
+    from crawl4ai_spark.snaptable import streaming_append
+
+    t = SnapshotTable(spark, str(tmp_path / "stream"))
+    sink = streaming_append(t, query_name="q")
+    sink(spark.range(0, 5).select("id"), 0)   # batch 0
+    sink(spark.range(5, 9).select("id"), 1)   # batch 1
+    t.append(spark.range(100, 101).select("id"))  # unrelated writer
+    t.expire_snapshots(keep_last=2)  # drops batch 0's marker snapshot
+    sink(spark.range(0, 5).select("id"), 0)   # crash-replay of batch 0
+    sink(spark.range(5, 9).select("id"), 1)   # and of batch 1
+    assert t.read().count() == 10  # 5 + 4 + 1, no duplicates
+
+
+def test_expire_prunes_old_metadata_versions(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "vers"))
+    for i in range(14):
+        t.append(spark.range(i, i + 1).select("id"))
+    assert len(t._versions()) == 14
+    t.expire_snapshots(keep_last=2)
+    vs = t._versions()
+    # versions <= current-10 are pruned; reads still work
+    assert len(vs) <= 11 and max(vs) == 15
+    assert t.read().count() == 14  # current snapshot keeps all rows
